@@ -1,13 +1,248 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the executable inventory of SURVEY.md §2 (one entry per
+  * construct) and `oracleSql` the DuckDB-dialect equivalent the driver
+  * hash-compares against at sf0.01. Column aliases match 1:1.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q26_star_join(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.q01_pricing_summary _),
+    "q02_filter_project" -> (Relational.q02_filter_project _),
+    "q03_join_inner" -> (Relational.q03_join_inner _),
+    "q04_join_left" -> (Relational.q04_join_left _),
+    "q05_join_right" -> (Relational.q05_join_right _),
+    "q06_join_full" -> (Relational.q06_join_full _),
+    "q07_join_semi" -> (Relational.q07_join_semi _),
+    "q08_join_anti" -> (Relational.q08_join_anti _),
+    "q09_join_broadcast" -> (Relational.q09_join_broadcast _),
+    "q10_join_theta" -> (Relational.q10_join_theta _),
+    "q11_union_all" -> (Relational.q11_union_all _),
+    "q12_intersect" -> (Relational.q12_intersect _),
+    "q13_except" -> (Relational.q13_except _),
+    "q14_distinct_agg" -> (Relational.q14_distinct_agg _),
+    "q15_case_when" -> (Relational.q15_case_when _),
+    "q16_scalar_funcs" -> (Relational.q16_scalar_funcs _),
+    "q17_arith_bitwise" -> (Relational.q17_arith_bitwise _),
+    "q18_json_access" -> (Relational.q18_json_access _),
+    "q19_subquery_from" -> (Relational.q19_subquery_from _),
+    "q20_scalar_subquery" -> (Relational.q20_scalar_subquery _),
+    "q21_in_subquery" -> (Relational.q21_in_subquery _),
+    "q22_exists_correlated" -> (Relational.q22_exists_correlated _),
+    "q23_window" -> (Relational.q23_window _),
+    "q24_rollup" -> (Relational.q24_rollup _),
+    "q25_topk" -> (Relational.q25_topk _),
+    "q26_star_join" -> (Relational.q26_star_join _),
+    "q27_sql25_analog" -> (Relational.q27_sql25_analog _),
+    "q28_time_window" -> (Relational.q28_time_window _),
+    "q29_like_null" -> (Relational.q29_like_null _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(24,6)) AS sum_charge,
+        round(avg(l_quantity), 4) AS avg_qty,
+        round(avg(l_extendedprice), 4) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber,
+        l_extendedprice * (1 - l_discount) AS net_price
+      FROM lineitem
+      WHERE l_quantity > 45
+        AND (l_returnflag IN ('A','R') OR l_linestatus <> 'O')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+      ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_inner" -> """
+      SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+        count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q04_join_left" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+    "q05_join_right" -> """
+      SELECT p_partkey, count(l_orderkey) AS n_lines
+      FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+      GROUP BY p_partkey ORDER BY p_partkey""",
+    "q06_join_full" -> """
+      SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) cu
+      FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) su
+        ON cu.c_nationkey = su.s_nationkey
+      ORDER BY nationkey""",
+    "q07_join_semi" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      ORDER BY c_custkey""",
+    "q08_join_anti" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      ORDER BY c_custkey""",
+    "q09_join_broadcast" -> """
+      SELECT p_brand, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+        count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+    "q10_join_theta" -> """
+      SELECT s_suppkey, count(*) AS n_matches,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal
+      FROM supplier JOIN customer
+        ON (s_acctbal > c_acctbal OR s_suppkey = c_custkey)
+       AND s_nationkey = c_nationkey
+      GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "q11_union_all" -> """
+      SELECT nationkey, count(*) AS n,
+        CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal
+      FROM (SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+            UNION ALL
+            SELECT s_nationkey, s_acctbal FROM supplier) u
+      GROUP BY nationkey ORDER BY nationkey""",
+    "q12_intersect" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey""",
+    "q13_except" -> """
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+      ORDER BY custkey""",
+    "q14_distinct_agg" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supp,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q15_case_when" -> """
+      SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+                  WHEN o_totalprice > 100000 THEN 'mid'
+                  ELSE 'low' END AS bucket,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+      FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q16_scalar_funcs" -> """
+      SELECT o_orderkey,
+        concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS nvl_status,
+        strftime(o_orderdate - INTERVAL 30 DAY, '%Y-%m-%d') AS d30,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        upper(substr(o_orderpriority, 3, 99)) AS prio
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "q17_arith_bitwise" -> """
+      SELECT l_orderkey, l_linenumber,
+        l_quantity + l_tax AS a_add,
+        l_quantity - l_discount AS a_sub,
+        round(l_quantity * l_extendedprice, 2) AS a_mul,
+        round(l_extendedprice / l_quantity, 4) AS a_div,
+        l_partkey % 10 AS a_mod,
+        (l_partkey & 255) AS b_and,
+        (l_partkey | 16) AS b_or,
+        xor(l_partkey, l_suppkey) AS b_xor
+      FROM lineitem WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber""",
+    "q18_json_access" -> """
+      SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_map
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+      ORDER BY event_id""",
+    "q19_subquery_from" -> """
+      SELECT c_custkey, c_name, spend
+      FROM (SELECT o_custkey,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS spend
+            FROM orders GROUP BY o_custkey) s
+      JOIN customer ON o_custkey = c_custkey
+      WHERE spend > 1000000
+      ORDER BY c_custkey""",
+    "q20_scalar_subquery" -> """
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+      ORDER BY o_orderkey""",
+    "q21_in_subquery" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      ORDER BY c_custkey""",
+    "q22_exists_correlated" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      ORDER BY c_custkey""",
+    "q23_window" -> """
+      SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk, running
+      FROM (SELECT o_custkey, o_orderkey,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+            FROM orders) t
+      WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "q24_rollup" -> """
+      SELECT coalesce(r_name, 'ALL') AS region,
+        coalesce(n_name, 'ALL') AS nation, count(*) AS n_cust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region, nation""",
+    "q25_topk" -> """
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q26_star_join" -> """
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY n_name ORDER BY n_name""",
+    "q27_sql25_analog" -> """
+      SELECT n_name,
+        CASE WHEN o_orderstatus = 'F' THEN 'done' ELSE 'open' END AS st,
+        count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+        AND (o_totalprice > c_acctbal * 50 OR o_orderpriority LIKE '1-%')
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus IS NOT NULL
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY n_name, st ORDER BY n_name, st""",
+    "q28_time_window" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q29_like_null" -> """
+      SELECT p_partkey, p_name, p_type FROM part
+      WHERE (p_type LIKE '%ECO%' OR p_brand LIKE 'Brand#1_')
+        AND p_name NOT LIKE '%red%' AND p_size IS NOT NULL
+      ORDER BY p_partkey""",
+  )
 }

@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registers the driver-generated parquet tables (TESTDATA.md) as temp
+  * views so both the DataFrame API and `spark.sql` paths can use them.
+  *
+  * At 100 TB these would be catalog tables over partitioned parquet;
+  * temp views over `spark.read.parquet` keep the exact same plan shape
+  * (LogicalRelation with full pushdown support), so every query below
+  * is scale-transparent: swap the view registration for
+  * `spark.table("db.t")` and nothing else changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val confKey = "graft.tables.dir"
+
+  /** Idempotent per (session, dir): registers each parquet file as a
+    * same-named temp view.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which
+    * Spark's vectorized reader rejects; `nanosAsLong` reads it as
+    * nanos-since-epoch and we restore a microsecond TimestampType
+    * column (`timestamp_micros(ns / 1000)`) so downstream code sees a
+    * normal timestamp.
+    */
+  def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+    if (spark.conf.getOption(confKey).contains(dir)) return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    names.foreach { n =>
+      var df = spark.read.parquet(s"$dir/$n.parquet")
+      df.schema.fields.foreach { f =>
+        if (f.dataType == org.apache.spark.sql.types.LongType &&
+            f.name == "ts") {
+          df = df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.col("ts") / 1000L cast
+                org.apache.spark.sql.types.LongType))
+        }
+      }
+      df.createOrReplaceTempView(n)
+    }
+    spark.conf.set(confKey, dir)
+  }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensure(spark, dir)
+    spark.table(name)
+  }
+}

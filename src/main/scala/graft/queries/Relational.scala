@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+
+/** Execution surface of SURVEY.md §2, re-expressed Spark-first.
+  *
+  * Every query here mirrors a construct the reference's lineage
+  * analyzer understands (see /root/reference/README.md — citations in
+  * SURVEY.md §2) but as a *real* distributed computation on the
+  * TPC-H-ish test tables. Conventions:
+  *  - Output column names are stable aliases matched 1:1 by the
+  *    DuckDB oracle SQL in [[graft.SparkEntry.oracleSql]].
+  *  - Double-typed aggregates are `round`ed (2dp for money sums, 4dp
+  *    for averages/ratios) so cross-engine float summation order
+  *    cannot flip the hash compare.
+  *  - Every result carries a deterministic `ORDER BY` on a unique key.
+  *  - Scale notes: filters/projections sit directly over the parquet
+  *    scan (pushdown + pruning), small dims are broadcast, aggregates
+  *    rely on partial (map-side) aggregation; no driver-side loops.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Round a money-sum to 2dp. */
+  private def m(c: Column): Column = round(c, 2)
+
+  /** Exact-decimal money math: parquet stores 2-dp doubles; casting to
+    * DECIMAL(12,2) before summing makes the aggregate exact and
+    * engine-order-independent, so the DuckDB oracle matches bit-for-bit
+    * (double summation order differs between engines; decimal does not).
+    */
+  private val D12 = DecimalType(12, 2)
+  private def dec(c: Column): Column = c.cast(D12)
+  private val oneD: Column = lit(1).cast(D12)
+  /** Sum in decimal, normalize the output type across engines. The
+    * result scale must cover the operand's exact scale (2dp inputs →
+    * 4dp products → 6dp triple products): the cast then never rounds,
+    * so engines cannot diverge on tie-breaking. */
+  private def dsum(e: Column): Column = sum(e).cast(DecimalType(18, 2))
+  private def dsum4(e: Column): Column = sum(e).cast(DecimalType(22, 4))
+  private def dsum6(e: Column): Column = sum(e).cast(DecimalType(24, 6))
+
+  // ---------------------------------------------------------------
+  // Aggregation (SURVEY §2.4: A2, A3) — TPC-H Q1 pricing summary.
+  // Partial aggregation keeps the shuffle at |groups| ≈ 6 rows.
+  def q01_pricing_summary(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        m(sum(col("l_quantity"))).as("sum_qty"),
+        dsum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        dsum4(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
+          .as("sum_disc_price"),
+        dsum6(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))) *
+          (oneD + dec(col("l_tax")))).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // Projection + compound predicates (P1, P3, P4, P5): pushed to scan.
+  def q02_filter_project(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 &&
+        (col("l_returnflag").isin("A", "R") || col("l_linestatus") =!= "O") &&
+        col("l_shipdate") >= lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // Inner equi-join (J1) + group: orders ⋈ customer on custkey.
+  // customer is the smaller side → Spark broadcasts it under AQE.
+  def q03_join_inner(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(dec(col("o_totalprice"))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  // Left outer join (J2): customers keep rows with zero orders.
+  def q04_join_left(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  // Right outer join (J3): every part survives, matched or not.
+  def q05_join_right(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"),
+        col("l_partkey") === col("p_partkey"), "right_outer")
+      .groupBy(col("p_partkey"))
+      .agg(count(col("l_orderkey")).as("n_lines"))
+      .orderBy("p_partkey")
+  }
+
+  // Full outer join (J4) of two aggregated sides on nationkey.
+  def q06_join_full(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  // Left semi join (J5) ≡ EXISTS: customers holding a big order.
+  def q07_join_semi(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  // Left anti join ≡ NOT EXISTS: customers with no orders at all.
+  def q08_join_anti(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  // Broadcast-hash join (J6 — Hive MAPJOIN): explicit broadcast() of
+  // the part dimension against the lineitem fact.
+  def q09_join_broadcast(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(dec(col("l_extendedprice"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  // Theta join with OR of inequalities (J8 — reference sql25 shape):
+  // Catalyst extracts the equi conjunct (nationkey) for the hash join
+  // and applies the OR-disjunction as a post-join filter — so this
+  // stays a shuffled equi-join at scale, not a nested loop.
+  def q10_join_theta(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val cus = t(s, dir, "customer")
+    sup.join(cus,
+      (col("s_acctbal") > col("c_acctbal") ||
+        col("s_suppkey") === col("c_custkey")) &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_matches"),
+        dsum(dec(col("c_acctbal"))).as("sum_bal"))
+      .orderBy("s_suppkey")
+  }
+
+  // UNION ALL (U1): positional, duplicate-preserving.
+  def q11_union_all(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("bal"))
+    val p = t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("bal"))
+    c.union(p)
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"), dsum(dec(col("bal"))).as("sum_bal"))
+      .orderBy("nationkey")
+  }
+
+  // INTERSECT (U3 extension).
+  def q12_intersect(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(
+        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  // EXCEPT (U3 extension): customers with a 400k+ order but no 450k+
+  // order (distinct set difference over the same fact table).
+  def q13_except(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  // Distinct aggregates (A1): count(distinct …) per group.
+  def q14_distinct_agg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // CASE WHEN (F1): banded aggregation.
+  def q15_case_when(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .select(
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(dec(col("o_totalprice"))).as("total"))
+      .orderBy("bucket")
+  }
+
+  // Scalar functions (F2, F3): concat / coalesce-nvl / date arithmetic
+  // / string functions — all codegen'd built-ins, no UDFs.
+  def q16_scalar_funcs(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))
+          .as("status_prio"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING"))
+          .as("nvl_status"),
+        date_format(date_sub(col("o_orderdate"), 30), "yyyy-MM-dd").as("d30"),
+        year(col("o_orderdate")).as("yr"),
+        upper(substring(col("o_orderpriority"), 3, 99)).as("prio"))
+      .orderBy("o_orderkey")
+  }
+
+  // Arithmetic + bitwise expressions (F4).
+  def q17_arith_bitwise(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + col("l_tax")).as("a_add"),
+        (col("l_quantity") - col("l_discount")).as("a_sub"),
+        m(col("l_quantity") * col("l_extendedprice")).as("a_mul"),
+        round(col("l_extendedprice") / col("l_quantity"), 4).as("a_div"),
+        (col("l_partkey") % 10).as("a_mod"),
+        col("l_partkey").bitwiseAND(lit(255L)).as("b_and"),
+        col("l_partkey").bitwiseOR(lit(16L)).as("b_or"),
+        col("l_partkey").bitwiseXOR(col("l_suppkey")).as("b_xor"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // Map/JSON element access (F5 analog): events.props is a JSON string;
+  // both a direct JSON path extract and a map-typed getItem.
+  def q18_json_access(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"),
+        from_json(col("props"), MapType(StringType, IntegerType))
+          .getItem("k").as("k_map"))
+      .filter(col("k_val") >= 50)
+      .orderBy("event_id")
+  }
+
+  // FROM-clause subquery (Q1) joined back to a dimension.
+  def q19_subquery_from(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(dsum(dec(col("o_totalprice"))).as("spend"))
+    spend.filter(col("spend") > 1000000)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("spend"))
+      .orderBy("c_custkey")
+  }
+
+  // Scalar subquery (Q3 extension): price above 1.5× global average.
+  // Declarative: the single-row aggregate is broadcast, not collected.
+  def q20_scalar_subquery(s: SparkSession, dir: String): DataFrame = {
+    val thr = t(s, dir, "orders")
+      .agg((avg(col("o_totalprice")) * 1.5).as("thr"))
+    t(s, dir, "orders")
+      .join(broadcast(thr), col("o_totalprice") > col("thr"))
+      .select(col("o_orderkey"), m(col("o_totalprice")).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  // IN-subquery (P5 + Q3) via Spark SQL — planned as a left-semi join.
+  def q21_in_subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      ORDER BY c_custkey""")
+  }
+
+  // Correlated EXISTS — decorrelated by Catalyst into a semi join.
+  def q22_exists_correlated(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      ORDER BY c_custkey""")
+  }
+
+  // Window functions (§2.5): rank + running sum per customer.
+  def q23_window(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("rnk", row_number().over(byPrice))
+      .withColumn("running", m(sum(col("o_totalprice")).over(byDate)))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"), col("running"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  // ROLLUP grouping sets (A4 extension).
+  def q24_rollup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"))
+      .orderBy("region", "nation")
+  }
+
+  // ORDER BY + LIMIT (§2.5): global top-k via TakeOrderedAndProject —
+  // only k rows per partition reach the driver-side merge.
+  def q25_topk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), m(col("o_totalprice")).as("price"))
+  }
+
+  // Multi-way star join (headline): revenue per nation in a date range,
+  // customer-and-supplier co-located in the same nation (TPC-H Q5).
+  def q26_star_join(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum4(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
+        .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  // Executable analog of the reference's hardest golden (sql25,
+  // README.md:1135–1140): theta-OR join + CASE WHEN + count(distinct)
+  // + LIKE + IN + IS NOT NULL + GROUP BY in one statement.
+  def q27_sql25_analog(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(c, col("o_custkey") === col("c_custkey") &&
+        (col("o_totalprice") > col("c_acctbal") * 50 ||
+          col("o_orderpriority").like("1-%")))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("o_orderstatus").isNotNull &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("n_name"),
+        when(col("o_orderstatus") === "F", "done").otherwise("open").as("st"),
+        col("o_custkey"))
+      .groupBy(col("n_name"), col("st"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+      .orderBy("n_name", "st")
+  }
+
+  // Tumbling time window over the events table (batch analog of the
+  // streaming pipeline in graft.streaming): 1-hour buckets.
+  def q28_time_window(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+
+  // LIKE / NOT LIKE / IS NULL family (P4, P6) over part descriptions.
+  def q29_like_null(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part")
+      .filter((col("p_type").like("%ECO%") || col("p_brand").like("Brand#1_")) &&
+        !col("p_name").like("%red%") && col("p_size").isNotNull)
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy("p_partkey")
+  }
+}

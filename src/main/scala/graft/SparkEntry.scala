@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{Extensions, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,7 +46,7 @@ object SparkEntry {
     "q27_sql25_analog" -> (Relational.q27_sql25_analog _),
     "q28_time_window" -> (Relational.q28_time_window _),
     "q29_like_null" -> (Relational.q29_like_null _),
-  )
+  ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> """
@@ -244,5 +244,5 @@ object SparkEntry {
       WHERE (p_type LIKE '%ECO%' OR p_brand LIKE 'Brand#1_')
         AND p_name NOT LIKE '%red%' AND p_size IS NOT NULL
       ORDER BY p_partkey""",
-  )
+  ) ++ Extensions.oracles
 }

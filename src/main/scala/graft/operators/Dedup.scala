@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.TextHash._
+
+/** Deduplication operators over the `documents` table — the core of an
+  * LLM-training-data pipeline (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard; embedding near-dup lives in [[Similarity]]).
+  *
+  * Scale design (100 TB): every variant reduces documents to compact
+  * integer keys/signatures *before* any shuffle, and candidate
+  * generation always goes through an equi-join on a bucket key (LSH
+  * band, SimHash band, shingle hash) — never an O(n²) cross join. The
+  * only exact-pairwise step runs on LSH candidates, whose cardinality
+  * is near-linear in n for any realistic near-dup density.
+  *
+  * All checked outputs are integers (counts, ids) so the DuckDB oracle
+  * matches bit-for-bit.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** Exact dedup: hash-groupBy on md5 of normalized text; keeps the
+    * smallest doc_id of each duplicate class. Shuffles 16-byte digests,
+    * not document bodies. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(lower(col("text"))).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** Exact n-gram Jaccard near-dup pairs (word 5-gram shingles,
+    * J ≥ 0.5), via an inverted-index self-join on shingle *hashes*:
+    * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Output is integer
+    * (common, union_sz) — the threshold test 2·common ≥ union is
+    * float-free. At scale, add a document-frequency cap on shingles
+    * (stop-shingle removal) to bound join fan-out. */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(docs(s, dir))
+    val ex = sh.select(col("doc_id"), explode(col("hv")).as("h")).distinct()
+    val sizes = sh.select(col("doc_id"), col("n_sh"))
+    val common = ex.as("a")
+      .join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("idb") === col("sb.doc_id"))
+      .select(col("ida"), col("idb"), col("common"),
+        (col("sa.n_sh") + col("sb.n_sh") - col("common")).as("union_sz"))
+      .filter(col("common") * 2 >= col("union_sz"))
+      .orderBy("ida", "idb")
+  }
+
+  val MinhashK = 32
+  val MinhashBands = 8 // 4 rows per band
+
+  /** MinHash(k=32) + LSH(8 bands × 4 rows): candidate pairs from band
+    * equality, then signature agreement ≥ 50 %. The full pipeline is
+    * deterministic integer math, so it is oracle-checkable — unusual
+    * for MinHash implementations, which normally bake in an engine
+    * hash. At 100 TB only (band_idx, band_key) pairs shuffle. */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = shingleHashes(docs(s, dir))
+      .filter(col("n_sh") > 0)
+      .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
+          "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
+      .toDF("doc_id", "band_idx", "band_key")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    cand
+      .join(sigs.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("idb") === col("sb.doc_id"))
+      .select(col("ida"), col("idb"),
+        expr("size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))")
+          .as("n_match"))
+      .filter(col("n_match") * 2 >= MinhashK)
+      .orderBy("ida", "idb")
+  }
+
+  /** SimHash(32-bit, token-level, tf-weighted) near-dup pairs: bucket
+    * by 4 bands of 8 bits (any shared band ⇒ candidate — guarantees
+    * recall for hamming ≤ 3 by pigeonhole, here threshold ≤ 6), then
+    * exact hamming via bit_count(xor). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        expr(hashArrayExpr("tk", 4294967296L)).as("hv"))
+      .select(col("doc_id"), expr(simhashExpr("hv")).as("simhash"))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)")))
+      .toDF("doc_id", "simhash", "band_idx", "band_key")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("ida", "idb")
+  }
+}

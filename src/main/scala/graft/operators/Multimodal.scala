@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed metadata, and run batch decode/feature-extract
+  * over them with `mapPartitions`.
+  *
+  * The container has no image/audio codecs, so [[FakeCodec]] is a
+  * clearly-marked deterministic STUB standing in for e.g. a JPEG
+  * decoder; everything around it — binary schema, batched
+  * per-partition execution, fixed-shape feature output, partition
+  * preservation — is the real Spark plumbing a production decode
+  * (native lib via JNI, or `mapInPandas`+PIL on PySpark) would use.
+  *
+  * Scale: decode is per-row CPU-bound work with no shuffle;
+  * `mapPartitions` amortizes codec init once per partition (the same
+  * reason `mapInPandas` batches in arrow chunks). Payload bytes never
+  * shuffle — features (few floats) do.
+  */
+object Multimodal {
+
+  /** Stand-in decode: N-bucket byte histogram + simple moments.
+    * Deterministic in the payload bytes. A real codec slots in here
+    * with the identical signature. */
+  object FakeCodec {
+    val FeatureDim = 4
+    def decodeFeatures(payload: Array[Byte]): Array[Double] = {
+      // ??? — real codec goes here; deterministic fake for plumbing tests
+      var s0 = 0L; var s1 = 0L; var mn = 255L; var mx = 0L
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xffL
+        s0 += b; s1 += b * b; mn = math.min(mn, b); mx = math.max(mx, b)
+        i += 1
+      }
+      val n = math.max(payload.length, 1)
+      Array(s0.toDouble / n, s1.toDouble / n, mn.toDouble, mx.toDouble)
+    }
+  }
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte],
+      media_type: String, byte_len: Long)
+  case class MediaFeatures(doc_id: Long, media_type: String,
+      byte_len: Long, features: Array[Double])
+
+  /** Build a media table from `documents`: payload = UTF-8 bytes of
+    * the text standing in for an encoded image. Schema is the real
+    * thing: binary payload + typed metadata columns. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.engine.Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/fake-image").as("media_type"),
+        length(col("text")).cast("long").as("byte_len"))
+      .as[MediaRow]
+  }
+
+  /** Batched decode: one codec init per partition, fixed-shape
+    * feature vectors out. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // codec/session init would happen here, once per partition
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.media_type, r.byte_len,
+          FakeCodec.decodeFeatures(r.payload))
+      }
+    }
+  }
+
+  /** Driver-facing query: features flattened to columns (longs only —
+    * sums are exact integers scaled by 1e0/1e6 deterministically). */
+  def features(s: SparkSession, dir: String): DataFrame = {
+    extractFeatures(mediaTable(s, dir))
+      .select(col("doc_id"), col("byte_len"),
+        floor(expr("features[0]") * 1000000).cast("long").as("mean_e6"),
+        floor(expr("features[1]") * 1000000).cast("long").as("mom2_e6"),
+        expr("features[2]").cast("long").as("min_byte"),
+        expr("features[3]").cast("long").as("max_byte"))
+      .orderBy("doc_id")
+  }
+}

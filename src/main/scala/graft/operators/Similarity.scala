@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * Cosine is computed as a *sequential* fold over double-cast
+  * elements (`aggregate(zip_with(...))`) — the identical operation
+  * order the DuckDB oracle uses (`list_reduce`) — so the resulting
+  * doubles are bit-identical across engines and threshold/rank
+  * decisions cannot diverge. Checked outputs expose similarity as
+  * `floor(cs · 1e6)` (a long), never a raw double.
+  *
+  * Scale design: the brute-force path is the correctness baseline
+  * (broadcast the query set, never self-shuffle the corpus); the LSH
+  * path buckets by random-hyperplane signatures so candidate
+  * generation is an equi-join — the 100 TB route. For billions of
+  * vectors, swap the bucket key for IVF centroid ids learned offline;
+  * the plan shape is unchanged.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+
+  /** Sequential double dot-product of two array<float> columns. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)"
+
+  private def cosExpr(a: String, b: String): String =
+    s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
+
+  /** Embedding-cosine near-duplicate pairs (cs ≥ 0.4) — brute-force
+    * exact baseline. The n² pair space only exists pre-aggregation
+    * inside a single stage; at scale use [[annLshTopK]]'s bucketing. */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        expr(cosExpr("a.embedding", "b.embedding")).as("cs"))
+      .filter(col("cs") >= 0.4)
+      .select(col("ida"), col("idb"),
+        floor(col("cs") * 1000000).cast("long").as("cs_e6"))
+      .orderBy("ida", "idb")
+  }
+
+  /** Brute-force cosine top-k: queries (vec_id < 10) against the whole
+    * corpus. The query side is tiny → broadcast; the corpus streams
+    * through one narrow stage; ranking shuffles only (q, k) rows. */
+  def annTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.as("c").join(broadcast(q), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        expr(cosExpr("qv", "c.embedding")).as("cs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("cs") * 1000000).cast("long").as("cs_e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Random-hyperplane signature: bit j of a 16-bit signature is the
+    * sign of emb · r_j, with r_j[d] derived from an LCG on (j·64+d) —
+    * deterministic, engine-independent pseudo-randomness. */
+  private def sigExpr(embCol: String): String = {
+    val dot =
+      s"aggregate(transform(sequence(1, 64), d -> cast(element_at($embCol, d) as double) * " +
+        "(((cast(1103515245 as bigint) * (j * 64 + d) + 12345) % 2147483648) / 2147483648.0 - 0.5)), " +
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    s"aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> acc + " +
+      s"(CASE WHEN ($dot) > 0 THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END))"
+  }
+
+  /** LSH-bucketed ANN (the scale path): candidates = corpus vectors
+    * sharing ≥ 1 of four 4-bit signature bands with the query, exact
+    * cosine re-rank within candidates only. */
+  def annLshTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val sigs = emb(s, dir)
+      .select(col("vec_id"), col("embedding"), expr(sigExpr("embedding")).as("sig"))
+    val bands = sigs.select(col("vec_id"), col("embedding"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftright(sig, b * 4) & 15)")))
+      .toDF("vec_id", "embedding", "band_idx", "band_key")
+    val q = bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("band_idx"), col("band_key"))
+    val cand = bands.join(q,
+        Seq("band_idx", "band_key")) // equi-join on the bucket key
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"),
+        col("vec_id").as("neighbor_id"), col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        expr(cosExpr("qv", "embedding")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+}

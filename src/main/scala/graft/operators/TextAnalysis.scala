@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.TextHash._
+
+/** Text-analysis operators over `documents`: language ID, quality
+  * scoring, token statistics, fingerprinting.
+  *
+  * Every operator is a narrow per-row projection (no shuffle except
+  * the final presentation sort), so all scale linearly. Ratios are
+  * exposed as floor(r · 1e6) longs: the underlying doubles come from
+  * identical integer divisions in both engines, making the floor
+  * deterministic for the oracle compare.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  private def e6(c: org.apache.spark.sql.Column) =
+    floor(c * 1000000).cast("long")
+
+  /** Character-profile language ID (n-gram heuristic): vowel ratio,
+    * avg token length, and marker-letter rates vote via a CASE
+    * cascade. On real corpora the markers would be per-language
+    * n-gram profiles; the *pipeline shape* (profile → score → argmax)
+    * is the operator. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        lower(col("text")).as("t"))
+      .select(col("doc_id"), col("lang_label"),
+        length(col("t")).as("n_chars_seen"),
+        (length(col("t")) - length(regexp_replace(col("t"), "[aeiou]", "")))
+          .as("n_vowels"),
+        (length(col("t")) - length(regexp_replace(col("t"), "[kwz]", "")))
+          .as("n_kwz"),
+        size(split(col("t"), "\\s+")).as("n_toks"))
+      .select(col("doc_id"), col("lang_label"),
+        e6(col("n_vowels") / col("n_chars_seen")).as("vowel_ratio_e6"),
+        e6(col("n_kwz") / col("n_chars_seen")).as("kwz_ratio_e6"),
+        e6(col("n_chars_seen") / col("n_toks")).as("avg_tok_chars_e6"))
+      .withColumn("lang_pred",
+        when(col("vowel_ratio_e6") >= 310000, "en")
+          .when(col("kwz_ratio_e6") >= 60000, "de")
+          .when(col("avg_tok_chars_e6") >= 5800000, "fr")
+          .otherwise("other"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * repetition (type-token ratio) → keep/drop flag. The standard
+    * pre-training filter stack, as one projection. */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        length(col("t")).as("n_chars_seen"),
+        length(regexp_replace(col("t"), "[a-z0-9\\s]", "")).as("n_punct"),
+        split(col("t"), "\\s+").as("tk"))
+      .select(col("doc_id"), col("n_chars_seen"), col("n_punct"),
+        size(col("tk")).as("n_toks"),
+        size(array_distinct(col("tk"))).as("n_types"),
+        expr("size(filter(tk, x -> x IN ('the', 'a', 'and', 'of', 'to')))")
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_chars_seen"), col("n_toks"),
+        e6(col("n_punct") / col("n_chars_seen")).as("punct_ratio_e6"),
+        e6(col("n_stop") / col("n_toks")).as("stop_ratio_e6"),
+        e6(col("n_types") / col("n_toks")).as("ttr_e6"))
+      .withColumn("keep",
+        (col("n_chars_seen") >= 100 && col("n_toks") >= 20 &&
+          col("punct_ratio_e6") < 100000 && col("ttr_e6") > 150000)
+          .cast("int"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens and a BPE-ish regex
+    * tokenization (letter runs / digit runs / single punctuation). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(split(col("t"), "\\s+")).as("ws_tokens"),
+        expr("size(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .as("bpe_tokens"),
+        expr("size(array_distinct(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)))")
+          .as("bpe_types"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: full-text rolling hash plus a min-hash
+    * style shingle fingerprint (min over word-5-gram hashes) — the
+    * compact identity used by exact and near dedup respectively. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"),
+        tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        expr(rollingHashExpr("t", P)).as("text_fp"),
+        expr(s"CASE WHEN size(tk) >= 5 THEN array_min(${hashArrayExpr(shingleExpr("tk"), P)}) ELSE -1 END")
+          .as("min_shingle_fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline extension queries (dedup / similarity / text
+  * analysis / multimodal) + their DuckDB oracles.
+  *
+  * The oracles replicate the exact integer/double formulas of the
+  * Spark implementations (rolling-hash shingles, affine MinHash
+  * permutations, LCG hyperplanes, sequential float folds) with DuckDB
+  * list comprehensions — see [[graft.operators.TextHash]] for why the
+  * math is engine-portable.
+  */
+object Extensions {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (Dedup.exact _),
+    "d02_dedup_jaccard" -> (Dedup.jaccardPairs _),
+    "d03_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "d04_dedup_simhash" -> (Dedup.simhashPairs _),
+    "d05_embedding_neardup" -> (Similarity.embeddingNearDups _),
+    "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
+    "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
+    "t01_langid" -> (TextAnalysis.langId _),
+    "t02_quality" -> (TextAnalysis.quality _),
+    "t03_token_stats" -> (TextAnalysis.tokenStats _),
+    "t04_fingerprints" -> (TextAnalysis.fingerprints _),
+    "m01_multimodal_features" -> (Multimodal.features _),
+  )
+
+  // Shared DuckDB fragments -----------------------------------------
+
+  /** doc_id, tk (tokens) for documents. */
+  private val tkCte =
+    raw"tk AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents)"
+
+  /** doc_id, shs (distinct word 5-gram shingles). */
+  private val shCte =
+    "sh AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN list_distinct(" +
+      "[array_to_string(tk[i:i+4], ' ') for i in generate_series(1, len(tk)-4)]) " +
+      "ELSE [] END AS shs FROM tk)"
+
+  /** Rolling hash of a string expression `s` mod `m` (seed 7, base 31). */
+  private def rh(s: String, m: Long): String =
+    s"CASE WHEN length($s) >= 1 THEN list_reduce(list_prepend(7::BIGINT, " +
+      s"[ascii($s[j])::BIGINT for j in generate_series(1, length($s))]), " +
+      s"(a, x) -> (a * 31 + x) % $m) ELSE 7::BIGINT END"
+
+  /** Sequential double dot product of two list<float> exprs over 64 dims. */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, [($a[i]::DOUBLE) * ($b[i]::DOUBLE) " +
+      s"for i in generate_series(1, 64)]), (x, y) -> x + y)"
+
+  private def cos(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""",
+    "d02_dedup_jaccard" -> s"""
+      WITH $tkCte, $shCte,
+      hv AS (SELECT doc_id, list_distinct([${rh("s", 1000000007L)} for s in shs]) AS hv,
+             len(shs) AS n_sh FROM sh),
+      ex AS (SELECT doc_id, unnest(hv) AS h FROM hv),
+      common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                 FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT ida, idb, common, sa.n_sh + sb.n_sh - common AS union_sz
+      FROM common JOIN hv sa ON ida = sa.doc_id JOIN hv sb ON idb = sb.doc_id
+      WHERE common * 2 >= sa.n_sh + sb.n_sh - common
+      ORDER BY ida, idb""",
+    "d03_dedup_minhash_lsh" -> s"""
+      WITH $tkCte, $shCte,
+      hv AS (SELECT doc_id, [${rh("s", 1000000007L)} for s in shs] AS hv,
+             len(shs) AS n_sh FROM sh),
+      sigs AS (SELECT doc_id, [list_min([((2*i+1)*h + 7919*(i+1)) % 1000000007
+               for h in hv]) for i in generate_series(0, 31)] AS sig
+               FROM hv WHERE n_sh > 0),
+      bands AS (SELECT doc_id, b AS band_idx,
+                array_to_string(sig[b*4+1 : b*4+4], '-') AS band_key
+                FROM sigs, generate_series(0, 7) t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+               FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      SELECT ida, idb,
+        CAST(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+          for i in generate_series(1, 32)]) AS INTEGER) AS n_match
+      FROM cand JOIN sigs sa ON ida = sa.doc_id JOIN sigs sb ON idb = sb.doc_id
+      WHERE list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+        for i in generate_series(1, 32)]) * 2 >= 32
+      ORDER BY ida, idb""",
+    "d04_dedup_simhash" -> s"""
+      WITH $tkCte,
+      hs AS (SELECT doc_id, [${rh("t", 4294967296L)} for t in tk] AS hv FROM tk),
+      fp AS (SELECT doc_id, CAST(list_sum([CASE WHEN
+               list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hv]) > 0
+               THEN (1::BIGINT << b) ELSE 0::BIGINT END
+               for b in generate_series(0, 31)]) AS BIGINT) AS simhash FROM hs),
+      bands AS (SELECT doc_id, simhash, b AS band_idx,
+                (simhash >> (b*8)) & 255 AS band_key
+                FROM fp, generate_series(0, 3) t(b))
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+       AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      ORDER BY ida, idb""",
+    "d05_embedding_neardup" -> s"""
+      SELECT ida, idb, CAST(floor(cs * 1000000) AS BIGINT) AS cs_e6
+      FROM (SELECT a.vec_id AS ida, b.vec_id AS idb,
+              ${cos("a.embedding", "b.embedding")} AS cs
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+      WHERE cs >= 0.4 ORDER BY ida, idb""",
+    "s01_ann_topk" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                   ${cos("qv", "c.embedding")} AS cs
+                 FROM embeddings c JOIN q ON query_id <> c.vec_id)
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+        CAST(floor(cs * 1000000) AS BIGINT) AS cs_e6
+      FROM (SELECT query_id, neighbor_id, cs, row_number() OVER
+              (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+            FROM scored) t
+      WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "s02_ann_lsh" -> s"""
+      WITH sigs AS (SELECT vec_id, embedding,
+        CAST(list_sum([CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+          [(embedding[d]::DOUBLE) * (((1103515245::BIGINT * (j*64 + d) + 12345) % 2147483648)
+            / 2147483648.0 - 0.5) for d in generate_series(1, 64)]),
+          (x, y) -> x + y) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
+          for j in generate_series(0, 15)]) AS BIGINT) AS sig
+        FROM embeddings),
+      bands AS (SELECT vec_id, embedding, b AS band_idx, (sig >> (b*4)) & 15 AS band_key
+                FROM sigs, generate_series(0, 3) t(b)),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, band_idx, band_key
+            FROM bands WHERE vec_id < 10),
+      cand AS (SELECT DISTINCT query_id, qv, c.vec_id AS neighbor_id, c.embedding AS emb
+               FROM bands c JOIN q USING (band_idx, band_key)
+               WHERE query_id <> c.vec_id),
+      scored AS (SELECT query_id, neighbor_id, ${cos("qv", "emb")} AS cs FROM cand)
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank
+      FROM (SELECT query_id, neighbor_id, row_number() OVER
+              (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+            FROM scored) t
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "t01_langid" -> raw"""
+      WITH f AS (SELECT doc_id, lang AS lang_label, lower(text) AS t FROM documents),
+      g AS (SELECT doc_id, lang_label, length(t) AS n_chars_seen,
+        length(t) - length(regexp_replace(t, '[aeiou]', '', 'g')) AS n_vowels,
+        length(t) - length(regexp_replace(t, '[kwz]', '', 'g')) AS n_kwz,
+        len(string_split_regex(t, '\s+')) AS n_toks FROM f),
+      h AS (SELECT doc_id, lang_label,
+        CAST(floor(1000000 * (n_vowels / n_chars_seen)) AS BIGINT) AS vowel_ratio_e6,
+        CAST(floor(1000000 * (n_kwz / n_chars_seen)) AS BIGINT) AS kwz_ratio_e6,
+        CAST(floor(1000000 * (n_chars_seen / n_toks)) AS BIGINT) AS avg_tok_chars_e6
+        FROM g)
+      SELECT *, CASE WHEN vowel_ratio_e6 >= 310000 THEN 'en'
+                     WHEN kwz_ratio_e6 >= 60000 THEN 'de'
+                     WHEN avg_tok_chars_e6 >= 5800000 THEN 'fr'
+                     ELSE 'other' END AS lang_pred
+      FROM h ORDER BY doc_id""",
+    "t02_quality" -> raw"""
+      WITH f AS (SELECT doc_id, lower(text) AS t FROM documents),
+      g AS (SELECT doc_id, length(t) AS n_chars_seen,
+        length(regexp_replace(t, '[a-z0-9\s]', '', 'g')) AS n_punct,
+        string_split_regex(t, '\s+') AS tk FROM f),
+      h AS (SELECT doc_id, n_chars_seen, n_punct, len(tk) AS n_toks,
+        len(list_distinct(tk)) AS n_types,
+        len(list_filter(tk, x -> list_contains(['the','a','and','of','to'], x))) AS n_stop
+        FROM g),
+      i AS (SELECT doc_id, n_chars_seen, n_toks,
+        CAST(floor(1000000 * (n_punct / n_chars_seen)) AS BIGINT) AS punct_ratio_e6,
+        CAST(floor(1000000 * (n_stop / n_toks)) AS BIGINT) AS stop_ratio_e6,
+        CAST(floor(1000000 * (n_types / n_toks)) AS BIGINT) AS ttr_e6
+        FROM h)
+      SELECT *, CAST(CASE WHEN n_chars_seen >= 100 AND n_toks >= 20
+        AND punct_ratio_e6 < 100000 AND ttr_e6 > 150000 THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM i ORDER BY doc_id""",
+    "t03_token_stats" -> raw"""
+      WITH f AS (SELECT doc_id, lower(text) AS t FROM documents)
+      SELECT doc_id,
+        CAST(len(string_split_regex(t, '\s+')) AS INTEGER) AS ws_tokens,
+        CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        CAST(len(list_distinct(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INTEGER) AS bpe_types
+      FROM f ORDER BY doc_id""",
+    "t04_fingerprints" -> s"""
+      WITH $tkCte,
+      b AS (SELECT d.doc_id, lower(d.text) AS t, tk.tk
+            FROM documents d JOIN tk ON d.doc_id = tk.doc_id),
+      s AS (SELECT doc_id, t, CASE WHEN len(tk) >= 5 THEN list_distinct(
+              [array_to_string(tk[i:i+4], ' ') for i in generate_series(1, len(tk)-4)])
+            ELSE [] END AS shs FROM b)
+      SELECT doc_id, ${rh("t", 1000000007L)} AS text_fp,
+        CASE WHEN len(shs) >= 1 THEN
+          list_min([${rh("s", 1000000007L)} for s in shs])
+        ELSE -1::BIGINT END AS min_shingle_fp
+      FROM s ORDER BY doc_id""",
+    "m01_multimodal_features" -> """
+      WITH s AS (SELECT doc_id, length(text) AS byte_len,
+        list_reduce(list_prepend(0::BIGINT,
+          [ascii(text[j])::BIGINT for j in generate_series(1, length(text))]),
+          (a, x) -> a + x) AS s0,
+        list_reduce(list_prepend(0::BIGINT,
+          [ascii(text[j])::BIGINT * ascii(text[j])::BIGINT
+           for j in generate_series(1, length(text))]),
+          (a, x) -> a + x) AS s1,
+        list_min([ascii(text[j])::BIGINT for j in generate_series(1, length(text))]) AS mn,
+        list_max([ascii(text[j])::BIGINT for j in generate_series(1, length(text))]) AS mx
+        FROM documents)
+      SELECT doc_id, byte_len,
+        CAST(floor((s0 / byte_len) * 1000000) AS BIGINT) AS mean_e6,
+        CAST(floor((s1 / byte_len) * 1000000) AS BIGINT) AS mom2_e6,
+        mn AS min_byte, mx AS max_byte
+      FROM s ORDER BY doc_id""",
+  )
+}

@@ -42,7 +42,7 @@ object Dedup {
     * float-free. At scale, add a document-frequency cap on shingles
     * (stop-shingle removal) to bound join fan-out. */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(docs(s, dir))
+    val sh = shingleHashes(docs(s, dir)).cache()
     val ex = sh.select(col("doc_id"), explode(col("hv")).as("h")).distinct()
     val sizes = sh.select(col("doc_id"), col("n_sh"))
     val common = ex.as("a")
@@ -71,6 +71,7 @@ object Dedup {
     val sigs = shingleHashes(docs(s, dir))
       .filter(col("n_sh") > 0)
       .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
+      .cache() // signatures feed band explode + both sides of the pair join
     val bands = sigs.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
           "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
@@ -102,6 +103,7 @@ object Dedup {
       .select(col("doc_id"),
         expr(hashArrayExpr("tk", 4294967296L)).as("hv"))
       .select(col("doc_id"), expr(simhashExpr("hv")).as("simhash"))
+      .cache()
     val bands = fp.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)")))

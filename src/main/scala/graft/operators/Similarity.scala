@@ -36,14 +36,21 @@ object Similarity {
   private def cosExpr(a: String, b: String): String =
     s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
 
+  /** Corpus with a precomputed L2 norm column — one norm per vector
+    * instead of one per pair (bitwise-identical result: same sqrt on
+    * the same fold). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+
   /** Embedding-cosine near-duplicate pairs (cs ≥ 0.4) — brute-force
     * exact baseline. The n² pair space only exists pre-aggregation
     * inside a single stage; at scale use [[annLshTopK]]'s bucketing. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+    val e = withNorm(emb(s, dir)).cache()
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        expr(cosExpr("a.embedding", "b.embedding")).as("cs"))
+        (expr(dotExpr("a.embedding", "b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cs"))
       .filter(col("cs") >= 0.4)
       .select(col("ida"), col("idb"),
         floor(col("cs") * 1000000).cast("long").as("cs_e6"))
@@ -54,12 +61,14 @@ object Similarity {
     * corpus. The query side is tiny → broadcast; the corpus streams
     * through one narrow stage; ranking shuffles only (q, k) rows. */
   def annTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = emb(s, dir)
+    val e = withNorm(emb(s, dir))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
     val scored = e.as("c").join(broadcast(q), col("query_id") =!= col("c.vec_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
-        expr(cosExpr("qv", "c.embedding")).as("cs"))
+        (expr(dotExpr("qv", "c.embedding")) /
+          (col("qnrm") * col("c.nrm"))).as("cs"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -85,25 +94,28 @@ object Similarity {
     * sharing ≥ 1 of four 4-bit signature bands with the query, exact
     * cosine re-rank within candidates only. */
   def annLshTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val sigs = emb(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(sigExpr("embedding")).as("sig"))
-    val bands = sigs.select(col("vec_id"), col("embedding"),
+    val sigs = withNorm(emb(s, dir))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr(sigExpr("embedding")).as("sig"))
+      .cache()
+    val bands = sigs.select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> shiftright(sig, b * 4) & 15)")))
-      .toDF("vec_id", "embedding", "band_idx", "band_key")
+      .toDF("vec_id", "embedding", "nrm", "band_idx", "band_key")
     val q = bands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("band_idx"), col("band_key"))
+        col("nrm").as("qnrm"), col("band_idx"), col("band_key"))
     val cand = bands.join(q,
         Seq("band_idx", "band_key")) // equi-join on the bucket key
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qv"),
-        col("vec_id").as("neighbor_id"), col("embedding"))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     cand.select(col("query_id"), col("neighbor_id"),
-        expr(cosExpr("qv", "embedding")).as("cs"))
+        (expr(dotExpr("qv", "embedding")) /
+          (col("qnrm") * col("nrm"))).as("cs"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Sessionize
 
 /** LLM-data-pipeline extension queries (dedup / similarity / text
   * analysis / multimodal) + their DuckDB oracles.
@@ -28,6 +29,7 @@ object Extensions {
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
     "t04_fingerprints" -> (TextAnalysis.fingerprints _),
     "m01_multimodal_features" -> (Multimodal.features _),
+    "x01_sessionize" -> (Sessionize.sessionizeBatch _),
   )
 
   // Shared DuckDB fragments -----------------------------------------
@@ -216,5 +218,22 @@ object Extensions {
         CAST(floor((s1 / byte_len) * 1000000) AS BIGINT) AS mom2_e6,
         mn AS min_byte, mx AS max_byte
       FROM s ORDER BY doc_id""",
+    "x01_sessionize" -> """
+      WITH e AS (SELECT user_id, date_trunc('second', ts) AS tss FROM events),
+      m AS (SELECT user_id, tss,
+              CASE WHEN lag(tss) OVER w IS NULL
+                     OR tss - lag(tss) OVER w >= INTERVAL 5 MINUTE
+                   THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss)),
+      s AS (SELECT user_id, tss, sum(new_s) OVER
+              (PARTITION BY user_id ORDER BY tss
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM m)
+      SELECT user_id,
+        strftime(min(tss), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(max(tss), '%Y-%m-%d %H:%M:%S') AS session_end,
+        count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
   )
 }

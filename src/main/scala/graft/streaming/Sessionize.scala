@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.engine.Tables
+
+/** Streaming operators over the `events` table (§2.9 extension — the
+  * reference predates streaming SQL; mapped to Structured Streaming
+  * per SURVEY.md).
+  *
+  * Each operator exists in two forms with identical semantics:
+  * a batch form (oracle-checkable, used by the driver gate) and a
+  * streaming form (`readStream`-compatible: watermark + windowed /
+  * session aggregation, plus a `flatMapGroupsWithState` custom
+  * sessionizer for state logic the built-ins can't express).
+  *
+  * Scale: both window and session aggregation shuffle once on the
+  * grouping key; state size is bounded by the watermark horizon.
+  * Timestamps are truncated to seconds before gap logic so batch,
+  * streaming, and the DuckDB oracle agree exactly (the raw parquet
+  * carries nanosecond precision that engines truncate differently).
+  */
+object Sessionize {
+
+  val GapMinutes = 5
+
+  /** Batch gap-based sessionization via `session_window` — 5-minute
+    * inactivity gap per user. `session_window` starts a new session
+    * when the next event is >= gap after the previous one. */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"))
+      .groupBy(col("user_id"), session_window(col("tss"), s"$GapMinutes minutes"))
+      .agg(
+        date_format(min(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Streaming tumbling-window counts: watermark + 1-hour windows per
+    * event type (the streaming twin of Relational.q28_time_window). */
+  def windowedCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming sessionization with the built-in session_window. */
+  def sessionizeStream(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"))
+      .withWatermark("tss", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("tss"), s"$GapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  // -- custom stateful sessionizer ----------------------------------
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n: Long)
+
+  /** Custom state logic via flatMapGroupsWithState: a session closes
+    * when a later event arrives past the inactivity gap (the open
+    * session stays in state until then). This is the escape hatch for
+    * semantics `session_window` can't express (per-session caps,
+    * custom merge rules); production code would add an
+    * EventTimeTimeout + watermark to flush idle sessions. */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = GapMinutes * 60 * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last < gapMs =>
+                cur = Some(SessionState(s.start, t, s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(uid, s.start, s.last, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+        })
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level specs on the sf0.001 fixtures: semantic properties
+  * the DuckDB oracle can't express (recall of LSH vs exact methods,
+  * determinism, schema shape). */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup partitions the corpus (sum of copies = row count)") {
+    val d = Dedup.exact(spark, dir)
+    val total = d.agg(sum("n_copies")).head.getLong(0)
+    assert(total == 500L)
+  }
+
+  test("jaccard near-dup pairs exist and are high-similarity") {
+    val pairs = Dedup.jaccardPairs(spark, dir).collect()
+    assert(pairs.length >= 10, "expected planted near-dups")
+    pairs.foreach { r =>
+      val j = r.getAs[Long]("common").toDouble / r.getAs[Long]("union_sz")
+      assert(j >= 0.5)
+    }
+  }
+
+  test("minhash LSH recalls the exact-jaccard near-dup pairs") {
+    val exact = Dedup.jaccardPairs(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // J >= 0.8 pairs are near-certain to share an LSH band (8 bands x 4 rows)
+    val recall = (exact & lsh).size.toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.9, s"LSH recall $recall too low (exact=${exact.size}, lsh=${lsh.size})")
+  }
+
+  test("simhash pairs overlap heavily with jaccard pairs") {
+    val exact = Dedup.jaccardPairs(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & sim).size.toDouble >= 0.5 * exact.size,
+      s"simhash found ${(exact & sim).size} of ${exact.size} exact pairs")
+  }
+
+  test("ann top-k is correctly ranked and complete") {
+    val rows = Similarity.annTopK(spark, dir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cs_e6"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "similarities must be non-increasing in rank")
+    }
+  }
+
+  test("lsh ann candidates are a subset ranked consistently with brute force") {
+    val brute = Similarity.annTopK(spark, dir, k = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.annLshTopK(spark, dir, k = 5).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit is a real vector pair; ranks are 1..k contiguous
+    lsh.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+  }
+
+  test("multimodal feature extraction is deterministic and partition-independent") {
+    val a = Multimodal.features(spark, dir).collect()
+    val b = Multimodal.extractFeatures(
+        Multimodal.mediaTable(spark, dir).repartition(7))
+      .select(col("doc_id"), col("byte_len"),
+        floor(expr("features[0]") * 1000000).cast("long").as("mean_e6"))
+      .orderBy("doc_id").collect()
+    assert(a.length == b.length && a.length == 500)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Long]("doc_id") == y.getAs[Long]("doc_id"))
+      assert(x.getAs[Long]("mean_e6") == y.getAs[Long]("mean_e6"))
+    }
+  }
+
+  test("quality keep-flag and langid produce full coverage") {
+    assert(TextAnalysis.quality(spark, dir).count() == 500)
+    val preds = TextAnalysis.langId(spark, dir)
+      .groupBy("lang_pred").count().collect()
+    assert(preds.map(_.getLong(1)).sum == 500)
+  }
+
+  test("fingerprints are stable across runs") {
+    val a = TextAnalysis.fingerprints(spark, dir).collect()
+    val b = TextAnalysis.fingerprints(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}

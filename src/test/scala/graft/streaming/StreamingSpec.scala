@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Sessionize._
+
+/** Structured Streaming specs: MemoryStream drives the streaming
+  * operators; results must agree with the batch twins. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCountsStream aggregates 1-hour windows with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = windowedCountsStream(df).writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "click", 4.0),
+      (ts("2024-01-01 10:10:00"), "view", 8.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select(date_format(col("w_start"), "HH:mm").as("w"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    assert(rows == Set(("10:00", "click", 2L, 3.0), ("11:00", "click", 1L, 4.0),
+      ("10:00", "view", 1L, 8.0)))
+  }
+
+  test("sessionizeStream matches batch session_window semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val q = sessionizeStream(df).writeStream
+      .format("memory").queryName("sess_out").outputMode("complete").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:03:00")), // same session (gap 3m)
+      (1L, ts("2024-01-01 10:20:00")), // new session (gap 17m)
+      (2L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .select(col("user_id"), date_format(col("session_start"), "HH:mm"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set((1L, "10:00", 2L), (1L, "10:20", 1L), (2L, "10:00", 1L)))
+  }
+
+  test("stateful sessionizer closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStateful(mem.toDS()).writeStream
+      .format("memory").queryName("state_out").outputMode("append").start()
+    // two bursts for user 1 separated by > gap; second burst closes first
+    mem.addData(Event(1L, ts("2024-01-01 10:00:00")),
+      Event(1L, ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    mem.addData(Event(1L, ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("state_out").as[SessionOut].collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.user_id == 1L && rows.head.n == 2L)
+    assert(rows.head.endMs - rows.head.startMs == 2 * 60 * 1000L)
+  }
+}

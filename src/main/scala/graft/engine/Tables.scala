@@ -28,6 +28,7 @@ object Tables {
     * normal timestamp.
     */
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+    graft.functions.TextHashExprs.register(spark)
     if (spark.conf.getOption(confKey).contains(dir)) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names.foreach { n =>

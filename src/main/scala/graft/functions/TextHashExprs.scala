@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native forms of the [[graft.operators.TextHash]] hash folds.
+  *
+  * The SQL higher-order-function versions (`aggregate`/`transform`)
+  * are interpreted with per-element boxing — at sf0.1 the SimHash and
+  * MinHash stages alone cost 200–450 s. These expressions compute the
+  * *identical* integer recurrences as compiled loops (and the DuckDB
+  * oracles are unchanged), cutting those stages to milliseconds.
+  * CodegenFallback costs one boxed call per row, which is noise next
+  * to the per-element loop.
+  */
+
+/** Rolling polynomial hash (seed 7, base 31, mod `mod`) of every
+  * element of an array<string>; empty string → seed. */
+case class RollingHashArray(child: Expression, modExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = modExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(arr: Any, m: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val mod = m.asInstanceOf[Long]
+    val out = new Array[Long](a.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = RollingHashArray.hash(a.getUTF8String(i), mod)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RollingHashArray = copy(l, r)
+}
+
+object RollingHashArray {
+  def hash(s: UTF8String, mod: Long): Long = {
+    val str = s.toString
+    var acc = 7L
+    var j = 0
+    while (j < str.length) {
+      acc = (acc * 31 + str.charAt(j).toLong) % mod
+      j += 1
+    }
+    acc
+  }
+}
+
+/** Rolling hash of a single string column. */
+case class RollingHashStr(child: Expression, modExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = modExpr
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any, m: Any): Any =
+    RollingHashArray.hash(s.asInstanceOf[UTF8String], m.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RollingHashStr = copy(l, r)
+}
+
+/** MinHash signature: sig[i] = min over h of ((2i+1)·h + 7919·(i+1))
+  * mod 1e9+7, for i in 0 until k. */
+case class AffineMinHash(child: Expression, kExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(arr: Any, kAny: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData].toLongArray()
+    val k = kAny.asInstanceOf[Int]
+    val p = 1000000007L
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < a.length) {
+        val v = ((2 * i + 1) * a(j) + 7919L * (i + 1)) % p
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): AffineMinHash = copy(l, r)
+}
+
+/** 32-bit SimHash of an array of token hashes (already mod 2^32):
+  * bit b set iff sum over h of ±1 (per bit b of h) is positive. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData].toLongArray()
+    var fp = 0L
+    var b = 0
+    while (b < 32) {
+      var s = 0
+      var j = 0
+      while (j < a.length) {
+        if (((a(j) >> b) & 1L) == 1L) s += 1 else s -= 1
+        j += 1
+      }
+      if (s > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(c)
+}
+
+/** 16-bit random-hyperplane LSH signature of an array<float> vector:
+  * bit j = sign of dot(v, r_j) with r_j[d] = LCG(j*64+d)/2^31 - 0.5 —
+  * identical math (and fold order) to the SQL/DuckDB formula; the
+  * hyperplanes are precomputed once per JVM instead of per row. */
+case class LshSig16(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(arr: Any): Any = {
+    val v = arr.asInstanceOf[ArrayData].toFloatArray()
+    val r = LshSig16.planes
+    var sig = 0L
+    var j = 0
+    while (j < 16) {
+      var acc = 0.0
+      var d = 1
+      while (d <= 64 && d <= v.length) {
+        acc += v(d - 1).toDouble * r(j * 64 + d - 1)
+        d += 1
+      }
+      if (acc > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshSig16 =
+    copy(c)
+}
+
+object LshSig16 {
+  /** r(j, d) for j in 0..15, d in 1..64, flattened; matches
+    * ((1103515245·(j·64+d) + 12345) % 2^31) / 2^31 - 0.5 exactly. */
+  lazy val planes: Array[Double] = {
+    val out = new Array[Double](16 * 64)
+    var j = 0
+    while (j < 16) {
+      var d = 1
+      while (d <= 64) {
+        val lcg = (1103515245L * (j * 64 + d) + 12345L) % 2147483648L
+        out(j * 64 + d - 1) = lcg.toDouble / 2147483648.0 - 0.5
+        d += 1
+      }
+      j += 1
+    }
+    out
+  }
+}
+
+object TextHashExprs {
+  /** Register SQL-callable forms (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("rolling_hash_arr",
+      es => RollingHashArray(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash_str",
+      es => RollingHashStr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("affine_minhash",
+      es => AffineMinHash(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash32",
+      es => SimHash32(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("lsh_sig16",
+      es => LshSig16(es(0)), "built-in")
+    FloatVecDot.register(spark)
+  }
+}

@@ -98,7 +98,7 @@ object Dedup {
     * recall for hamming ≤ 3 by pigeonhole, here threshold ≤ 6), then
     * exact hamming via bit_count(xor). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val fp = docs(s, dir)
+    val fp = fanOut(docs(s, dir))
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         expr(hashArrayExpr("tk", 4294967296L)).as("hv"))

@@ -50,7 +50,7 @@ object Multimodal {
     * thing: binary payload + typed metadata columns. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    graft.engine.Tables.t(s, dir, "documents")
+    graft.operators.TextHash.fanOut(graft.engine.Tables.t(s, dir, "documents"))
       .select(col("doc_id"),
         col("text").cast("binary").as("payload"),
         lit("text/fake-image").as("media_type"),

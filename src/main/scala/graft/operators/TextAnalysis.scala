@@ -18,7 +18,7 @@ import graft.operators.TextHash._
 object TextAnalysis {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents")
+    fanOut(Tables.t(s, dir, "documents"))
 
   private def e6(c: org.apache.spark.sql.Column) =
     floor(c * 1000000).cast("long")

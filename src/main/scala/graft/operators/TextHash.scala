@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Cross-engine-deterministic text hashing primitives.
+/** Cross-engine-deterministic text hashing primitives — SQL fragments
+  * delegating to the native expressions in
+  * [[graft.functions.TextHashExprs]] (registered by Tables.ensure).
   *
   * Everything here is pure integer math over ASCII codes (rolling
   * polynomial hash mod 1e9+7 / 2^32) built from Spark higher-order
@@ -29,9 +31,7 @@ object TextHash {
     * generate_series(1, 0) is empty, so the empty case short-circuits
     * to the seed in both. */
   def rollingHashExpr(s: String, m: Long): String =
-    s"CASE WHEN length($s) >= 1 THEN " +
-      s"aggregate(transform(sequence(1, length($s)), j -> cast(ascii(substring($s, j, 1)) as bigint)), " +
-      s"cast(7 as bigint), (a, x) -> (a * 31 + x) % ${m}L) ELSE cast(7 as bigint) END"
+    s"rolling_hash_str($s, ${m}L)"
 
   /** Distinct word 5-gram shingles of a token-array column `tk`. */
   def shingleExpr(tk: String): String =
@@ -40,27 +40,27 @@ object TextHash {
 
   /** Rolling hash of every element of a string-array column `arr`. */
   def hashArrayExpr(arr: String, m: Long): String =
-    s"transform($arr, s -> CASE WHEN length(s) >= 1 THEN " +
-      s"aggregate(transform(sequence(1, length(s)), " +
-      s"j -> cast(ascii(substring(s, j, 1)) as bigint)), cast(7 as bigint), " +
-      s"(a, x) -> (a * 31 + x) % ${m}L) ELSE cast(7 as bigint) END)"
+    s"rolling_hash_arr($arr, ${m}L)"
 
   /** MinHash signature (k values) from a long-array column `hv`:
     * h_i(x) = ((2i+1)·x + 7919·(i+1)) mod P. */
   def minhashExpr(hv: String, k: Int): String =
-    s"transform(sequence(0, ${k - 1}), i -> array_min(transform($hv, " +
-      s"h -> ((2 * i + 1) * h + 7919 * (i + 1)) % ${P}L)))"
+    s"affine_minhash($hv, $k)"
 
   /** 32-bit SimHash from a long-array column `hv` (token hashes mod
     * 2^32, tf-weighted by repetition). */
   def simhashExpr(hv: String): String =
-    s"aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc + " +
-      s"(CASE WHEN aggregate($hv, 0, (c, h) -> c + (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
-      s"THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END))"
+    s"simhash32($hv)"
+
+  /** Spread the CPU-heavy per-row hashing across all cores: the test
+    * parquet is a single file (= one input partition); a 100 TB layout
+    * would already be many splits. Round-robin, no key needed. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** doc_id + shingle-hash array for the documents table. */
   def shingleHashes(documents: DataFrame): DataFrame =
-    documents
+    fanOut(documents)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), expr(shingleExpr("tk")).as("shs"))
       .select(col("doc_id"), expr(hashArrayExpr("shs", P)).as("hv"),

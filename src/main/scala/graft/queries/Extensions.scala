@@ -103,7 +103,8 @@ object Extensions {
                for b in generate_series(0, 31)]) AS BIGINT) AS simhash FROM hs),
       bands AS (SELECT doc_id, simhash, b AS band_idx,
                 (simhash >> (b*8)) & 255 AS band_key
-                FROM fp, generate_series(0, 3) t(b))
+                FROM fp, generate_series(0, 3) t(b)
+                QUALIFY count(*) OVER (PARTITION BY b, (simhash >> (b*8)) & 255) <= 500)
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
       FROM bands a JOIN bands b ON a.band_idx = b.band_idx

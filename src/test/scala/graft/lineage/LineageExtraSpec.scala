@@ -1,0 +1,68 @@
+package graft.lineage
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coverage beyond the reference goldens: remaining join-type tags
+  * (SURVEY §2.3), CTAS outputs (S5), DDL tolerance (S6-S10), and
+  * multi-statement scripts (S12). */
+class LineageExtraSpec extends AnyFunSuite {
+
+  private def parser = new LineParser()
+
+  test("left/right/semi join tags (J2, J3, J5)") {
+    val p = parser.parse(
+      "insert into table dst select a.x from t1 a left join t2 b on a.k = b.k")
+    assert(p.getColLines.head.conditionSet
+      .contains("JOIN".replace("JOIN", "LEFTOUTERJOIN") + ":default.t1.k = default.t2.k"))
+
+    val p2 = parser.parse(
+      "insert into table dst select a.x from t1 a right join t2 b on a.k = b.k")
+    assert(p2.getColLines.head.conditionSet
+      .contains("RIGHTOUTERJOIN:default.t1.k = default.t2.k"))
+
+    val p3 = parser.parse(
+      "insert into table dst select a.x from t1 a left semi join t2 b on a.k = b.k")
+    assert(p3.getColLines.head.conditionSet
+      .contains("LEFTSEMIJOIN:default.t1.k = default.t2.k"))
+  }
+
+  test("CREATE TABLE AS SELECT records the destination (S5)") {
+    val p = parser.parse(
+      "use dw;create table summary as select region, sum(amount) as total from sales group by region")
+    assert(p.getOutputTables == Set("dw.summary"))
+    assert(p.getInputTables == Set("dw.sales"))
+    val byName = p.getColLines.map(c => c.toNameParse -> c).toMap
+    assert(byName("region").fromName == "dw.sales.region")
+    assert(byName("total").conditionSet.contains("COLFUN:sum(dw.sales.amount)"))
+  }
+
+  test("DDL statements don't crash or pollute lineage (S6-S10)") {
+    val p = parser.parse(
+      "drop table if exists old_t;truncate table t2;insert into table dst select x from src")
+    assert(p.getOutputTables == Set("default.dst"))
+    assert(p.getInputTables == Set("default.src"))
+  }
+
+  test("multi-statement scripts accumulate per statement (S12)") {
+    val p = parser.parse(
+      "use a;insert into table d1 select x from s1;use b;insert into table d2 select y from s2")
+    assert(p.getOutputTables == Set("a.d1", "b.d2"))
+    assert(p.getInputTables == Set("a.s1", "b.s2"))
+    val lines = p.getColLines
+    assert(lines.map(_.toTable).toSet == Set("a.d1", "b.d2"))
+  }
+
+  test("ORDER BY / LIMIT / DISTINCT pass through (§2.5)") {
+    val p = parser.parse(
+      "insert into table dst select distinct x from src order by x limit 10")
+    assert(p.getColLines.map(_.toNameParse) == List("x"))
+    assert(p.getColLines.head.fromName == "default.src.x")
+  }
+
+  test("map access in WHERE renders as subscript (F5)") {
+    val p = parser.parse(
+      "insert into table dst select x from src where params['k'] = 'v'")
+    assert(p.getColLines.head.conditionSet
+      .contains("WHERE:default.src.params['k'] = 'v'"))
+  }
+}

@@ -46,15 +46,22 @@ object SparkEntry {
     "q27_sql25_analog" -> (Relational.q27_sql25_analog _),
     "q28_time_window" -> (Relational.q28_time_window _),
     "q29_like_null" -> (Relational.q29_like_null _),
+    "q30_window_funcs" -> (Relational.q30_window_funcs _),
+    "q31_cube" -> (Relational.q31_cube _),
+    "q32_grouping_sets" -> (Relational.q32_grouping_sets _),
+    "q33_string_funcs" -> (Relational.q33_string_funcs _),
+    "q34_date_funcs" -> (Relational.q34_date_funcs _),
+    "q35_having" -> (Relational.q35_having _),
+    "q36_pivot" -> (Relational.q36_pivot _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS sum_disc_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(24,6)) AS sum_charge,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
         round(avg(l_quantity), 4) AS avg_qty,
         round(avg(l_extendedprice), 4) AS avg_price,
         round(avg(l_discount), 4) AS avg_disc,
@@ -71,7 +78,7 @@ object SparkEntry {
         AND l_shipdate >= TIMESTAMP '1997-01-01'
       ORDER BY l_orderkey, l_linenumber""",
     "q03_join_inner" -> """
-      SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+      SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         count(*) AS n_orders
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
@@ -101,20 +108,20 @@ object SparkEntry {
         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
       ORDER BY c_custkey""",
     "q09_join_broadcast" -> """
-      SELECT p_brand, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+      SELECT p_brand, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         count(*) AS n_lines
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand""",
     "q10_join_theta" -> """
       SELECT s_suppkey, count(*) AS n_matches,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal
+        CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
       FROM supplier JOIN customer
         ON (s_acctbal > c_acctbal OR s_suppkey = c_custkey)
        AND s_nationkey = c_nationkey
       GROUP BY s_suppkey ORDER BY s_suppkey""",
     "q11_union_all" -> """
       SELECT nationkey, count(*) AS n,
-        CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal
+        CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
       FROM (SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
             UNION ALL
             SELECT s_nationkey, s_acctbal FROM supplier) u
@@ -140,7 +147,7 @@ object SparkEntry {
                   WHEN o_totalprice > 100000 THEN 'mid'
                   ELSE 'low' END AS bucket,
         count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       FROM orders GROUP BY 1 ORDER BY bucket""",
     "q16_scalar_funcs" -> """
       SELECT o_orderkey,
@@ -172,7 +179,7 @@ object SparkEntry {
     "q19_subquery_from" -> """
       SELECT c_custkey, c_name, spend
       FROM (SELECT o_custkey,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS spend
+              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
             FROM orders GROUP BY o_custkey) s
       JOIN customer ON o_custkey = c_custkey
       WHERE spend > 1000000
@@ -214,7 +221,7 @@ object SparkEntry {
       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q26_star_join" -> """
       SELECT n_name,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -244,5 +251,66 @@ object SparkEntry {
       WHERE (p_type LIKE '%ECO%' OR p_brand LIKE 'Brand#1_')
         AND p_name NOT LIKE '%red%' AND p_size IS NOT NULL
       ORDER BY p_partkey""",
+    "q30_window_funcs" -> """
+      SELECT o_custkey, o_orderkey,
+        lag(o_totalprice) OVER w AS prev_price,
+        lead(o_totalprice) OVER w AS next_price,
+        CAST(dense_rank() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS drnk,
+        CAST(ntile(4) OVER w AS INTEGER) AS tile4,
+        max(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+    "q31_cube" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        coalesce(l_linestatus, 'ALL') AS status,
+        count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY flag, status""",
+    "q32_grouping_sets" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        coalesce(l_linestatus, 'ALL') AS status,
+        CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+        count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY flag, status""",
+    "q33_string_funcs" -> """
+      SELECT p_partkey,
+        trim('  ' || p_name || '  ') AS s_trim,
+        lpad(p_brand, 12, '*') AS s_lpad,
+        rpad(p_brand, 12, '#') AS s_rpad,
+        replace(p_type, ' ', '_') AS s_repl,
+        reverse(p_name) AS s_rev,
+        CAST(instr(p_name, 'a') AS INTEGER) AS s_instr,
+        string_split(p_name, ' ')[1] AS s_first_word,
+        left(p_name, 5) AS s_left,
+        right(p_type, 4) AS s_right,
+        repeat(p_brand, 2) AS s_repeat,
+        translate(p_type, 'AEIOU', 'aeiou') AS s_trans
+      FROM part WHERE p_partkey < 500 ORDER BY p_partkey""",
+    "q34_date_funcs" -> """
+      SELECT o_orderkey,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS d_month,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS d_diff,
+        strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS d_addm,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS d_last,
+        CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS d_dow,
+        CAST(quarter(o_orderdate) AS INTEGER) AS d_q,
+        CAST(month(o_orderdate) AS INTEGER) AS d_m
+      FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+    "q35_having" -> """
+      SELECT o_custkey, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey
+      HAVING count(*) >= 15
+      ORDER BY o_custkey""",
+    "q36_pivot" -> """
+      SELECT l_returnflag,
+        count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   ) ++ Extensions.oracles
 }

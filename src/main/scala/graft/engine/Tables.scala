@@ -36,10 +36,11 @@ object Tables {
       df.schema.fields.foreach { f =>
         if (f.dataType == org.apache.spark.sql.types.LongType &&
             f.name == "ts") {
+          // Integer division: `/` would promote to double and lose
+          // sub-microsecond exactness at epoch-nanos magnitude (ulp 256ns).
           df = df.withColumn("ts",
             org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.col("ts") / 1000L cast
-                org.apache.spark.sql.types.LongType))
+              org.apache.spark.sql.functions.expr("ts div 1000")))
         }
       }
       df.createOrReplaceTempView(n)

@@ -47,14 +47,20 @@ object Multimodal {
 
   /** Build a media table from `documents`: payload = UTF-8 bytes of
     * the text standing in for an encoded image. Schema is the real
-    * thing: binary payload + typed metadata columns. */
+    * thing: binary payload + typed metadata columns.
+    *
+    * byte_len is `octet_length` (UTF-8 bytes, = payload size), matching
+    * FakeCodec's per-byte loop. NOTE: the m01 oracle walks code points
+    * (`ascii(text[j])`), which coincides with bytes only because the
+    * driver corpus is pure ASCII — a documented assumption shared with
+    * the oracle, not an accident. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     graft.operators.TextHash.fanOut(graft.engine.Tables.t(s, dir, "documents"))
       .select(col("doc_id"),
         col("text").cast("binary").as("payload"),
         lit("text/fake-image").as("media_type"),
-        length(col("text")).cast("long").as("byte_len"))
+        octet_length(col("text")).cast("long").as("byte_len"))
       .as[MediaRow]
   }
 

@@ -202,8 +202,12 @@ object Extensions {
           list_min([${rh("s", 1000000007L)} for s in shs])
         ELSE -1::BIGINT END AS min_shingle_fp
       FROM s ORDER BY doc_id""",
+    // byte semantics: strlen = UTF-8 bytes (= Spark octet_length); the
+    // per-byte sums walk code points via ascii(), which equals bytes
+    // only for the pure-ASCII driver corpus (documented assumption,
+    // mirrored in Multimodal.mediaTable).
     "m01_multimodal_features" -> """
-      WITH s AS (SELECT doc_id, length(text) AS byte_len,
+      WITH s AS (SELECT doc_id, strlen(text) AS byte_len,
         list_reduce(list_prepend(0::BIGINT,
           [ascii(text[j])::BIGINT for j in generate_series(1, length(text))]),
           (a, x) -> a + x) AS s0,

@@ -39,13 +39,16 @@ object Relational {
   private val D12 = DecimalType(12, 2)
   private def dec(c: Column): Column = c.cast(D12)
   private val oneD: Column = lit(1).cast(D12)
-  /** Sum in decimal, normalize the output type across engines. The
-    * result scale must cover the operand's exact scale (2dp inputs →
-    * 4dp products → 6dp triple products): the cast then never rounds,
-    * so engines cannot diverge on tie-breaking. */
-  private def dsum(e: Column): Column = sum(e).cast(DecimalType(18, 2))
-  private def dsum4(e: Column): Column = sum(e).cast(DecimalType(22, 4))
-  private def dsum6(e: Column): Column = sum(e).cast(DecimalType(24, 6))
+  /** Sum in decimal (exact, order-independent), then render as DOUBLE.
+    * The decimal intermediate means engines cannot diverge on float
+    * summation order; the final decimal→double cast is correctly
+    * rounded in both engines, so the output is bit-identical however
+    * the comparing harness stringifies it. (A DECIMAL output type is
+    * hash-fragile: `134122313.70` stringifies with a trailing zero as
+    * decimal but as `134122313.7` once anything converts it to float.) */
+  private def dsum(e: Column): Column = sum(e).cast(DoubleType)
+  private def dsum4(e: Column): Column = sum(e).cast(DoubleType)
+  private def dsum6(e: Column): Column = sum(e).cast(DoubleType)
 
   // ---------------------------------------------------------------
   // Aggregation (SURVEY §2.4: A2, A3) — TPC-H Q1 pricing summary.
@@ -412,6 +415,122 @@ object Relational {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("w_start", "event_type")
+  }
+
+  // Window-function breadth (§2.5): lag / lead / dense_rank / ntile /
+  // sliding max. All rank/offset functions are order-deterministic
+  // (ties broken by o_orderkey) and the sliding agg is max (order-free),
+  // so no float-summation divergence is possible.
+  def q30_window_funcs(s: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(byDate))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(byDate))
+      .withColumn("drnk", dense_rank().over(byPrice))
+      .withColumn("tile4", ntile(4).over(byDate))
+      .withColumn("max3",
+        max(col("o_totalprice")).over(byDate.rowsBetween(-2, 0)))
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+        col("next_price"), col("drnk"), col("tile4"), col("max3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // CUBE grouping sets (A4): all 4 grouping combinations in one pass —
+  // Spark expands to a single shuffle with a grouping-id column.
+  def q31_cube(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), m(sum(col("l_quantity"))).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+  }
+
+  // Explicit GROUPING SETS + grouping() marker columns (A4), SQL path.
+  def q32_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             cast(grouping(l_returnflag) AS INT) AS g_flag,
+             cast(grouping(l_linestatus) AS INT) AS g_status,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY flag, status""")
+  }
+
+  // String-function breadth (F10): trim/pad/replace/split/instr/
+  // left-right/repeat/translate/reverse — all codegen'd built-ins.
+  def q33_string_funcs(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part")
+      .filter(col("p_partkey") < 500)
+      .select(
+        col("p_partkey"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("s_trim"),
+        lpad(col("p_brand"), 12, "*").as("s_lpad"),
+        rpad(col("p_brand"), 12, "#").as("s_rpad"),
+        regexp_replace(col("p_type"), " ", "_").as("s_repl"),
+        reverse(col("p_name")).as("s_rev"),
+        instr(col("p_name"), "a").as("s_instr"),
+        element_at(split(col("p_name"), " "), 1).as("s_first_word"),
+        expr("left(p_name, 5)").as("s_left"),
+        expr("right(p_type, 4)").as("s_right"),
+        expr("repeat(p_brand, 2)").as("s_repeat"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("s_trans"))
+      .orderBy("p_partkey")
+  }
+
+  // Date/time-function breadth (F3): trunc, diff, add_months,
+  // last_day, day-of-week, quarter.
+  def q34_date_funcs(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("d_month"),
+        datediff(lit("1998-01-01").cast(DateType), col("o_orderdate"))
+          .as("d_diff"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+          .as("d_addm"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("d_last"),
+        dayofweek(col("o_orderdate")).as("d_dow"),
+        quarter(col("o_orderdate")).as("d_q"),
+        month(col("o_orderdate")).as("d_m"))
+      .orderBy("o_orderkey")
+  }
+
+  // GROUP BY + HAVING (P3 over aggregates): post-aggregation predicate
+  // stays on the reduced side of the shuffle.
+  def q35_having(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(dec(col("o_totalprice"))).as("total"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+  }
+
+  // PIVOT (A4 extension): per-returnflag counts pivoted by linestatus.
+  // Explicit value list keeps the output schema static (a scale
+  // requirement: dynamic pivot would need a driver-side distinct pass).
+  def q36_pivot(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"))
+      .orderBy("l_returnflag")
   }
 
   // LIKE / NOT LIKE / IS NULL family (P4, P6) over part descriptions.

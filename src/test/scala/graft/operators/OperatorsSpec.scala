@@ -69,7 +69,14 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val lsh = Similarity.annLshTopK(spark, dir, k = 5).collect()
     assert(lsh.nonEmpty)
-    // every LSH hit is a real vector pair; ranks are 1..k contiguous
+    // subset property: every LSH (query, neighbor) pair must appear in
+    // the brute-force top-100 (k=5 from LSH buckets can't out-rank the
+    // exact top-100 unless the bucketing is broken)
+    lsh.foreach { r =>
+      val pair = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute.contains(pair), s"LSH pair $pair not in brute-force top-100")
+    }
+    // ranks are 1..k contiguous per query
     lsh.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
       val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
       assert(ranks == (1 to ranks.size))

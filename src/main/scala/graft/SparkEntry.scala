@@ -53,6 +53,7 @@ object SparkEntry {
     "q34_date_funcs" -> (Relational.q34_date_funcs _),
     "q35_having" -> (Relational.q35_having _),
     "q36_pivot" -> (Relational.q36_pivot _),
+    "q37_correlated_scalar" -> (Relational.q37_correlated_scalar _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -253,8 +254,8 @@ object SparkEntry {
       ORDER BY p_partkey""",
     "q30_window_funcs" -> """
       SELECT o_custkey, o_orderkey,
-        lag(o_totalprice) OVER w AS prev_price,
-        lead(o_totalprice) OVER w AS next_price,
+        coalesce(lag(o_totalprice) OVER w, -1.0) AS prev_price,
+        coalesce(lead(o_totalprice) OVER w, -1.0) AS next_price,
         CAST(dense_rank() OVER (PARTITION BY o_custkey
           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS drnk,
         CAST(ntile(4) OVER w AS INTEGER) AS tile4,
@@ -312,5 +313,11 @@ object SparkEntry {
         count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
         count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q37_correlated_scalar" -> """
+      SELECT c_custkey,
+        (SELECT count(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) AS n_big
+      FROM customer c
+      ORDER BY c_custkey""",
   ) ++ Extensions.oracles
 }

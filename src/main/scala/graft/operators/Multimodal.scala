@@ -77,6 +77,53 @@ object Multimodal {
     }
   }
 
+  case class MediaResized(doc_id: Long, n_frames: Long, fs_sum: Long,
+      q_sums: Array[Long], q_lens: Array[Long])
+
+  /** Resize + frame-sample stand-ins over the payload bytes — the two
+    * remaining media primitives of a training-data pipeline. Both are
+    * pure integer byte-math so the plumbing is oracle-checkable:
+    *  - frame-sample: every 50th byte (a video keyframe stride);
+    *  - resize: 4 quarter-of-payload block sums (a 2×2 thumbnail's
+    *    pooled regions). A real implementation swaps the byte loop for
+    *    a codec call; schema, batching, and shuffle profile stay. */
+  def resizeFrames(media: Dataset[MediaRow]): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        val n = p.length
+        var fsSum = 0L; var nFrames = 0L
+        var i = 0
+        while (i < n) { fsSum += p(i) & 0xff; nFrames += 1; i += 50 }
+        val q = n / 4
+        val bounds = Array(0, q, 2 * q, 3 * q, n)
+        val qSums = new Array[Long](4); val qLens = new Array[Long](4)
+        var k = 0
+        while (k < 4) {
+          var j = bounds(k); var s = 0L
+          while (j < bounds(k + 1)) { s += p(j) & 0xff; j += 1 }
+          qSums(k) = s; qLens(k) = bounds(k + 1) - bounds(k)
+          k += 1
+        }
+        MediaResized(r.doc_id, nFrames, fsSum, qSums, qLens)
+      }
+    }
+  }
+
+  /** Driver-facing query for [[resizeFrames]]: quarter means as
+    * floor(mean·1e6) longs (deterministic: exact integer sums, one
+    * correctly-rounded double division per value). */
+  def resized(s: SparkSession, dir: String): DataFrame = {
+    def qm(i: Int) =
+      floor(expr(s"q_sums[$i]") / greatest(expr(s"q_lens[$i]"), lit(1L))
+        * 1000000).cast("long").as(s"q${i + 1}_e6")
+    resizeFrames(mediaTable(s, dir))
+      .select(col("doc_id"), col("n_frames"), col("fs_sum"),
+        qm(0), qm(1), qm(2), qm(3))
+      .orderBy("doc_id")
+  }
+
   /** Driver-facing query: features flattened to columns (longs only —
     * sums are exact integers scaled by 1e0/1e6 deterministically). */
   def features(s: SparkSession, dir: String): DataFrame = {

@@ -29,6 +29,7 @@ object Extensions {
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
     "t04_fingerprints" -> (TextAnalysis.fingerprints _),
     "m01_multimodal_features" -> (Multimodal.features _),
+    "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
   )
 
@@ -223,6 +224,28 @@ object Extensions {
         CAST(floor((s1 / byte_len) * 1000000) AS BIGINT) AS mom2_e6,
         mn AS min_byte, mx AS max_byte
       FROM s ORDER BY doc_id""",
+    // frame-sample = every-50th-byte stride; resize = 4 quarter block
+    // means. Same ASCII byte≡code-point assumption as m01. DuckDB lists
+    // are 1-indexed: byte [0,q) ↔ j ∈ [1,q]; empty list_sum is NULL →
+    // coalesce 0 (Spark's loop naturally yields 0).
+    "m02_multimodal_resize" -> """
+      WITH s AS (SELECT doc_id, text, strlen(text) AS n, (strlen(text) // 4) AS q,
+        [ascii(text[j]) for j in generate_series(1, strlen(text), 50)] AS fs
+        FROM documents),
+      t AS (SELECT doc_id, n, q,
+        len(fs) AS n_frames, coalesce(list_sum(fs), 0) AS fs_sum,
+        coalesce(list_sum([ascii(text[j]) for j in generate_series(1, q)]), 0) AS s1,
+        coalesce(list_sum([ascii(text[j]) for j in generate_series(q+1, 2*q)]), 0) AS s2,
+        coalesce(list_sum([ascii(text[j]) for j in generate_series(2*q+1, 3*q)]), 0) AS s3,
+        coalesce(list_sum([ascii(text[j]) for j in generate_series(3*q+1, n)]), 0) AS s4
+        FROM s)
+      SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        CAST(fs_sum AS BIGINT) AS fs_sum,
+        CAST(floor(s1 / greatest(q, 1) * 1000000) AS BIGINT) AS q1_e6,
+        CAST(floor(s2 / greatest(q, 1) * 1000000) AS BIGINT) AS q2_e6,
+        CAST(floor(s3 / greatest(q, 1) * 1000000) AS BIGINT) AS q3_e6,
+        CAST(floor(s4 / greatest(n - 3*q, 1) * 1000000) AS BIGINT) AS q4_e6
+      FROM t ORDER BY doc_id""",
     "x01_sessionize" -> """
       WITH e AS (SELECT user_id, date_trunc('second', ts) AS tss FROM events),
       m AS (SELECT user_id, tss,

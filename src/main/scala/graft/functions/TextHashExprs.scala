@@ -175,10 +175,67 @@ object LshSig16 {
   }
 }
 
+/** IVF coarse quantizer: the `nprobe` nearest of 16 fixed centroids
+  * (by dot product, ties → lower id), in rank order. Centroid d-th
+  * component = LCG(k·64+d, addend 54321)/2^31 − 0.5 — deterministic and
+  * engine-portable like [[LshSig16]]'s hyperplanes. Production IVF
+  * would load k-means centroids trained offline; assignment, bucketing,
+  * and probing keep exactly this shape. */
+case class IvfAssign(child: Expression, nprobeExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = nprobeExpr
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(arr: Any, np: Any): Any = {
+    val v = arr.asInstanceOf[ArrayData].toFloatArray()
+    val nprobe = np.asInstanceOf[Int]
+    val c = IvfAssign.centroids
+    val dots = new Array[Double](IvfAssign.K)
+    var k = 0
+    while (k < IvfAssign.K) {
+      var acc = 0.0
+      var d = 1
+      while (d <= 64 && d <= v.length) {
+        acc += v(d - 1).toDouble * c(k * 64 + d - 1)
+        d += 1
+      }
+      dots(k) = acc
+      k += 1
+    }
+    val order = (0 until IvfAssign.K).sortBy(i => (-dots(i), i))
+    new GenericArrayData(order.take(nprobe).toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IvfAssign = copy(l, r)
+}
+
+object IvfAssign {
+  val K = 16
+  /** c(k, d) for k in 0..15, d in 1..64, flattened. */
+  lazy val centroids: Array[Double] = {
+    val out = new Array[Double](K * 64)
+    var k = 0
+    while (k < K) {
+      var d = 1
+      while (d <= 64) {
+        val lcg = (1103515245L * (k * 64 + d) + 54321L) % 2147483648L
+        out(k * 64 + d - 1) = lcg.toDouble / 2147483648.0 - 0.5
+        d += 1
+      }
+      k += 1
+    }
+    out
+  }
+}
+
 object TextHashExprs {
   /** Register SQL-callable forms (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("ivf_assign",
+      es => IvfAssign(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash_arr",
       es => RollingHashArray(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash_str",

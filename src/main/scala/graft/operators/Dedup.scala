@@ -42,7 +42,11 @@ object Dedup {
     * float-free. At scale, add a document-frequency cap on shingles
     * (stop-shingle removal) to bound join fan-out. */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(docs(s, dir))
+    // The signature frame feeds 4 plan branches (both join sides, both
+    // size lookups); without persist each branch re-reads + re-hashes
+    // the corpus (no exchange reuse across differing projections). At
+    // 100 TB this is the "materialize signatures" pipeline stage.
+    val sh = shingleHashes(docs(s, dir)).persist()
     val ex = sh.select(col("doc_id"), explode(col("hv")).as("h")).distinct()
     val sizes = sh.select(col("doc_id"), col("n_sh"))
     val common = ex.as("a")
@@ -68,9 +72,11 @@ object Dedup {
     * for MinHash implementations, which normally bake in an engine
     * hash. At 100 TB only (band_idx, band_key) pairs shuffle. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: feeds band explosion + both signature-compare sides
     val sigs = shingleHashes(docs(s, dir))
       .filter(col("n_sh") > 0)
       .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
+      .persist()
     val bands = sigs.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
           "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
@@ -116,10 +122,13 @@ object Dedup {
     // gate (500 docs); the oracle applies the same rule.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_key"))
+    // persisted: the self-join would otherwise run tokenize + simhash +
+    // the bucket-count window twice
     val bands = bands0
       .withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") <= SimhashBucketCap)
       .drop("bucket_n")
+      .persist()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

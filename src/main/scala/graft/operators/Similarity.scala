@@ -51,7 +51,8 @@ object Similarity {
     * exact baseline. The n² pair space only exists pre-aggregation
     * inside a single stage; at scale use [[annLshTopK]]'s bucketing. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(emb(s, dir))
+    // persisted: both pair sides share one norm-computation pass
+    val e = withNorm(emb(s, dir)).persist()
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
         (expr(dotExpr("a.embedding", "b.embedding")) /
@@ -66,7 +67,8 @@ object Similarity {
     * corpus. The query side is tiny → broadcast; the corpus streams
     * through one narrow stage; ranking shuffles only (q, k) rows. */
   def annTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = withNorm(emb(s, dir))
+    // persisted: query side and corpus side share one norm pass
+    val e = withNorm(emb(s, dir)).persist()
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
@@ -77,6 +79,37 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("cs") * 1000000).cast("long").as("cs_e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-bucketed ANN — the billion-vector scale path. The corpus is
+    * partitioned once by nearest coarse centroid (`ivf_assign(e, 1)`),
+    * a query probes its `nprobe` nearest centroid buckets, and exact
+    * cosine re-ranks only those buckets' vectors: candidate generation
+    * is an equi-join on the centroid id, cost ≈ nprobe/K of brute
+    * force. Centroids here are deterministic pseudo-random (oracle-
+    * checkable); production swaps in offline-trained k-means centroids
+    * with the identical plan shape. */
+  def annIvfTopK(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    val e = withNorm(emb(s, dir))
+      .withColumn("bucket", expr("ivf_assign(embedding, 1)[0]"))
+      .persist() // corpus + query branches share one assignment pass
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(expr(s"ivf_assign(embedding, $nprobe)")).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    e.join(q, Seq("bucket")) // equi-join on the coarse-quantizer cell
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(dotExpr("qv", "embedding")) /
+          (col("qnrm") * col("nrm"))).as("cs"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         floor(col("cs") * 1000000).cast("long").as("cs_e6"))
@@ -100,6 +133,7 @@ object Similarity {
         posexplode(expr(
           "transform(sequence(0, 3), b -> shiftright(sig, b * 4) & 15)")))
       .toDF("vec_id", "embedding", "nrm", "band_idx", "band_key")
+      .persist() // query + corpus branches share one signature pass
     val q = bands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("band_idx"), col("band_key"))

@@ -24,6 +24,7 @@ object Extensions {
     "d05_embedding_neardup" -> (Similarity.embeddingNearDups _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
+    "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -150,6 +151,32 @@ object Extensions {
       FROM (SELECT query_id, neighbor_id, row_number() OVER
               (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
             FROM scored) t
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // IVF: centroid c(k,d) = LCG(k*64+d, addend 54321)/2^31 - 0.5 (16
+    // cells); corpus keeps its argmax cell (crnk=1), queries probe 4.
+    "s03_ann_ivf" -> s"""
+      WITH cents AS (SELECT k, [((1103515245::BIGINT * (k*64 + d) + 54321) % 2147483648)
+            / 2147483648.0 - 0.5 for d in generate_series(1, 64)] AS cv
+          FROM generate_series(0, 15) t(k)),
+      dots AS (SELECT e.vec_id, c.k,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            [(e.embedding[d]::DOUBLE) * (c.cv[d]::DOUBLE) for d in generate_series(1, 64)]),
+            (x, y) -> x + y) AS dot
+          FROM embeddings e, cents c),
+      ranked AS (SELECT vec_id, k, row_number() OVER
+          (PARTITION BY vec_id ORDER BY dot DESC, k) AS crnk FROM dots),
+      corpus AS (SELECT r.vec_id, r.k AS bucket, e.embedding
+          FROM ranked r JOIN embeddings e USING (vec_id) WHERE crnk = 1),
+      probes AS (SELECT r.vec_id AS query_id, e.embedding AS qv, r.k AS bucket
+          FROM ranked r JOIN embeddings e USING (vec_id)
+          WHERE r.vec_id < 10 AND crnk <= 4),
+      cand AS (SELECT query_id, qv, c.vec_id AS neighbor_id, c.embedding AS emb
+          FROM corpus c JOIN probes USING (bucket) WHERE query_id <> c.vec_id),
+      scored AS (SELECT query_id, neighbor_id, ${cos("qv", "emb")} AS cs FROM cand)
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+        CAST(floor(cs * 1000000) AS BIGINT) AS cs_e6
+      FROM (SELECT query_id, neighbor_id, cs, row_number() OVER
+            (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk FROM scored) t
       WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "t01_langid" -> raw"""
       WITH f AS (SELECT doc_id, lang AS lang_label, lower(text) AS t FROM documents),

@@ -83,6 +83,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf ann candidates never beat brute force and score consistently") {
+    val bruteCs = Similarity.annTopK(spark, dir, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cs_e6")).toMap
+    val ivf = Similarity.annIvfTopK(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"ranks not contiguous for query $q")
+      // exact-cosine re-rank inside probed buckets can at best tie the
+      // unrestricted brute-force top-1
+      val best = rs.minBy(_.getAs[Int]("rank")).getAs[Long]("cs_e6")
+      assert(best <= bruteCs(q),
+        s"IVF top-1 cs $best beats brute-force ${bruteCs(q)} for query $q")
+    }
+  }
+
   test("multimodal feature extraction is deterministic and partition-independent") {
     val a = Multimodal.features(spark, dir).collect()
     val b = Multimodal.extractFeatures(

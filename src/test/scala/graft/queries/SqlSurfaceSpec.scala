@@ -25,8 +25,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
+  // unique location per JVM: the in-memory catalog forgets tables
+  // between runs, so a fixed path would leave orphaned parquet files
+  // that a later CTAS collides with
+  private lazy val dbLoc =
+    s"/tmp/graft-g2-${java.util.UUID.randomUUID().toString.take(8)}.db"
+
   private def ensureDb(): Unit = {
-    spark.sql("CREATE DATABASE IF NOT EXISTS g2 LOCATION '/tmp/graft-g2.db'")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS g2 LOCATION '$dbLoc'")
   }
 
   test("multi-insert fans one scan into two tables (S13)") {

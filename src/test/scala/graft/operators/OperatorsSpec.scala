@@ -113,6 +113,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join is row-identical to the plain equi-join") {
+    val li = graft.engine.Tables.t(spark, dir, "lineitem")
+    val part = graft.engine.Tables.t(spark, dir, "part")
+    val plain = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"),
+        sum("l_quantity").as("sq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(li, part, "l_partkey", "p_partkey", 8)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"),
+        sum("l_quantity").as("sq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
   test("quality keep-flag and langid produce full coverage") {
     assert(TextAnalysis.quality(spark, dir).count() == 500)
     val preds = TextAnalysis.langId(spark, dir)

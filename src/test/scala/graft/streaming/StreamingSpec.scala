@@ -66,6 +66,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "10:00", 2L), (1L, "10:20", 1L), (2L, "10:00", 1L)))
   }
 
+  test("streaming dedup keeps one row per digest within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamDedup.dedupStream(df).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "Hello World"),
+      (2L, ts("2024-01-01 10:01:00"), "hello world"), // dup (case-folded)
+      (3L, ts("2024-01-01 10:02:00"), "something else"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids.size == 2, s"expected 2 unique digests, got $ids")
+    assert(ids.contains(3L))
+    assert(ids.contains(1L) ^ ids.contains(2L),
+      "exactly one of the duplicate pair survives")
+  }
+
   test("stateful sessionizer closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -54,6 +54,7 @@ object SparkEntry {
     "q35_having" -> (Relational.q35_having _),
     "q36_pivot" -> (Relational.q36_pivot _),
     "q37_correlated_scalar" -> (Relational.q37_correlated_scalar _),
+    "q38_explode" -> (Relational.q38_explode _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -319,5 +320,11 @@ object SparkEntry {
          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) AS n_big
       FROM customer c
       ORDER BY c_custkey""",
+    "q38_explode" -> """
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(p_name, ' ')) AS word
+            FROM part WHERE p_partkey < 1000) t
+      GROUP BY word
+      ORDER BY word""",
   ) ++ Extensions.oracles
 }

@@ -550,6 +550,19 @@ object Relational {
       ORDER BY c_custkey""")
   }
 
+  // Generator / UDTF surface (§2.10 — beyond the reference, which has
+  // no LATERAL VIEW): explode a split column, re-aggregate. The
+  // generate step is narrow (no shuffle until the groupBy).
+  def q38_explode(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT word, count(*) AS n
+      FROM part LATERAL VIEW explode(split(p_name, ' ')) t AS word
+      WHERE p_partkey < 1000
+      GROUP BY word
+      ORDER BY word""")
+  }
+
   // LIKE / NOT LIKE / IS NULL family (P4, P6) over part descriptions.
   def q29_like_null(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "part")

@@ -10,7 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // this host has rare multi-minute scheduler stalls; don't let one
+      // inside a broadcast build fail a correctness query on timeout
+      .config("spark.sql.broadcastTimeout", "3600")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

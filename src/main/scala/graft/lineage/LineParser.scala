@@ -61,7 +61,16 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
 
   // -- statement dispatch -------------------------------------------
 
-  private def parseStatement(stmt: String): Unit = {
+  private def parseStatement(stmt0: String): Unit = {
+    // INSERT OVERWRITE [LOCAL] DIRECTORY '…' [STORED AS …] SELECT …:
+    // Spark's non-Hive parser rejects the statement outright, but the
+    // reference analyzed Hive scripts that use it (TOK_TMP_FILE dest,
+    // README.md:222-225) — strip the directory clause and analyze the
+    // SELECT with the TMP sentinel.
+    val stmt = stmt0 match {
+      case LineParser.InsertDirRe(sel) => sel
+      case s => s
+    }
     val plan = CatalystSqlParser.parsePlan(stmt)
     plan match {
       case SetCatalogAndNamespace(child) =>
@@ -91,6 +100,10 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
         }.getOrElse(Nil))
         outputTables += dest
         finishStatement(c.query, dest, stmt)
+      case d: InsertIntoDir =>
+        // INSERT OVERWRITE [LOCAL] DIRECTORY: the reference records the
+        // same TOK_TMP_FILE sentinel as a bare SELECT (README.md:222-225).
+        finishStatement(d.child, TmpFile, stmt)
       case q if isQueryShape(q) =>
         // bare SELECT → TOK_TMP_FILE sentinel dest (README.md:222-225);
         // not recorded as an output table.
@@ -480,6 +493,11 @@ object LineParser {
   /** Destination sentinel for SELECTs with no INSERT target
     * (README.md:222-225). */
   val TmpFile = "TOK_TMP_FILE"
+
+  /** `INSERT OVERWRITE [LOCAL] DIRECTORY '…' … SELECT …` — capture the
+    * SELECT; the directory clause itself carries no lineage. */
+  private[lineage] val InsertDirRe =
+    "(?is)^\\s*insert\\s+overwrite\\s+(?:local\\s+)?directory\\b.*?\\b(select\\b.*)$".r
 
   /** Literal-ish output names are replaced during UNION merge
     * (README.md:427-435). */

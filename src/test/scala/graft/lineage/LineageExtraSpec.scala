@@ -59,6 +59,16 @@ class LineageExtraSpec extends AnyFunSuite {
     assert(p.getColLines.head.fromName == "default.src.x")
   }
 
+  test("INSERT OVERWRITE DIRECTORY uses the TMP sentinel (S4)") {
+    val p = parser.parse(
+      "insert overwrite directory '/tmp/out' select x, y from src where x > 1")
+    assert(p.getOutputTables.isEmpty, "a directory is not an output table")
+    assert(p.getInputTables == Set("default.src"))
+    assert(p.getColLines.map(_.toTable).toSet == Set(LineParser.TmpFile))
+    assert(p.getColLines.map(_.toNameParse) == List("x", "y"))
+    assert(p.getColLines.head.conditionSet.contains("WHERE:default.src.x > 1"))
+  }
+
   test("map access in WHERE renders as subscript (F5)") {
     val p = parser.parse(
       "insert into table dst select x from src where params['k'] = 'v'")

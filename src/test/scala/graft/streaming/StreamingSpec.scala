@@ -66,6 +66,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "10:00", 2L), (1L, "10:20", 1L), (2L, "10:00", 1L)))
   }
 
+  test("stream-static enrichment joins without state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val q = Enrich.enrichStream(df, dim).writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), "click"),
+      (ts("2024-01-01 10:01:00"), "view"),
+      (ts("2024-01-01 10:02:00"), "unknown")) // inner join drops it
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out")
+      .select("event_type", "category")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set(("click", "engagement"), ("view", "impression")))
+  }
+
   test("streaming dedup keeps one row per digest within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

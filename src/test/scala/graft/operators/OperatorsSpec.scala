@@ -134,6 +134,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(preds.map(_.getLong(1)).sum == 500)
   }
 
+  test("approximate aggregates track exact within tolerance") {
+    val li = graft.engine.Tables.t(spark, dir, "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact_d"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_d"),
+      expr("percentile(l_quantity, 0.5)").as("exact_med"),
+      expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_med"))
+      .head
+    val (ed, ad) = (r.getAs[Long]("exact_d"), r.getAs[Long]("approx_d"))
+    assert(math.abs(ad - ed).toDouble / ed < 0.05,
+      s"approx_count_distinct $ad vs exact $ed")
+    val (em, am) = (r.getAs[Double]("exact_med"), r.getAs[Double]("approx_med"))
+    assert(math.abs(am - em) / math.max(em, 1.0) < 0.2,
+      s"approx_percentile $am vs exact $em")
+  }
+
   test("fingerprints are stable across runs") {
     val a = TextAnalysis.fingerprints(spark, dir).collect()
     val b = TextAnalysis.fingerprints(spark, dir).collect()

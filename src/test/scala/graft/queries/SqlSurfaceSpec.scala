@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.Tables
@@ -77,6 +78,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .where(s"c_mktsegment <> '$seg'").count()
     assert(after < before, "partition should have been replaced with a subset")
     assert(others == expectOthers, "other partitions must be untouched")
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    ensureDb()
+    Tables.ensure(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS g2.ord_b")
+    spark.sql("DROP TABLE IF EXISTS g2.cust_b")
+    spark.table("orders").write.bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("g2.ord_b")
+    spark.table("customer").write.bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("g2.cust_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-or-not decision (broadcast would mask it)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("g2.ord_b").join(spark.table("g2.cust_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // sanity: it actually joins
+      assert(j.count() == spark.table("orders").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 
   test("CTAS + INSERT INTO append + TRUNCATE (S2, S5, S7)") {

@@ -17,8 +17,9 @@ import org.apache.spark.sql.SparkSession
   *    multi-hundred-second scheduler stalls (same plan, 100× wall
   *    time) that a median absorbs while still reporting honest
   *    steady-state cost. The JSON records runs + stat used.
-  *  - A query that throws is reported as -1, never as its (meaningless)
-  *    elapsed time, and listed under "errors".
+  *  - A run that throws contributes no time (the median is over
+  *    surviving runs); per-query failed-run counts appear under
+  *    "failed_runs", and a query with zero surviving runs reports -1.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,9 +47,11 @@ object Bench {
     // configured data root (falls back to the root itself), so a
     // non-default SPARK_GRAFT_SF_DIR still gets a real warm-up.
     val warmDir = {
-      val sib = new java.io.File(sfDir).getParentFile
-      val cand = Option(sib).map(p => new java.io.File(p, "sf0.001"))
-      cand.filter(_.isDirectory).map(_.toString).getOrElse(sfDir)
+      val siblings = Option(new java.io.File(sfDir).getParentFile)
+        .flatMap(p => Option(p.listFiles())).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("sf[0-9.]+"))
+        .flatMap(f => f.getName.drop(2).toDoubleOption.map(_ -> f))
+      if (siblings.nonEmpty) siblings.minBy(_._1)._2.toString else sfDir
     }
     System.err.println(s"[bench] warm-up dir: $warmDir")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -59,7 +62,7 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    var errors = List.empty[String]
+    var failedRuns = Map.empty[String, Int]
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -69,19 +72,24 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        // operators cache signature tables; drop them so runs are
-        // independently timed and the heap doesn't accumulate
+        // elapsed captured BEFORE the cache drop: unpersisting the
+        // operator's signature tables is inter-query hygiene, not part
+        // of the measured query
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        if (ok) Some(dt) else None
       }
-      if (times.isEmpty) { errors ::= name; name -> -1.0 }
+      val nFailed = runs - times.size
+      if (nFailed > 0) failedRuns += name -> nFailed
+      if (times.isEmpty) name -> -1.0
       else name -> times.sorted.apply(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"stat":"median","errors":$errJson,"sf":"$sfDir"}""")
+    val errJson = failedRuns.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"stat":"median","failed_runs":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,13 +65,21 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
     // INSERT OVERWRITE [LOCAL] DIRECTORY '…' [STORED AS …] SELECT …:
     // Spark's non-Hive parser rejects the statement outright, but the
     // reference analyzed Hive scripts that use it (TOK_TMP_FILE dest,
-    // README.md:222-225) — strip the directory clause and analyze the
-    // SELECT with the TMP sentinel.
-    val stmt = stmt0 match {
-      case LineParser.InsertDirRe(sel) => sel
-      case s => s
-    }
-    val plan = CatalystSqlParser.parsePlan(stmt)
+    // README.md:222-225). Parse first — only when that fails do we
+    // strip the directory clause and analyze the SELECT (so a path
+    // that happens to contain "select" can't corrupt a statement the
+    // parser handles natively, e.g. under a Hive-enabled parser that
+    // yields InsertIntoDir).
+    val (stmt, plan) =
+      try (stmt0, CatalystSqlParser.parsePlan(stmt0))
+      catch {
+        case e: Exception =>
+          stmt0 match {
+            case LineParser.InsertDirRe(sel) =>
+              (sel, CatalystSqlParser.parsePlan(sel))
+            case _ => throw e
+          }
+      }
     plan match {
       case SetCatalogAndNamespace(child) =>
         // USE db (README.md:637-640): mutate the db used by fillDB.

@@ -45,7 +45,13 @@ object Relational {
     * rounded in both engines, so the output is bit-identical however
     * the comparing harness stringifies it. (A DECIMAL output type is
     * hash-fragile: `134122313.70` stringifies with a trailing zero as
-    * decimal but as `134122313.7` once anything converts it to float.) */
+    * decimal but as `134122313.7` once anything converts it to float.)
+    *
+    * Bound: exactness of the final cast needs the sum's unscaled value
+    * (digits × 10^scale) under 2^53 — DuckDB converts the unscaled int
+    * then divides by 10^scale, which double-rounds past that. Holds
+    * through sf0.1 for every query here (worst case sum_charge:
+    * ~3e9 × 10^6 = 3e15 < 9.0e15); at sf1+ render at a reduced scale. */
   private def dsum(e: Column): Column = sum(e).cast(DoubleType)
   private def dsum4(e: Column): Column = sum(e).cast(DoubleType)
   private def dsum6(e: Column): Column = sum(e).cast(DoubleType)

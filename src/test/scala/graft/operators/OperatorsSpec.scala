@@ -116,14 +116,16 @@ class OperatorsSpec extends AnyFunSuite {
   test("salted join is row-identical to the plain equi-join") {
     val li = graft.engine.Tables.t(spark, dir, "lineitem")
     val part = graft.engine.Tables.t(spark, dir, "part")
-    val plain = li.join(part, col("l_partkey") === col("p_partkey"))
-      .groupBy("p_brand").agg(count(lit(1)).as("n"),
-        sum("l_quantity").as("sq"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val salted = Skew.saltedJoin(li, part, "l_partkey", "p_partkey", 8)
-      .groupBy("p_brand").agg(count(lit(1)).as("n"),
-        sum("l_quantity").as("sq"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // compare counts AND content (quantity sums are integer-valued, so
+    // the double sums are exact): a bug that duplicates one row and
+    // drops another within a brand must not pass
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("p_brand").agg(count(lit(1)).as("n"),
+          sum("l_quantity").as("sq"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val plain = agg(li.join(part, col("l_partkey") === col("p_partkey")))
+    val salted = agg(Skew.saltedJoin(li, part, "l_partkey", "p_partkey", 8))
     assert(salted == plain)
   }
 

@@ -14,9 +14,13 @@ import org.apache.spark.sql.SparkSession
   *    cluster would not pay per query.
   *  - Each query is timed over `SPARK_GRAFT_BENCH_RUNS` runs (default
   *    3) and the MEDIAN is reported: this host exhibits rare
-  *    multi-hundred-second scheduler stalls (same plan, 100× wall
-  *    time) that a median absorbs while still reporting honest
-  *    steady-state cost. The JSON records runs + stat used.
+  *    multi-minute scheduler stalls (same plan, 100× wall time) that
+  *    a median absorbs while still reporting honest steady-state
+  *    cost. Runs are INTERLEAVED — pass 1 over all queries, then pass
+  *    2, … — so one query's samples are minutes apart and a sustained
+  *    stall window lands on different queries in each pass instead of
+  *    swallowing all of one query's back-to-back runs. The JSON
+  *    records runs + stat used.
   *  - A run that throws contributes no time (the median is over
   *    surviving runs); per-query failed-run counts appear under
   *    "failed_runs", and a query with zero surviving runs reports -1.
@@ -62,23 +66,27 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runs; name <- names) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { materialize(name); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // elapsed captured BEFORE the cache drop: unpersisting the
+      // operator's signature tables is inter-query hygiene, not part
+      // of the measured query
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      if (ok) samples(name) = dt :: samples(name)
+    }
     var failedRuns = Map.empty[String, Int]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { materialize(name); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        // elapsed captured BEFORE the cache drop: unpersisting the
-        // operator's signature tables is inter-query hygiene, not part
-        // of the measured query
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        if (ok) Some(dt) else None
-      }
+    val results = names.map { name =>
+      val times = samples(name)
       val nFailed = runs - times.size
       if (nFailed > 0) failedRuns += name -> nFailed
       if (times.isEmpty) name -> -1.0

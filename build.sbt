@@ -15,8 +15,8 @@ run / fork := true
 // routing them through sbt's logger: the logger prefixes every line
 // with "[info] "/"[error] ", which breaks consumers that expect
 // Bench/Verify to print a bare machine-readable JSON line.
+// (scope delegation makes this also cover `runMain`)
 run / outputStrategy := Some(StdoutOutput)
-Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.operators.{AsofJoin, RangeJoin, Sketches}
 import graft.queries.{Extensions, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -55,6 +56,9 @@ object SparkEntry {
     "q36_pivot" -> (Relational.q36_pivot _),
     "q37_correlated_scalar" -> (Relational.q37_correlated_scalar _),
     "q38_explode" -> (Relational.q38_explode _),
+    "q39_asof_join" -> (AsofJoin.purchaseClickAsof _),
+    "q40_range_join" -> (RangeJoin.eventValueBands _),
+    "q41_percentiles" -> (Sketches.percentileRanks _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -326,5 +330,40 @@ object SparkEntry {
             FROM part WHERE p_partkey < 1000) t
       GROUP BY word
       ORDER BY word""",
+    "q39_asof_join" -> """
+      SELECT p.event_id,
+        coalesce(c.event_id, -1) AS click_id,
+        coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+      FROM events p LEFT JOIN LATERAL (
+        SELECT event_id, ts FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+      WHERE p.event_type = 'purchase'
+      ORDER BY p.event_id""",
+    "q40_range_join" -> """
+      WITH b(band_id, lo, hi) AS (VALUES
+        (0, 0.0, 1.0), (1, 1.0, 5.0), (2, 5.0, 25.0),
+        (3, 25.0, 100.0), (4, 100.0, 250.0), (5, 250.0, 1000.0))
+      SELECT band_id, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+        count(*) AS n,
+        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
+      FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+      GROUP BY band_id, lo, hi
+      ORDER BY band_id""",
+    "q41_percentiles" -> """
+      WITH li AS (SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM lineitem),
+      r AS (SELECT l_returnflag, cents,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM li)
+      SELECT l_returnflag, count(*) AS n,
+        min(CASE WHEN rn >= ceil(n * 0.5::DOUBLE) THEN cents END) AS p50_cents,
+        min(CASE WHEN rn >= ceil(n * 0.9::DOUBLE) THEN cents END) AS p90_cents,
+        min(CASE WHEN rn >= ceil(n * 0.99::DOUBLE) THEN cents END) AS p99_cents,
+        max(cents) AS max_cents
+      FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
   ) ++ Extensions.oracles
 }

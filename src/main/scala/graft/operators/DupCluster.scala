@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assignment: connected components over the
+  * MinHash-LSH near-dup pair graph ([[Dedup.minhashLshPairs]]), so a
+  * pipeline can keep exactly one document per duplicate *cluster*
+  * (pairs alone over-delete: a~b and b~c must not delete both b and c
+  * independently of a).
+  *
+  * Algorithm: iterative min-label propagation — each vertex takes the
+  * minimum cluster id among itself and its neighbors until a fixpoint.
+  * This is the standard distributed CC pattern (Hash-Min, cf. the
+  * GraphX/Pregel formulation): per iteration one equi-join edges⋈labels
+  * plus one groupBy-min, i.e. two key shuffles, converging in
+  * O(component diameter) rounds — and near-dup components are
+  * shallow (stars/cliques around a source document), so 2–4 rounds in
+  * practice. `localCheckpoint` truncates the growing plan lineage each
+  * round, which is what keeps the iteration viable on a real cluster.
+  * The driver-side convergence `count()` is the loop condition every
+  * iterative graph algorithm needs — it moves one long per round, not
+  * data.
+  */
+object DupCluster {
+
+  /** d06: (doc_id, cluster_id, cluster_sz) for every document that has
+    * at least one near-duplicate; cluster_id = min doc_id reachable
+    * through near-dup pairs. */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(s, dir).select(col("ida"), col("idb"))
+    val edges = pairs.union(pairs.select(col("idb"), col("ida")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_sz"))
+    labels.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_sz"))
+      .orderBy("doc_id")
+  }
+}

@@ -88,6 +88,27 @@ object TextAnalysis {
           .as("bpe_types"))
       .orderBy("doc_id")
 
+  /** t06: within-document repetition scoring (the Gopher-style
+    * "fraction of duplicated n-grams" quality signal): share of word
+    * 2-grams / 3-grams that are repeats of an earlier occurrence.
+    * Narrow per-row projection like the rest of this file — the
+    * n-gram arrays exist only inside one projection, never shuffled. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        expr(ngramsExpr("tk", 2)).as("g2"),
+        expr(ngramsExpr("tk", 3)).as("g3"))
+      .select(col("doc_id"),
+        size(col("g2")).as("n2"), size(array_distinct(col("g2"))).as("n2d"),
+        size(col("g3")).as("n3"), size(array_distinct(col("g3"))).as("n3d"))
+      .select(col("doc_id"), col("n2"), col("n3"),
+        when(col("n2") > 0, e6((col("n2") - col("n2d")) / col("n2")))
+          .otherwise(0L).as("dup2_e6"),
+        when(col("n3") > 0, e6((col("n3") - col("n3d")) / col("n3")))
+          .otherwise(0L).as("dup3_e6"))
+      .orderBy("doc_id")
+
   /** Document fingerprinting: full-text rolling hash plus a min-hash
     * style shingle fingerprint (min over word-5-gram hashes) — the
     * compact identity used by exact and near dedup respectively. */

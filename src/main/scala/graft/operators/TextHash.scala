@@ -33,6 +33,11 @@ object TextHash {
   def rollingHashExpr(s: String, m: Long): String =
     s"rolling_hash_str($s, ${m}L)"
 
+  /** ALL word n-grams (with repeats) of a token-array column `tk`. */
+  def ngramsExpr(tk: String, n: Int): String =
+    s"CASE WHEN size($tk) >= $n THEN transform(sequence(1, size($tk) - ${n - 1}), " +
+      s"i -> array_join(slice($tk, i, $n), ' ')) ELSE cast(array() as array<string>) END"
+
   /** Distinct word 5-gram shingles of a token-array column `tk`. */
   def shingleExpr(tk: String): String =
     s"CASE WHEN size($tk) >= 5 THEN array_distinct(transform(sequence(1, size($tk) - 4), " +

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DupCluster, Funnel, Multimodal, Similarity,
+  Sketches, TextAnalysis}
 import graft.streaming.Sessionize
 
 /** LLM-data-pipeline extension queries (dedup / similarity / text
@@ -22,6 +23,7 @@ object Extensions {
     "d03_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     "d05_embedding_neardup" -> (Similarity.embeddingNearDups _),
+    "d06_dup_clusters" -> (DupCluster.clusters _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -29,9 +31,12 @@ object Extensions {
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
     "t04_fingerprints" -> (TextAnalysis.fingerprints _),
+    "t05_kmv_distinct" -> (Sketches.kmvDistinctShingles _),
+    "t06_repetition" -> (TextAnalysis.repetition _),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
+    "x02_funnel" -> (Funnel.viewClickPurchase _),
   )
 
   // Shared DuckDB fragments -----------------------------------------
@@ -60,6 +65,28 @@ object Extensions {
   private def cos(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
+  /** CTE chain ending in `pairs(ida, idb, n_match)` — the MinHash-LSH
+    * near-dup pairs of d03, shared by the d06 connected-components
+    * oracle. */
+  private val minhashPairCtes = s"""$tkCte, $shCte,
+      hv AS (SELECT doc_id, [${rh("s", 1000000007L)} for s in shs] AS hv,
+             len(shs) AS n_sh FROM sh),
+      sigs AS (SELECT doc_id, [list_min([((2*i+1)*h + 7919*(i+1)) % 1000000007
+               for h in hv]) for i in generate_series(0, 31)] AS sig
+               FROM hv WHERE n_sh > 0),
+      bands AS (SELECT doc_id, b AS band_idx,
+                array_to_string(sig[b*4+1 : b*4+4], '-') AS band_key
+                FROM sigs, generate_series(0, 7) t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+               FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (SELECT ida, idb,
+        CAST(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+          for i in generate_series(1, 32)]) AS INTEGER) AS n_match
+        FROM cand JOIN sigs sa ON ida = sa.doc_id JOIN sigs sb ON idb = sb.doc_id
+        WHERE list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+          for i in generate_series(1, 32)]) * 2 >= 32)"""
+
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -77,25 +104,21 @@ object Extensions {
       WHERE common * 2 >= sa.n_sh + sb.n_sh - common
       ORDER BY ida, idb""",
     "d03_dedup_minhash_lsh" -> s"""
-      WITH $tkCte, $shCte,
-      hv AS (SELECT doc_id, [${rh("s", 1000000007L)} for s in shs] AS hv,
-             len(shs) AS n_sh FROM sh),
-      sigs AS (SELECT doc_id, [list_min([((2*i+1)*h + 7919*(i+1)) % 1000000007
-               for h in hv]) for i in generate_series(0, 31)] AS sig
-               FROM hv WHERE n_sh > 0),
-      bands AS (SELECT doc_id, b AS band_idx,
-                array_to_string(sig[b*4+1 : b*4+4], '-') AS band_key
-                FROM sigs, generate_series(0, 7) t(b)),
-      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-               FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-                AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-      SELECT ida, idb,
-        CAST(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
-          for i in generate_series(1, 32)]) AS INTEGER) AS n_match
-      FROM cand JOIN sigs sa ON ida = sa.doc_id JOIN sigs sb ON idb = sb.doc_id
-      WHERE list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
-        for i in generate_series(1, 32)]) * 2 >= 32
-      ORDER BY ida, idb""",
+      WITH $minhashPairCtes
+      SELECT ida, idb, n_match FROM pairs ORDER BY ida, idb""",
+    "d06_dup_clusters" -> s"""
+      WITH RECURSIVE $minhashPairCtes,
+      edges AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+      reach AS (SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+                WHERE e.dst <> r.src),
+      lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src)
+      SELECT id AS doc_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+      FROM lab ORDER BY doc_id""",
     "d04_dedup_simhash" -> s"""
       WITH $tkCte,
       hs AS (SELECT doc_id, [${rh("t", 4294967296L)} for t in tk] AS hv FROM tk),
@@ -230,6 +253,34 @@ object Extensions {
           list_min([${rh("s", 1000000007L)} for s in shs])
         ELSE -1::BIGINT END AS min_shingle_fp
       FROM s ORDER BY doc_id""",
+    "t05_kmv_distinct" -> s"""
+      WITH $tkCte, $shCte,
+      ex AS (SELECT DISTINCT ${rh("s", 1000000007L)} AS h
+             FROM (SELECT unnest(shs) AS s FROM sh) u),
+      topk AS (SELECT max(h) AS kth_hash, count(*) AS k_actual
+               FROM (SELECT h FROM ex ORDER BY h LIMIT 256) t),
+      exact AS (SELECT count(*) AS exact_distinct FROM ex)
+      SELECT 256 AS k, k_actual, kth_hash,
+        CASE WHEN k_actual < 256 THEN k_actual
+             ELSE (255::BIGINT * 1000000007) // kth_hash END AS est_distinct,
+        exact_distinct
+      FROM topk, exact""",
+    "t06_repetition" -> s"""
+      WITH $tkCte,
+      g AS (SELECT doc_id,
+        CASE WHEN len(tk) >= 2 THEN [array_to_string(tk[i:i+1], ' ')
+          for i in generate_series(1, len(tk)-1)] ELSE [] END AS g2,
+        CASE WHEN len(tk) >= 3 THEN [array_to_string(tk[i:i+2], ' ')
+          for i in generate_series(1, len(tk)-2)] ELSE [] END AS g3
+        FROM tk),
+      h AS (SELECT doc_id, len(g2) AS n2, len(list_distinct(g2)) AS n2d,
+              len(g3) AS n3, len(list_distinct(g3)) AS n3d FROM g)
+      SELECT doc_id, CAST(n2 AS INTEGER) AS n2, CAST(n3 AS INTEGER) AS n3,
+        CASE WHEN n2 > 0 THEN CAST(floor(1000000 * ((n2 - n2d) / n2)) AS BIGINT)
+             ELSE 0::BIGINT END AS dup2_e6,
+        CASE WHEN n3 > 0 THEN CAST(floor(1000000 * ((n3 - n3d) / n3)) AS BIGINT)
+             ELSE 0::BIGINT END AS dup3_e6
+      FROM h ORDER BY doc_id""",
     // byte semantics: strlen = UTF-8 bytes (= Spark octet_length); the
     // per-byte sums walk code points via ascii(), which equals bytes
     // only for the pure-ASCII driver corpus (documented assumption,
@@ -290,5 +341,23 @@ object Extensions {
         count(*) AS n_events
       FROM s GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
+    // mirrors the Spark window formulation step-for-step so the funnel
+    // semantics ("each step at or after the previous") can't drift
+    "x02_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+              OVER (PARTITION BY user_id) AS v1 FROM e),
+      b AS (SELECT *, min(CASE WHEN event_type = 'click' AND us >= v1 THEN us END)
+              OVER (PARTITION BY user_id) AS c1 FROM a),
+      c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= c1 THEN us END)
+              OVER (PARTITION BY user_id) AS p1 FROM b)
+      SELECT user_id,
+        coalesce(min(v1), -1) AS view_us,
+        coalesce(min(c1), -1) AS click_us,
+        coalesce(min(p1), -1) AS purchase_us,
+        CASE WHEN min(p1) IS NOT NULL THEN 3
+             WHEN min(c1) IS NOT NULL THEN 2
+             WHEN min(v1) IS NOT NULL THEN 1 ELSE 0 END AS depth
+      FROM c GROUP BY user_id ORDER BY user_id""",
   )
 }

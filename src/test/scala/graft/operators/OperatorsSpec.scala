@@ -157,4 +157,101 @@ class OperatorsSpec extends AnyFunSuite {
     val b = TextAnalysis.fingerprints(spark, dir).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("as-of join matches a brute-force per-row scan") {
+    val events = graft.engine.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+    val clicks = events.filter(_.getString(2) == "click")
+    val expected = events.filter(_.getString(2) == "purchase").map { p =>
+      val cands = clicks.filter(c =>
+        c.getLong(1) == p.getLong(1) && c.getLong(3) <= p.getLong(3))
+      val best =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy(c => (c.getLong(3), c.getLong(0))))
+      (p.getLong(0), best.map(_.getLong(0)).getOrElse(-1L),
+        best.map(c => p.getLong(3) - c.getLong(3)).getOrElse(-1L))
+    }.sortBy(_._1).toSeq
+    val got = AsofJoin.purchaseClickAsof(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("range join partitions events exactly once") {
+    val bands = RangeJoin.eventValueBands(spark, dir).collect()
+    val nEvents = graft.engine.Tables.t(spark, dir, "events").count()
+    assert(bands.map(_.getAs[Long]("n")).sum == nEvents,
+      "every event must land in exactly one band")
+  }
+
+  test("duplicate clusters are consistent with the LSH pair graph") {
+    val pairs = Dedup.minhashLshPairs(spark, dir)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lab = DupCluster.clusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_sz"))).toMap
+    assert(lab.nonEmpty)
+    // endpoints of every near-dup pair share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(lab(a)._1 == lab(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster_id is the minimum member; sizes count members
+    lab.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(cid == members.keys.min)
+      members.values.foreach { case (_, sz) => assert(sz == members.size) }
+    }
+  }
+
+  test("KMV estimate tracks the exact distinct count") {
+    val r = Sketches.kmvDistinctShingles(spark, dir).head
+    val (kActual, est, exact) = (r.getAs[Long]("k_actual"),
+      r.getAs[Long]("est_distinct"), r.getAs[Long]("exact_distinct"))
+    if (kActual < Sketches.KmvK) assert(est == exact)
+    else assert(math.abs(est - exact).toDouble / exact < 0.2,
+      s"KMV est $est vs exact $exact out of tolerance")
+  }
+
+  test("nearest-rank percentiles are ordered and live in the data") {
+    val cents = graft.engine.Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    Sketches.percentileRanks(spark, dir).collect().foreach { r =>
+      val xs = cents(r.getAs[String]("l_returnflag"))
+      val (p50, p90, p99, mx) = (r.getAs[Long]("p50_cents"),
+        r.getAs[Long]("p90_cents"), r.getAs[Long]("p99_cents"),
+        r.getAs[Long]("max_cents"))
+      assert(r.getAs[Long]("n") == xs.length)
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx && mx == xs.last)
+      // type-1 definition: value at rank ceil(p*n)
+      def nr(p: Double) = xs(math.ceil(xs.length * p).toInt - 1)
+      assert(p50 == nr(0.5) && p90 == nr(0.9) && p99 == nr(0.99))
+    }
+  }
+
+  test("funnel steps are chronologically ordered and depth-consistent") {
+    val rows = Funnel.viewClickPurchase(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, c, p, d) = (r.getAs[Long]("view_us"), r.getAs[Long]("click_us"),
+        r.getAs[Long]("purchase_us"), r.getAs[Int]("depth"))
+      if (d >= 1) assert(v >= 0) else assert(v == -1)
+      if (d >= 2) assert(c >= v) else assert(c == -1)
+      if (d == 3) assert(p >= c) else assert(p == -1)
+    }
+  }
+
+  test("n-gram repetition ratios are bounded and total counts consistent") {
+    val rows = TextAnalysis.repetition(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      // T tokens yield T-1 2-grams and T-2 3-grams
+      if (r.getAs[Int]("n3") > 0)
+        assert(r.getAs[Int]("n2") == r.getAs[Int]("n3") + 1)
+      assert(r.getAs[Long]("dup2_e6") >= 0 && r.getAs[Long]("dup2_e6") <= 1000000)
+      assert(r.getAs[Long]("dup3_e6") >= 0 && r.getAs[Long]("dup3_e6") <= 1000000)
+    }
+  }
 }

@@ -53,4 +53,40 @@ class PlanSpec extends AnyFunSuite {
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"expected partial+final aggregate pair, got $aggs")
   }
+
+  // FormattedMode prints each Exchange's partitioning on a detail line:
+  //   Arguments: hashpartitioning(user_id#39L, 4), ENSURE_REQUIREMENTS, ...
+  private def hashExchanges(p: String): Int =
+    "Arguments: hashpartitioning".r.findAllIn(p).size
+
+  test("as-of join costs exactly one hash shuffle, with type pushdown") {
+    val p = plan(graft.operators.AsofJoin.purchaseClickAsof(spark, dir))
+    assert(hashExchanges(p) == 1,
+      s"as-of join must shuffle once on the key, got:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "as-of join must not plan as a range/cross join")
+    // both branch scans push their event_type equality into parquet
+    assert("EqualTo\\(event_type,purchase\\)".r.findFirstIn(p).isDefined &&
+      "EqualTo\\(event_type,click\\)".r.findFirstIn(p).isDefined,
+      s"event_type filters not pushed to the scans:\n$p")
+  }
+
+  test("funnel reuses one exchange across its three windows") {
+    val p = plan(graft.operators.Funnel.viewClickPurchase(spark, dir))
+    assert(hashExchanges(p) == 1,
+      s"funnel windows + aggregate must share the user_id shuffle:\n$p")
+    // formatted-mode detail headers look like "(10) Window"
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 3)
+  }
+
+  test("range join broadcasts the band table") {
+    val p = plan(graft.operators.RangeJoin.eventValueBands(spark, dir))
+    assert(p.contains("BroadcastExchange"),
+      s"band table must broadcast (fact side must not shuffle to join):\n$p")
+  }
+
+  test("percentiles cost one shuffle (window + agg share the group key)") {
+    val p = plan(graft.operators.Sketches.percentileRanks(spark, dir))
+    assert(hashExchanges(p) == 1, s"expected a single group-key shuffle:\n$p")
+  }
 }

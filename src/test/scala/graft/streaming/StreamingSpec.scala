@@ -108,6 +108,28 @@ class StreamingSpec extends AnyFunSuite {
       "exactly one of the duplicate pair survives")
   }
 
+  test("stream-stream attribution join bounds matches to the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = StreamJoin.clickAttribution(df, df).writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    mem.addData(
+      (1L, 7L, "click", ts("2024-01-01 10:00:00")),
+      (2L, 7L, "purchase", ts("2024-01-01 10:10:00")), // within 30m of click 1
+      (3L, 7L, "purchase", ts("2024-01-01 11:00:00")), // beyond horizon
+      (4L, 8L, "purchase", ts("2024-01-01 10:05:00")), // other user, no click
+      (5L, 9L, "click", ts("2024-01-01 10:20:00"))) // click without purchase
+    q.processAllAvailable()
+    val rows = spark.table("attr_out")
+      .select("purchase_id", "click_id", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set((2L, 1L, 7L)),
+      s"only the in-horizon same-user pair may match, got $rows")
+  }
+
   test("stateful sessionizer closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -116,6 +116,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** s04: distributed centroid computation — the M-step of k-means
+    * over the IVF coarse quantizer's assignment: per (bucket, dim),
+    * the member count and coordinate mean. At a billion vectors this
+    * is THE canonical "train the index" job: one narrow assignment
+    * pass, one shuffle of (bucket, dim, scaled-int) triples, partial
+    * aggregation map-side. Coordinates sum as floor(x·1e6) longs —
+    * integer addition is associative, so the distributed sum is exact
+    * and engine-portable (a double sum's value would depend on
+    * partitioning). */
+  def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextHash.fanOut(emb(s, dir))
+      .withColumn("bucket", expr("ivf_assign(embedding, 1)[0]"))
+      .select(col("bucket"), posexplode(col("embedding")))
+      .toDF("bucket", "dim", "v")
+      .groupBy("bucket", "dim")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(floor(col("v").cast("double") * 1000000).cast("long")).as("sum_e6"))
+      .select(col("bucket").cast("int").as("bucket"),
+        col("dim").cast("int").as("dim"),
+        col("n_vectors"), col("sum_e6"),
+        floor(col("sum_e6") / col("n_vectors")).cast("long").as("mean_e6"))
+      .orderBy("bucket", "dim")
+
   /** Random-hyperplane signature: bit j of a 16-bit signature is the
     * sign of emb · r_j, with r_j[d] derived from an LCG on (j·64+d) —
     * deterministic, engine-independent pseudo-randomness. */

@@ -109,6 +109,20 @@ object TextAnalysis {
           .otherwise(0L).as("dup3_e6"))
       .orderBy("doc_id")
 
+  /** t07: deterministic hash-based train/val/test split (80/10/10).
+    * Reproducible sampling by content hash — not rand(): re-running
+    * the pipeline (or re-sharding the input) assigns every document
+    * to the same split, and adding documents never reshuffles
+    * existing assignments. Narrow per-row projection. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), (expr(rollingHashExpr("t", P)) % 100).as("h_mod"))
+      .withColumn("split",
+        when(col("h_mod") < 80, "train")
+          .when(col("h_mod") < 90, "val").otherwise("test"))
+      .orderBy("doc_id")
+
   /** Document fingerprinting: full-text rolling hash plus a min-hash
     * style shingle fingerprint (min over word-5-gram hashes) — the
     * compact identity used by exact and near dedup respectively. */

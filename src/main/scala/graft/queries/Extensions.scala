@@ -27,12 +27,14 @@ object Extensions {
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
+    "s04_ivf_centroids" -> (Similarity.ivfCentroids _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
     "t04_fingerprints" -> (TextAnalysis.fingerprints _),
     "t05_kmv_distinct" -> (Sketches.kmvDistinctShingles _),
     "t06_repetition" -> (TextAnalysis.repetition _),
+    "t07_hash_split" -> (TextAnalysis.hashSplit _),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
@@ -201,6 +203,31 @@ object Extensions {
       FROM (SELECT query_id, neighbor_id, cs, row_number() OVER
             (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk FROM scored) t
       WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // same centroid/assignment math as s03 (crnk = 1); coordinate
+    // sums in floor(x*1e6) longs; mean via double division + floor
+    // (an integer `div` would floor in DuckDB but truncate in Spark
+    // on negative sums)
+    "s04_ivf_centroids" -> """
+      WITH cents AS (SELECT k, [((1103515245::BIGINT * (k*64 + d) + 54321) % 2147483648)
+            / 2147483648.0 - 0.5 for d in generate_series(1, 64)] AS cv
+          FROM generate_series(0, 15) t(k)),
+      dots AS (SELECT e.vec_id, c.k,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            [(e.embedding[d]::DOUBLE) * (c.cv[d]::DOUBLE) for d in generate_series(1, 64)]),
+            (x, y) -> x + y) AS dot
+          FROM embeddings e, cents c),
+      assigned AS (SELECT vec_id, k AS bucket
+          FROM (SELECT vec_id, k, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY dot DESC, k) AS crnk FROM dots) r
+          WHERE crnk = 1),
+      ex AS (SELECT a.bucket, d - 1 AS dim,
+               CAST(floor((e.embedding[d]::DOUBLE) * 1000000) AS BIGINT) AS v_e6
+             FROM assigned a JOIN embeddings e USING (vec_id),
+                  generate_series(1, 64) t(d))
+      SELECT CAST(bucket AS INTEGER) AS bucket, CAST(dim AS INTEGER) AS dim,
+        count(*) AS n_vectors, CAST(sum(v_e6) AS BIGINT) AS sum_e6,
+        CAST(floor(sum(v_e6) / count(*)) AS BIGINT) AS mean_e6
+      FROM ex GROUP BY bucket, dim ORDER BY bucket, dim""",
     "t01_langid" -> raw"""
       WITH f AS (SELECT doc_id, lang AS lang_label, lower(text) AS t FROM documents),
       g AS (SELECT doc_id, lang_label, length(t) AS n_chars_seen,
@@ -281,6 +308,13 @@ object Extensions {
         CASE WHEN n3 > 0 THEN CAST(floor(1000000 * ((n3 - n3d) / n3)) AS BIGINT)
              ELSE 0::BIGINT END AS dup3_e6
       FROM h ORDER BY doc_id""",
+    "t07_hash_split" -> s"""
+      WITH f AS (SELECT doc_id, lower(text) AS t FROM documents),
+      g AS (SELECT doc_id, ${rh("t", 1000000007L)} % 100 AS h_mod FROM f)
+      SELECT doc_id, h_mod,
+        CASE WHEN h_mod < 80 THEN 'train'
+             WHEN h_mod < 90 THEN 'val' ELSE 'test' END AS split
+      FROM g ORDER BY doc_id""",
     // byte semantics: strlen = UTF-8 bytes (= Spark octet_length); the
     // per-byte sums walk code points via ascii(), which equals bytes
     // only for the pure-ASCII driver corpus (documented assumption,

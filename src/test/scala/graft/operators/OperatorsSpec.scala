@@ -243,6 +243,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash split is deterministic and covers every document") {
+    val a = TextAnalysis.hashSplit(spark, dir).collect()
+    val b = TextAnalysis.hashSplit(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 500)
+    val frac = a.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length / 500.0).toMap
+    // content hashes ~uniform: splits near 80/10/10 (loose bounds)
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"split fractions $frac")
+    assert(frac.values.sum == 1.0)
+  }
+
+  test("ivf centroids aggregate every vector exactly once per dim") {
+    val rows = Similarity.ivfCentroids(spark, dir).collect()
+    val nVecs = graft.engine.Tables.t(spark, dir, "embeddings").count()
+    // every present (bucket, dim) cell has all 64 dims, and per-dim
+    // member counts across buckets partition the corpus
+    val byDim = rows.groupBy(_.getAs[Int]("dim"))
+    assert(byDim.size == 64)
+    byDim.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_vectors")).sum == nVecs)
+    }
+    rows.foreach { r =>
+      val (n, sum, mean) = (r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("sum_e6"), r.getAs[Long]("mean_e6"))
+      assert(mean == math.floor(sum.toDouble / n).toLong)
+    }
+  }
+
   test("n-gram repetition ratios are bounded and total counts consistent") {
     val rows = TextAnalysis.repetition(spark, dir).collect()
     assert(rows.length == 500)

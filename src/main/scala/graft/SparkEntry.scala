@@ -59,6 +59,7 @@ object SparkEntry {
     "q39_asof_join" -> (AsofJoin.purchaseClickAsof _),
     "q40_range_join" -> (RangeJoin.eventValueBands _),
     "q41_percentiles" -> (Sketches.percentileRanks _),
+    "q42_range_frame" -> (Relational.q42_range_frame _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -365,5 +366,15 @@ object SparkEntry {
         min(CASE WHEN rn >= ceil(n * 0.99::DOUBLE) THEN cents END) AS p99_cents,
         max(cents) AS max_cents
       FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q42_range_frame" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+               CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events)
+      SELECT event_id, user_id,
+        count(*) OVER w AS n_10m,
+        CAST(sum(v_e6) OVER w AS BIGINT) AS sum_10m_e6
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
   ) ++ Extensions.oracles
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.TextHash._
+
+/** The end-to-end pre-training data pipeline as ONE declarative DAG:
+  * quality filter → exact dedup → deterministic split → dataset card
+  * (per-split document and token counts).
+  *
+  * This is the composition proof for the operator library — each stage
+  * is the same logic as its standalone query (t02 quality, d01 dedup,
+  * t07 split), fused so Catalyst sees the whole pipeline: the quality
+  * filter prunes before the dedup shuffle, documents reduce to
+  * (md5, doc_id, n_toks, h_mod) before anything moves, and the final
+  * card aggregates three rows. At 100 TB the only wide ops are one
+  * hash shuffle of 16-byte digests and one of winner ids.
+  */
+object Pipeline {
+
+  /** x03: per-split counts of quality-kept, exact-deduped documents. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val base = fanOut(Tables.t(s, dir, "documents"))
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        length(col("t")).as("n_chars"),
+        length(regexp_replace(col("t"), "[a-z0-9\\s]", "")).as("n_punct"),
+        split(col("t"), "\\s+").as("tk"))
+      .select(col("doc_id"), col("t"), col("n_chars"), col("n_punct"),
+        size(col("tk")).as("n_toks"), size(array_distinct(col("tk"))).as("n_types"))
+    // identical keep rule to TextAnalysis.quality (same e6 floors)
+    val kept = base.filter(col("n_chars") >= 100 && col("n_toks") >= 20 &&
+        floor(col("n_punct") / col("n_chars") * 1000000) < 100000 &&
+        floor(col("n_types") / col("n_toks") * 1000000) > 150000)
+      .persist() // winner election + attribute re-join share this pass
+    val winners = kept
+      .groupBy(md5(col("t")).as("m")).agg(min(col("doc_id")).as("doc_id"))
+    winners
+      .join(kept.select(col("doc_id"), col("n_toks"),
+        (expr(rollingHashExpr("t", P)) % 100).as("h_mod")), "doc_id")
+      .withColumn("split",
+        when(col("h_mod") < 80, "train")
+          .when(col("h_mod") < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens_total"))
+      .orderBy("split")
+  }
+}

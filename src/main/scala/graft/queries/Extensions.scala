@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, DupCluster, Funnel, Multimodal, Similarity,
-  Sketches, TextAnalysis}
+import graft.operators.{Dedup, DupCluster, Funnel, Multimodal, Pipeline,
+  Similarity, Sketches, TextAnalysis}
 import graft.streaming.Sessionize
 
 /** LLM-data-pipeline extension queries (dedup / similarity / text
@@ -39,6 +39,7 @@ object Extensions {
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
     "x02_funnel" -> (Funnel.viewClickPurchase _),
+    "x03_pipeline" -> (Pipeline.datasetCard _),
   )
 
   // Shared DuckDB fragments -----------------------------------------
@@ -393,5 +394,27 @@ object Extensions {
              WHEN min(c1) IS NOT NULL THEN 2
              WHEN min(v1) IS NOT NULL THEN 1 ELSE 0 END AS depth
       FROM c GROUP BY user_id ORDER BY user_id""",
+    // quality rule = t02's (same e6 floors), dedup = d01's md5 winner,
+    // split = t07's hash rule — the composed pipeline
+    "x03_pipeline" -> s"""
+      WITH f AS (SELECT doc_id, lower(text) AS t FROM documents),
+      g AS (SELECT doc_id, t, length(t) AS n_chars,
+              length(regexp_replace(t, '[a-z0-9\\s]', '', 'g')) AS n_punct,
+              string_split_regex(t, '\\s+') AS tk FROM f),
+      h AS (SELECT doc_id, t, n_chars, len(tk) AS n_toks,
+              CAST(floor(1000000 * (n_punct / n_chars)) AS BIGINT) AS pr,
+              CAST(floor(1000000 * (len(list_distinct(tk)) / len(tk))) AS BIGINT) AS ttr
+            FROM g),
+      kept AS (SELECT * FROM h
+               WHERE n_chars >= 100 AND n_toks >= 20
+                 AND pr < 100000 AND ttr > 150000),
+      winners AS (SELECT md5(t) AS m, min(doc_id) AS doc_id
+                  FROM kept GROUP BY 1),
+      en AS (SELECT w.doc_id, k.n_toks, ${rh("k.t", 1000000007L)} % 100 AS h_mod
+             FROM winners w JOIN kept k USING (doc_id))
+      SELECT CASE WHEN h_mod < 80 THEN 'train'
+                  WHEN h_mod < 90 THEN 'val' ELSE 'test' END AS split,
+        count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens_total
+      FROM en GROUP BY 1 ORDER BY split""",
   )
 }

@@ -569,6 +569,23 @@ object Relational {
       ORDER BY word""")
   }
 
+  // Time-valued RANGE window frame (§2.5 breadth): per user, the count
+  // and value mass of events in the trailing 10 minutes. A ROWS frame
+  // can't express this (events are irregularly spaced); the RANGE
+  // frame runs over epoch micros so frame bounds are engine-exact.
+  def q42_range_frame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-600L * 1000000, 0) // trailing 10 minutes, in micros
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 1000000).cast("long").as("v_e6"))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("sum_10m_e6", sum(col("v_e6")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_10m"), col("sum_10m_e6"))
+      .orderBy("event_id")
+  }
+
   // LIKE / NOT LIKE / IS NULL family (P4, P6) over part descriptions.
   def q29_like_null(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "part")

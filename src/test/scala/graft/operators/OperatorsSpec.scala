@@ -272,6 +272,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dataset-card pipeline composes quality + dedup + split exactly") {
+    val keptIds = TextAnalysis.quality(spark, dir)
+      .filter(col("keep") === 1).select("doc_id")
+    val expectedWinners = graft.engine.Tables.t(spark, dir, "documents")
+      .join(keptIds, "doc_id")
+      .select(md5(lower(col("text"))).as("m")).distinct().count()
+    val card = Pipeline.datasetCard(spark, dir).collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum == expectedWinners,
+      "pipeline doc count must equal dedup-winners of quality-kept docs")
+    assert(card.forall(_.getAs[Long]("tokens_total") > 0))
+    assert(card.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
   test("n-gram repetition ratios are bounded and total counts consistent") {
     val rows = TextAnalysis.repetition(spark, dir).collect()
     assert(rows.length == 500)

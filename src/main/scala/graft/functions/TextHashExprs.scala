@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,29 +14,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * MinHash stages alone cost 200–450 s. These expressions compute the
   * *identical* integer recurrences as compiled loops (and the DuckDB
   * oracles are unchanged), cutting those stages to milliseconds.
-  * CodegenFallback costs one boxed call per row, which is noise next
-  * to the per-element loop.
+  *
+  * Each expression implements `doGenCode` as a call to its companion's
+  * static forwarder, so the containing projection stays inside ONE
+  * whole-stage-codegen span — a CodegenFallback here would force the
+  * generated code to materialize an InternalRow and re-enter the
+  * interpreter per row, splitting the hot dedup pipelines' stages.
   */
 
 /** Rolling polynomial hash (seed 7, base 31, mod `mod`) of every
   * element of an array<string>; empty string → seed. */
 case class RollingHashArray(child: Expression, modExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = modExpr
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(arr: Any, m: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
-    val mod = m.asInstanceOf[Long]
-    val out = new Array[Long](a.numElements())
-    var i = 0
-    while (i < out.length) {
-      out(i) = RollingHashArray.hash(a.getUTF8String(i), mod)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(arr: Any, m: Any): Any =
+    RollingHashArray.hashArr(arr.asInstanceOf[ArrayData], m.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, m) =>
+      s"${ev.value} = graft.functions.RollingHashArray.hashArr($a, $m);")
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): RollingHashArray = copy(l, r)
@@ -53,16 +52,32 @@ object RollingHashArray {
     }
     acc
   }
+
+  def hashArr(a: ArrayData, mod: Long): ArrayData = {
+    val out = new Array[Long](a.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = hash(a.getUTF8String(i), mod)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Rolling hash of a single string column. */
 case class RollingHashStr(child: Expression, modExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = modExpr
   override def dataType: DataType = LongType
+
   override def nullSafeEval(s: Any, m: Any): Any =
     RollingHashArray.hash(s.asInstanceOf[UTF8String], m.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, m) =>
+      s"${ev.value} = graft.functions.RollingHashArray.hash($s, $m);")
+
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): RollingHashStr = copy(l, r)
 }
@@ -70,14 +85,25 @@ case class RollingHashStr(child: Expression, modExpr: Expression)
 /** MinHash signature: sig[i] = min over h of ((2i+1)·h + 7919·(i+1))
   * mod 1e9+7, for i in 0 until k. */
 case class AffineMinHash(child: Expression, kExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = kExpr
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(arr: Any, kAny: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData].toLongArray()
-    val k = kAny.asInstanceOf[Int]
+  override def nullSafeEval(arr: Any, kAny: Any): Any =
+    AffineMinHash.sig(arr.asInstanceOf[ArrayData], kAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.functions.AffineMinHash.sig($a, $k);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): AffineMinHash = copy(l, r)
+}
+
+object AffineMinHash {
+  def sig(arr: ArrayData, k: Int): ArrayData = {
+    val a = arr.toLongArray()
     val p = 1000000007L
     val out = new Array[Long](k)
     var i = 0
@@ -94,19 +120,26 @@ case class AffineMinHash(child: Expression, kExpr: Expression)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildrenInternal(
-      l: Expression, r: Expression): AffineMinHash = copy(l, r)
 }
 
 /** 32-bit SimHash of an array of token hashes (already mod 2^32):
   * bit b set iff sum over h of ±1 (per bit b of h) is positive. */
-case class SimHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(arr: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(arr: Any): Any =
+    SimHash32.fp(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimHash32.fp($a)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(c)
+}
+
+object SimHash32 {
+  def fp(arr: ArrayData): Long = {
+    val a = arr.toLongArray()
     var fp = 0L
     var b = 0
     while (b < 32) {
@@ -121,36 +154,20 @@ case class SimHash32(child: Expression)
     }
     fp
   }
-
-  override protected def withNewChildInternal(c: Expression): SimHash32 =
-    copy(c)
 }
 
 /** 16-bit random-hyperplane LSH signature of an array<float> vector:
   * bit j = sign of dot(v, r_j) with r_j[d] = LCG(j*64+d)/2^31 - 0.5 —
   * identical math (and fold order) to the SQL/DuckDB formula; the
   * hyperplanes are precomputed once per JVM instead of per row. */
-case class LshSig16(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class LshSig16(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(arr: Any): Any = {
-    val v = arr.asInstanceOf[ArrayData].toFloatArray()
-    val r = LshSig16.planes
-    var sig = 0L
-    var j = 0
-    while (j < 16) {
-      var acc = 0.0
-      var d = 1
-      while (d <= 64 && d <= v.length) {
-        acc += v(d - 1).toDouble * r(j * 64 + d - 1)
-        d += 1
-      }
-      if (acc > 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
-  }
+  override def nullSafeEval(arr: Any): Any =
+    LshSig16.sigOf(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.LshSig16.sigOf($a)")
 
   override protected def withNewChildInternal(c: Expression): LshSig16 =
     copy(c)
@@ -173,6 +190,24 @@ object LshSig16 {
     }
     out
   }
+
+  def sigOf(arr: ArrayData): Long = {
+    val v = arr.toFloatArray()
+    val r = planes
+    var sig = 0L
+    var j = 0
+    while (j < 16) {
+      var acc = 0.0
+      var d = 1
+      while (d <= 64 && d <= v.length) {
+        acc += v(d - 1).toDouble * r(j * 64 + d - 1)
+        d += 1
+      }
+      if (acc > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
 }
 
 /** IVF coarse quantizer: the `nprobe` nearest of 16 fixed centroids
@@ -182,30 +217,17 @@ object LshSig16 {
   * would load k-means centroids trained offline; assignment, bucketing,
   * and probing keep exactly this shape. */
 case class IvfAssign(child: Expression, nprobeExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = nprobeExpr
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  override def nullSafeEval(arr: Any, np: Any): Any = {
-    val v = arr.asInstanceOf[ArrayData].toFloatArray()
-    val nprobe = np.asInstanceOf[Int]
-    val c = IvfAssign.centroids
-    val dots = new Array[Double](IvfAssign.K)
-    var k = 0
-    while (k < IvfAssign.K) {
-      var acc = 0.0
-      var d = 1
-      while (d <= 64 && d <= v.length) {
-        acc += v(d - 1).toDouble * c(k * 64 + d - 1)
-        d += 1
-      }
-      dots(k) = acc
-      k += 1
-    }
-    val order = (0 until IvfAssign.K).sortBy(i => (-dots(i), i))
-    new GenericArrayData(order.take(nprobe).toArray)
-  }
+  override def nullSafeEval(arr: Any, np: Any): Any =
+    IvfAssign.assign(arr.asInstanceOf[ArrayData], np.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, np) =>
+      s"${ev.value} = graft.functions.IvfAssign.assign($a, $np);")
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): IvfAssign = copy(l, r)
@@ -227,6 +249,25 @@ object IvfAssign {
       k += 1
     }
     out
+  }
+
+  def assign(arr: ArrayData, nprobe: Int): ArrayData = {
+    val v = arr.toFloatArray()
+    val c = centroids
+    val dots = new Array[Double](K)
+    var k = 0
+    while (k < K) {
+      var acc = 0.0
+      var d = 1
+      while (d <= 64 && d <= v.length) {
+        acc += v(d - 1).toDouble * c(k * 64 + d - 1)
+        d += 1
+      }
+      dots(k) = acc
+      k += 1
+    }
+    val order = (0 until K).sortBy(i => (-dots(i), i))
+    new GenericArrayData(order.take(nprobe).toArray)
   }
 }
 

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the native hash expressions really participate in codegen:
+  * Spark silently falls back to the interpreted path when doGenCode
+  * emits uncompilable Java, so a plain query test would pass with
+  * broken codegen. CODEGEN_ONLY turns that fallback into an error,
+  * and the NO_CODEGEN twin run pins interpreted ≡ generated results.
+  */
+class CodegenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def runAll(mode: String): Array[Row] = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.factoryMode", mode)
+    TextHashExprs.register(s)
+    import s.implicits._
+    Seq(
+      ("the quick brown fox jumps over the lazy dog again and again",
+        Array(0.5f, -1.5f, 2.5f, -0.25f)),
+      ("", Array.empty[Float]))
+      .toDF("t", "v").createOrReplaceTempView("cg_probe")
+    s.sql("""
+      SELECT rolling_hash_str(t, 1000000007L) AS h,
+             rolling_hash_arr(split(t, ' '), 1000000007L) AS ha,
+             affine_minhash(rolling_hash_arr(split(t, ' '), 1000000007L), 8) AS mh,
+             simhash32(rolling_hash_arr(split(t, ' '), 4294967296L)) AS sh,
+             lsh_sig16(v) AS ls,
+             ivf_assign(v, 2) AS iv,
+             float_dot(v, v) AS fd
+      FROM cg_probe""").collect()
+  }
+
+  test("hash expressions compile under CODEGEN_ONLY and match interpreted") {
+    val gen = runAll("CODEGEN_ONLY")
+    val interp = runAll("NO_CODEGEN")
+    assert(gen.length == 2)
+    assert(gen.map(_.toSeq.map {
+      case a: Seq[_] => a.toList
+      case x => x
+    }).toSeq == interp.map(_.toSeq.map {
+      case a: Seq[_] => a.toList
+      case x => x
+    }).toSeq)
+    assert(gen.head.getAs[Long]("h") > 0)
+  }
+}

@@ -60,6 +60,9 @@ object SparkEntry {
     "q40_range_join" -> (RangeJoin.eventValueBands _),
     "q41_percentiles" -> (Sketches.percentileRanks _),
     "q42_range_frame" -> (Relational.q42_range_frame _),
+    "q43_cte" -> (Relational.q43_cte _),
+    "q44_unpivot" -> (Relational.q44_unpivot _),
+    "q45_lateral" -> (Relational.q45_lateral _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -376,5 +379,41 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY user_id ORDER BY us
                    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""",
+    "q43_cte" -> """
+      WITH nat_rev AS (
+        SELECT n_name,
+          sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+          count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name),
+      tot AS (SELECT sum(rev_dec) AS t_rev, count(*) AS n_nat FROM nat_rev)
+      SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue, n_orders
+      FROM nat_rev, tot
+      WHERE rev_dec * CAST(n_nat AS DECIMAL(3,0)) > t_rev
+      ORDER BY n_name""",
+    // DuckDB side melts with UNION ALL — same result, engine-neutral
+    "q44_unpivot" -> """
+      WITH a AS (
+        SELECT l_returnflag,
+          CAST(count(*) AS DOUBLE) AS n_lines,
+          CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders,
+          round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'n_lines' AS metric, n_lines AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'n_orders', n_orders FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_qty', sum_qty FROM a) u
+      ORDER BY l_returnflag, metric""",
+    "q45_lateral" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 200
+      ORDER BY c_custkey, o_orderkey""",
   ) ++ Extensions.oracles
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.TextHash._
+
+/** Corpus-curation operators — the remaining stages of a pre-training
+  * data pipeline beyond dedup/quality (TextAnalysis, Dedup, Pipeline):
+  * token normalization, blocklist filtering, domain-mix reporting,
+  * train/test decontamination, per-doc salient terms, stratified
+  * sampling, and sequence packing.
+  *
+  * Scale shape: t08/t09/t13 are narrow per-row projections; t10 is one
+  * partial-agg groupBy on a low-cardinality key; t12 shuffles (doc,
+  * term) pairs — bounded by corpus token count, the same cost class as
+  * an inverted-index build; t11 joins shingle-hash longs (never text);
+  * x04's cumulative sum is windowed per source shard so packing
+  * parallelizes across shards instead of serializing on a global
+  * order.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    fanOut(Tables.t(s, dir, "documents"))
+
+  private def e6(c: Column): Column = floor(c * 1000000).cast("long")
+
+  /** t08: token-level normalization — lowercase, whitespace-split,
+    * drop single-character tokens (boilerplate/noise cleanup), rejoin
+    * canonically. Emits before/after token counts and the md5 of the
+    * normalized text (the key an exact-dedup pass downstream would
+    * group on). */
+  def normalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        expr("filter(tk, x -> length(x) > 1)").as("tkn"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_toks_raw"),
+        size(col("tkn")).as("n_toks_norm"),
+        md5(array_join(col("tkn"), " ")).as("norm_md5"))
+      .orderBy("doc_id")
+
+  /** t09: blocklist (badwords) filter — C4-style: count blocklisted
+    * tokens, drop documents where they exceed 8% of tokens. */
+  def badwords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_toks"),
+        expr("size(filter(tk, x -> x IN ('slow', 'big', 'bad')))")
+          .as("n_banned"))
+      .withColumn("banned_ratio_e6", e6(col("n_banned") / col("n_toks")))
+      .withColumn("keep", (col("banned_ratio_e6") < 80000).cast("int"))
+      .orderBy("doc_id")
+
+  /** t10: domain-mix report — per source (the stand-in for a crawl
+    * domain): doc count, token mass, corpus share. One partial-agg
+    * groupBy on a low-cardinality key; the share window runs over the
+    * 20-row aggregate, not the corpus. */
+  def domainStats(s: SparkSession, dir: String): DataFrame = {
+    val agg = docs(s, dir)
+      .select(col("source"), tokens(col("text")).as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("tk"))).as("toks_total"))
+    agg
+      .withColumn("share_e6",
+        e6(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy())))
+      .withColumn("avg_toks_e6", e6(col("toks_total") / col("n_docs")))
+      .orderBy("source")
+  }
+
+  /** t11: train/test decontamination — train-split documents sharing a
+    * word-5-gram shingle with any test-split document (the benchmark
+    * leak check run before every training run). Split rule is t07's
+    * content-hash split; only 8-byte shingle hashes move in the join,
+    * never document text, and the test side is deduplicated before
+    * joining. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sp = d.select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), (expr(rollingHashExpr("t", P)) % 100).as("h_mod"))
+    val ex = shingleHashes(d).join(sp, "doc_id")
+      .select(col("doc_id"), col("h_mod"), explode(col("hv")).as("h"))
+    val testHashes = ex.filter(col("h_mod") >= 90).select("h").distinct()
+    ex.filter(col("h_mod") < 80)
+      .join(testHashes, "h")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** t12: per-document salient terms — TF·IDF-shaped argmax kept in
+    * exact integer math (score = tf·1e6 div df) so the oracle compare
+    * can't drift on float log: the top term per doc by (score desc,
+    * term asc). The (doc, term) shuffle is the inverted-index cost
+    * class; df is a second partial-agg over distinct (doc, term). */
+  def topTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", expr("tf * 1000000L div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "term", "tf", "df", "score")
+      .orderBy("doc_id")
+  }
+
+  /** t13: stratified deterministic sampling — per-language target
+    * rates (permille), membership by content hash, not rand(): the
+    * sample is reproducible and stable under re-sharding. Emits the
+    * per-stratum census. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        (expr(rollingHashExpr("t", P)) % 1000).as("h"))
+      .withColumn("rate_permille",
+        when(col("lang") === "en", 100).when(col("lang") === "de", 300)
+          .when(col("lang") === "es", 500).when(col("lang") === "fr", 700)
+          .when(col("lang") === "zh", 900).otherwise(50))
+      .withColumn("sampled", (col("h") < col("rate_permille")).cast("int"))
+      .groupBy("lang")
+      .agg(max(col("rate_permille")).as("rate_permille"),
+        count(lit(1)).as("n_total"),
+        sum(col("sampled")).as("n_sampled"))
+      .orderBy("lang")
+
+  /** x04: sequence packing — GPT-style concat-and-cut: within each
+    * source shard, documents are concatenated in doc_id order and cut
+    * every `budget` tokens; a document owns the token span
+    * [start_tok, start_tok + n_toks) and so lands in context bins
+    * [bin_first, bin_last]. Partitioned by shard so the running sum
+    * never serializes on a global order. */
+  def packing(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("end_tok", sum(col("n_toks")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_toks"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("start_tok"),
+        expr(s"start_tok div ${budget}L").as("bin_first"),
+        expr(s"(end_tok - 1) div ${budget}L").as("bin_last"))
+      .orderBy("doc_id")
+  }
+}

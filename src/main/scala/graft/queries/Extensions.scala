@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, DupCluster, Funnel, Multimodal, Pipeline,
-  Similarity, Sketches, TextAnalysis}
+import graft.operators.{Curation, Dedup, DupCluster, Funnel, Multimodal,
+  Pipeline, Similarity, Sketches, TextAnalysis}
 import graft.streaming.Sessionize
 
 /** LLM-data-pipeline extension queries (dedup / similarity / text
@@ -35,11 +35,18 @@ object Extensions {
     "t05_kmv_distinct" -> (Sketches.kmvDistinctShingles _),
     "t06_repetition" -> (TextAnalysis.repetition _),
     "t07_hash_split" -> (TextAnalysis.hashSplit _),
+    "t08_normalize" -> (Curation.normalize _),
+    "t09_badwords" -> (Curation.badwords _),
+    "t10_domain_stats" -> (Curation.domainStats _),
+    "t11_contamination" -> (Curation.contamination _),
+    "t12_top_terms" -> (Curation.topTerms _),
+    "t13_stratified_sample" -> (Curation.stratifiedSample _),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
     "x02_funnel" -> (Funnel.viewClickPurchase _),
     "x03_pipeline" -> (Pipeline.datasetCard _),
+    "x04_packing" -> ((s: SparkSession, d: String) => Curation.packing(s, d)),
   )
 
   // Shared DuckDB fragments -----------------------------------------
@@ -316,6 +323,68 @@ object Extensions {
         CASE WHEN h_mod < 80 THEN 'train'
              WHEN h_mod < 90 THEN 'val' ELSE 'test' END AS split
       FROM g ORDER BY doc_id""",
+    "t08_normalize" -> s"""
+      WITH $tkCte,
+      n AS (SELECT doc_id, tk, list_filter(tk, x -> length(x) > 1) AS tkn FROM tk)
+      SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_toks_raw,
+        CAST(len(tkn) AS INTEGER) AS n_toks_norm,
+        md5(array_to_string(tkn, ' ')) AS norm_md5
+      FROM n ORDER BY doc_id""",
+    "t09_badwords" -> s"""
+      WITH $tkCte,
+      g AS (SELECT doc_id, len(tk) AS n_toks,
+              len(list_filter(tk, x -> list_contains(['slow','big','bad'], x))) AS n_banned
+            FROM tk),
+      h AS (SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+              CAST(n_banned AS INTEGER) AS n_banned,
+              CAST(floor(1000000 * (n_banned / n_toks)) AS BIGINT) AS banned_ratio_e6
+            FROM g)
+      SELECT *, CAST(CASE WHEN banned_ratio_e6 < 80000 THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM h ORDER BY doc_id""",
+    "t10_domain_stats" -> s"""
+      WITH $tkCte,
+      a AS (SELECT d.source, count(*) AS n_docs, sum(len(tk.tk)) AS toks_total
+            FROM documents d JOIN tk ON d.doc_id = tk.doc_id
+            GROUP BY d.source)
+      SELECT source, n_docs, CAST(toks_total AS BIGINT) AS toks_total,
+        CAST(floor(1000000 * (n_docs / sum(n_docs) OVER ())) AS BIGINT) AS share_e6,
+        CAST(floor(1000000 * (toks_total / n_docs)) AS BIGINT) AS avg_toks_e6
+      FROM a ORDER BY source""",
+    "t11_contamination" -> s"""
+      WITH $tkCte, $shCte,
+      hv AS (SELECT doc_id, [${rh("s", 1000000007L)} for s in shs] AS hv FROM sh),
+      sp AS (SELECT doc_id, ${rh("lower(text)", 1000000007L)} % 100 AS h_mod
+             FROM documents),
+      ex AS (SELECT hv.doc_id, sp.h_mod, unnest(hv.hv) AS h
+             FROM hv JOIN sp ON hv.doc_id = sp.doc_id),
+      test AS (SELECT DISTINCT h FROM ex WHERE h_mod >= 90)
+      SELECT e.doc_id, count(DISTINCT e.h) AS n_shared_shingles
+      FROM ex e JOIN test USING (h)
+      WHERE e.h_mod < 80
+      GROUP BY e.doc_id ORDER BY e.doc_id""",
+    "t12_top_terms" -> s"""
+      WITH $tkCte,
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS term FROM tk) u
+             GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               (tf.tf * 1000000) // df.df AS score
+             FROM tf JOIN df USING (term))
+      SELECT doc_id, term, tf, df, score FROM sc
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
+      ORDER BY doc_id""",
+    "t13_stratified_sample" -> s"""
+      WITH g AS (SELECT doc_id, lang,
+              ${rh("lower(text)", 1000000007L)} % 1000 AS h,
+              CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300
+                WHEN 'es' THEN 500 WHEN 'fr' THEN 700
+                WHEN 'zh' THEN 900 ELSE 50 END AS rate
+            FROM documents)
+      SELECT lang, CAST(max(rate) AS INTEGER) AS rate_permille,
+        count(*) AS n_total,
+        CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      FROM g GROUP BY lang ORDER BY lang""",
     // byte semantics: strlen = UTF-8 bytes (= Spark octet_length); the
     // per-byte sums walk code points via ascii(), which equals bytes
     // only for the pure-ASCII driver corpus (documented assumption,
@@ -416,5 +485,18 @@ object Extensions {
                   WHEN h_mod < 90 THEN 'val' ELSE 'test' END AS split,
         count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens_total
       FROM en GROUP BY 1 ORDER BY split""",
+    // concat-and-cut packing: per-source running token sum, bins of 256
+    "x04_packing" -> s"""
+      WITH $tkCte,
+      n AS (SELECT d.doc_id, d.source, len(tk.tk)::BIGINT AS n_toks
+            FROM documents d JOIN tk ON d.doc_id = tk.doc_id),
+      c AS (SELECT doc_id, source, n_toks,
+              sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+            FROM n)
+      SELECT doc_id, source, n_toks, end_tok - n_toks AS start_tok,
+        (end_tok - n_toks) // 256 AS bin_first,
+        (end_tok - 1) // 256 AS bin_last
+      FROM c ORDER BY doc_id""",
   )
 }

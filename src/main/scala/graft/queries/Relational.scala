@@ -594,4 +594,56 @@ object Relational {
       .select(col("p_partkey"), col("p_name"), col("p_type"))
       .orderBy("p_partkey")
   }
+
+  // WITH clause referenced twice (CTE reuse): nations whose revenue
+  // exceeds the all-nation mean. The threshold compare stays in exact
+  // DECIMAL (rev·n > total) — no double mean to diverge on — and the
+  // revenue is cast to DOUBLE only at the output boundary.
+  def q43_cte(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      WITH nat_rev AS (
+        SELECT n_name,
+          sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+          count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name),
+      tot AS (SELECT sum(rev_dec) AS t_rev, count(*) AS n_nat FROM nat_rev)
+      SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue, n_orders
+      FROM nat_rev, tot
+      WHERE rev_dec * CAST(n_nat AS DECIMAL(3,0)) > t_rev
+      ORDER BY n_name""")
+  }
+
+  // UNPIVOT (wide → long): per-returnflag metrics melted into
+  // (metric, value) rows. Values are exact under DOUBLE (counts, and
+  // a 2-decimal rounded sum of integral quantities).
+  def q44_unpivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag,
+          CAST(count(*) AS DOUBLE) AS n_lines,
+          CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders,
+          round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+      ) UNPIVOT (value FOR metric IN (n_lines, n_orders, sum_qty))
+      ORDER BY l_returnflag, metric""")
+  }
+
+  // LATERAL correlated subquery join (top-2 orders per customer):
+  // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
+  // partitioned window rank — one shuffle, no per-row re-execution.
+  def q45_lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 200
+      ORDER BY c_custkey, o_orderkey""")
+  }
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Relational
+
+/** Semantic specs for the corpus-curation operators (Curation.scala)
+  * and the round-5 SQL-surface queries — invariants the row-hash
+  * oracle can't express (consistency across operators, packing
+  * geometry, determinism). */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("normalization never grows the token stream and is deterministic") {
+    val a = Curation.normalize(spark, dir).collect()
+    assert(a.length == 500)
+    a.foreach { r =>
+      assert(r.getAs[Int]("n_toks_norm") <= r.getAs[Int]("n_toks_raw"))
+    }
+    val b = Curation.normalize(spark, dir).collect()
+    assert(a.map(_.getString(3)).toSeq == b.map(_.getString(3)).toSeq)
+  }
+
+  test("badwords keep-flag matches its ratio rule on full coverage") {
+    val rows = Curation.badwords(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val expect = if (r.getAs[Long]("banned_ratio_e6") < 80000) 1 else 0
+      assert(r.getAs[Int]("keep") == expect)
+      assert(r.getAs[Int]("n_banned") <= r.getAs[Int]("n_toks"))
+    }
+  }
+
+  test("domain stats partition the corpus and shares sum to ~1") {
+    val rows = Curation.domainStats(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500L)
+    val share = rows.map(_.getAs[Long]("share_e6")).sum
+    assert(share > 999900L && share <= 1000000L, s"share sum $share")
+  }
+
+  test("contaminated docs are train-split docs sharing test shingles") {
+    val contaminated = Curation.contamination(spark, dir)
+    val splits = TextAnalysis.hashSplit(spark, dir).select("doc_id", "split")
+    val joined = contaminated.join(splits, "doc_id").collect()
+    assert(joined.length == contaminated.count())
+    joined.foreach { r =>
+      assert(r.getAs[String]("split") == "train")
+      assert(r.getAs[Long]("n_shared_shingles") >= 1L)
+    }
+  }
+
+  test("top terms: one argmax row per document, score = tf*1e6 div df") {
+    val rows = Curation.topTerms(spark, dir).collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 500)
+    rows.foreach { r =>
+      val tf = r.getAs[Long]("tf"); val df = r.getAs[Long]("df")
+      assert(tf >= 1 && df >= 1 && df <= 500)
+      assert(r.getAs[Long]("score") == tf * 1000000L / df)
+    }
+  }
+
+  test("stratified sample respects strata and is deterministic") {
+    val a = Curation.stratifiedSample(spark, dir).collect()
+    assert(a.map(_.getAs[Long]("n_total")).sum == 500L)
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total"))
+    }
+    val b = Curation.stratifiedSample(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("packing spans are contiguous and bin-consistent per shard") {
+    val rows = Curation.packing(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var expectStart = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_tok") == expectStart,
+          s"gap/overlap at doc ${r.getAs[Long]("doc_id")}")
+        expectStart += r.getAs[Long]("n_toks")
+        assert(r.getAs[Long]("bin_first") == r.getAs[Long]("start_tok") / 256)
+        assert(r.getAs[Long]("bin_last") == (expectStart - 1) / 256)
+        assert(r.getAs[Long]("bin_first") <= r.getAs[Long]("bin_last"))
+      }
+    }
+  }
+
+  test("q43 CTE threshold really is the mean (brute-force cross-check)") {
+    val all = spark.sql("""
+      SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name""").collect()
+    val mean = all.map(_.getAs[Double]("rev")).sum / all.length
+    val expect = all.filter(_.getAs[Double]("rev") > mean)
+      .map(_.getAs[String]("n_name")).toSet
+    val got = Relational.q43_cte(spark, dir).collect()
+      .map(_.getAs[String]("n_name")).toSet
+    assert(got == expect)
+  }
+
+  test("q44 unpivot emits 3 metric rows per returnflag") {
+    val rows = Relational.q44_unpivot(spark, dir).collect()
+    val byFlag = rows.groupBy(_.getAs[String]("l_returnflag"))
+    byFlag.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("metric")).sorted.toSeq ==
+        Seq("n_lines", "n_orders", "sum_qty"))
+    }
+  }
+
+  test("q45 lateral returns the true top-2 orders per customer") {
+    val rows = Relational.q45_lateral(spark, dir).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
+    byCust.foreach { case (_, rs) => assert(rs.length <= 2) }
+    // brute-force one customer with >= 2 orders
+    val sample = byCust.find(_._2.length == 2).get
+    val brute = spark.sql(
+      s"""SELECT o_orderkey FROM orders WHERE o_custkey = ${sample._1}
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2""").collect()
+      .map(_.getLong(0)).toSet
+    assert(sample._2.map(_.getAs[Long]("o_orderkey")).toSet == brute)
+  }
+}

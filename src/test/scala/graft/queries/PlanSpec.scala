@@ -89,4 +89,28 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.Sketches.percentileRanks(spark, dir))
     assert(hashExchanges(p) == 1, s"expected a single group-key shuffle:\n$p")
   }
+
+  test("lateral top-k decorrelates to a window, not a per-row rescan") {
+    val p = plan(Relational.q45_lateral(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"lateral subquery must not plan as a cross/nested-loop join:\n$p")
+    assert("\\(\\d+\\) Window".r.findFirstIn(p).isDefined,
+      s"expected ORDER BY/LIMIT lateral to become a ranked window:\n$p")
+  }
+
+  test("packing cumulative sum is sharded, never a single global order") {
+    val p = plan(graft.operators.Curation.packing(spark, dir))
+    assert(p.contains("hashpartitioning(source"),
+      s"packing window must partition by shard (source):\n$p")
+  }
+
+  test("contamination join shuffles shingle hashes, not document text") {
+    val p = plan(graft.operators.Curation.contamination(spark, dir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"contamination must be a hash join on shingle hashes:\n$p")
+    // no exchange may carry the raw text column (hashes only)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"),
+      s"document text must never shuffle:\n$exchanges")
+  }
 }

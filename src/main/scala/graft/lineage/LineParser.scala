@@ -40,6 +40,10 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
   private val colLines = mutable.ArrayBuffer.empty[ColLine]
   // per-statement tagged conditions (reference: `conditions`, README.md:119)
   private var conditions = mutable.LinkedHashSet.empty[String]
+  // per-statement CTE name → its walked scope (WITH is a post-2015
+  // extension beyond the reference; provenance chases through CTE
+  // bodies like FROM-subqueries, README.md:589-611 analog)
+  private val cteScopes = mutable.Map.empty[String, Scope]
 
   def getColLines: List[ColLine] = colLines.toList
   def getInputTables: Set[String] = inputTables.toSet
@@ -53,6 +57,7 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
     inputTables.clear(); outputTables.clear(); colLines.clear()
     sqlAll.split("(?<!\\\\);").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
       conditions = mutable.LinkedHashSet.empty[String]
+      cteScopes.clear()
       parseStatement(stmt)
     }
     if (validate) runValidate()
@@ -80,7 +85,19 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
             case _ => throw e
           }
       }
+    dispatch(plan, stmt)
+  }
+
+  private def dispatch(plan: LogicalPlan, stmt: String): Unit =
     plan match {
+      case w: UnresolvedWith =>
+        // WITH before INSERT/SELECT (post-reference extension):
+        // register each CTE's walked scope in order — later CTEs may
+        // reference earlier ones — then dispatch the body.
+        w.cteRelations.foreach { case (name, sa, _) =>
+          cteScopes(name.toLowerCase) = walkQuery(sa.child, stmt)
+        }
+        dispatch(w.child, stmt)
       case SetCatalogAndNamespace(child) =>
         // USE db (README.md:637-640): mutate the db used by fillDB.
         child.collectFirst {
@@ -122,7 +139,6 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
         // reference either (oper flag only, README.md:676-693).
         ()
     }
-  }
 
   private def isQueryShape(p: LogicalPlan): Boolean = p match {
     case _: Project | _: Aggregate | _: Union | _: Distinct | _: Sort |
@@ -229,6 +245,20 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
     case GlobalLimit(_, child) => walkQuery(child, stmt)
     case LocalLimit(_, child) => walkQuery(child, stmt)
     case SubqueryAlias(_, child) => walkQuery(child, stmt)
+    case w: UnresolvedWith =>
+      // nested WITH: register, walk the body, restore shadowed names
+      val saved = w.cteRelations.map { case (name, _, _) =>
+        val n = name.toLowerCase; n -> cteScopes.get(n)
+      }
+      w.cteRelations.foreach { case (name, sa, _) =>
+        cteScopes(name.toLowerCase) = walkQuery(sa.child, stmt)
+      }
+      val out = walkQuery(w.child, stmt)
+      saved.foreach {
+        case (n, Some(s)) => cteScopes(n) = s
+        case (n, None) => cteScopes.remove(n)
+      }
+      out
     case Filter(cond, child) =>
       val scope = walkQuery(child, stmt)
       // HAVING-style filter above a query block; record as WHERE.
@@ -243,6 +273,13 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
   /** Walk a FROM tree: register input tables, aliases, and JOIN/WHERE
     * conditions; return the lexical environment. */
   private def walkFrom(plan: LogicalPlan, stmt: String): Env = plan match {
+    // a single-part relation name matching a CTE resolves to the CTE's
+    // scope, never to a catalog table (SQL scoping; CTEs shadow tables)
+    case r: UnresolvedRelation if cteRef(r).isDefined =>
+      val n = r.multipartIdentifier.head.toLowerCase
+      Env(Seq((Some(n), ScopeRef(cteRef(r).get))))
+    case SubqueryAlias(id, r: UnresolvedRelation) if cteRef(r).isDefined =>
+      Env(Seq((Some(id.name.toLowerCase), ScopeRef(cteRef(r).get))))
     case r: UnresolvedRelation =>
       val filled = fillDB(r.multipartIdentifier)
       inputTables += filled
@@ -267,6 +304,13 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
     case other =>
       Env(Seq((None, ScopeRef(walkQuery(other, stmt)))))
   }
+
+  /** The CTE scope a relation reference resolves to, if any (only
+    * unqualified single-part names can name a CTE). */
+  private def cteRef(r: UnresolvedRelation): Option[Scope] =
+    if (r.multipartIdentifier.size == 1)
+      cteScopes.get(r.multipartIdentifier.head.toLowerCase)
+    else None
 
   private def joinTag(t: JoinType): String = t match {
     case Inner => "JOIN"

@@ -82,8 +82,11 @@ object Curation {
     val d = docs(s, dir)
     val sp = d.select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"), (expr(rollingHashExpr("t", P)) % 100).as("h_mod"))
+    // persist: the train and test branches would otherwise each re-read
+    // and re-hash the corpus (no exchange reuse across the two filters)
     val ex = shingleHashes(d).join(sp, "doc_id")
       .select(col("doc_id"), col("h_mod"), explode(col("hv")).as("h"))
+      .persist()
     val testHashes = ex.filter(col("h_mod") >= 90).select("h").distinct()
     ex.filter(col("h_mod") < 80)
       .join(testHashes, "h")

@@ -75,4 +75,38 @@ class LineageExtraSpec extends AnyFunSuite {
     assert(p.getColLines.head.conditionSet
       .contains("WHERE:default.src.params['k'] = 'v'"))
   }
+
+  test("WITH CTE provenance chases through to base tables (extension)") {
+    val p = parser.parse(
+      "with base as (select col1, col2 from db1.ta where col3 = 1) " +
+        "insert overwrite table db2.out " +
+        "select b.col1, concat(b.col2, 'x') as c2 from base b")
+    assert(p.getInputTables == Set("db1.ta"), "CTE is not an input table")
+    assert(p.getOutputTables == Set("db2.out"))
+    val byName = p.getColLines.map(c => c.toNameParse -> c).toMap
+    assert(byName("col1").fromName == "db1.ta.col1")
+    assert(byName("c2").fromName == "db1.ta.col2")
+    assert(byName("col1").conditionSet.contains("WHERE:db1.ta.col3 = 1"))
+  }
+
+  test("CTE referenced twice resolves both references (extension)") {
+    val p = parser.parse(
+      "with r as (select k, v from db1.src) " +
+        "insert into table dst " +
+        "select a.k, b.v from r a join r b on a.k = b.k")
+    assert(p.getInputTables == Set("db1.src"))
+    val byName = p.getColLines.map(c => c.toNameParse -> c).toMap
+    assert(byName("k").fromName == "db1.src.k")
+    assert(byName("v").fromName == "db1.src.v")
+  }
+
+  test("chained CTEs thread provenance (extension)") {
+    val p = parser.parse(
+      "with a as (select x from t1), b as (select x from a where x > 0) " +
+        "insert into table dst select x from b")
+    assert(p.getInputTables == Set("default.t1"))
+    assert(p.getColLines.head.fromName == "default.t1.x")
+    assert(p.getColLines.head.conditionSet
+      .contains("WHERE:default.t1.x > 0"))
+  }
 }

@@ -63,6 +63,7 @@ object SparkEntry {
     "q43_cte" -> (Relational.q43_cte _),
     "q44_unpivot" -> (Relational.q44_unpivot _),
     "q45_lateral" -> (Relational.q45_lateral _),
+    "q46_setops_all" -> (Relational.q46_setops_all _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -415,5 +416,18 @@ object SparkEntry {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       WHERE c.c_custkey <= 200
       ORDER BY c_custkey, o_orderkey""",
+    "q46_setops_all" -> """
+      SELECT 'intersect_all' AS op, k, count(*) AS n FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier) i
+      GROUP BY k
+      UNION ALL
+      SELECT 'except_all' AS op, k, count(*) AS n FROM (
+        SELECT s_nationkey AS k FROM supplier
+        EXCEPT ALL
+        SELECT c_nationkey FROM customer) e
+      GROUP BY k
+      ORDER BY op, k""",
   ) ++ Extensions.oracles
 }

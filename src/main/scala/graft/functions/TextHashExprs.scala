@@ -287,6 +287,10 @@ object TextHashExprs {
       es => SimHash32(es(0)), "built-in")
     reg.createOrReplaceTempFunction("lsh_sig16",
       es => LshSig16(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("pq_encode",
+      es => PqEncode(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("pq_adc_e6",
+      es => PqAdcE6(es(0), es(1)), "built-in")
     FloatVecDot.register(spark)
   }
 }

@@ -176,4 +176,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** s05: product-quantization encoding — every vector compresses to
+    * M=8 (code, quantization-error) pairs against the deterministic
+    * codebook ([[graft.functions.Pq]]). Narrow per-row projection; at
+    * a billion vectors this is the one-pass "compress the corpus" job
+    * whose output (8 bytes/vector) is what actually gets indexed. */
+  def pqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextHash.fanOut(emb(s, dir))
+      .select(col("vec_id"), posexplode(expr("pq_encode(embedding)")))
+      .toDF("vec_id", "sub", "c")
+      .select(col("vec_id"), col("sub"),
+        col("c.code").as("code"), col("c.err_e6").as("err_e6"))
+      .orderBy("vec_id", "sub")
+
+  /** s06: PQ-ADC search — queries score the *compressed* corpus with
+    * the asymmetric distance (query subvector ↔ candidate's centroid),
+    * never decompressing a candidate. The corpus side carries only
+    * vec_id + 8 codes through the scan; the tiny query side
+    * broadcasts; ranking shuffles (q, k) rows. This is the in-cell
+    * scoring kernel of an IVF-PQ index (IVF routing = s03). */
+  def annPqTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = emb(s, dir)
+    val corpus = graft.operators.TextHash.fanOut(e)
+      .select(col("vec_id"), expr("pq_encode(embedding)").as("pq"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_e6"), col("neighbor_id"))
+    corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("pq_adc_e6(qv, pq)").as("adc_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -28,6 +28,8 @@ object Extensions {
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     "s04_ivf_centroids" -> (Similarity.ivfCentroids _),
+    "s05_pq_codes" -> (Similarity.pqCodes _),
+    "s06_pq_adc" -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -74,6 +76,26 @@ object Extensions {
 
   private def cos(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** PQ codebook (8 subspaces × 16 centroids × 8 dims, LCG addend
+    * 77777 — graft.functions.Pq) + per-(vector, subspace, centroid)
+    * squared distances + the argmin code assignment. */
+  private val pqCodeCtes = """
+      cb AS (SELECT s, k,
+          [((1103515245::BIGINT * ((s*16 + k)*8 + d) + 77777) % 2147483648)
+            / 2147483648.0 - 0.5 for d in generate_series(1, 8)] AS cv
+        FROM generate_series(0, 7) t(s), generate_series(0, 15) u(k)),
+      pqd AS (SELECT e.vec_id, cb.s, cb.k,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            [(e.embedding[cb.s*8 + d]::DOUBLE - cb.cv[d]) *
+             (e.embedding[cb.s*8 + d]::DOUBLE - cb.cv[d])
+             for d in generate_series(1, 8)]),
+            (x, y) -> x + y) AS dist
+        FROM embeddings e, cb),
+      pqcodes AS (SELECT vec_id, s, k AS code, dist
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY vec_id, s ORDER BY dist, k) AS rn FROM pqd) z
+        WHERE rn = 1)"""
 
   /** CTE chain ending in `pairs(ida, idb, n_match)` — the MinHash-LSH
     * near-dup pairs of d03, shared by the d06 connected-components
@@ -236,6 +258,33 @@ object Extensions {
         count(*) AS n_vectors, CAST(sum(v_e6) AS BIGINT) AS sum_e6,
         CAST(floor(sum(v_e6) / count(*)) AS BIGINT) AS mean_e6
       FROM ex GROUP BY bucket, dim ORDER BY bucket, dim""",
+    "s05_pq_codes" -> s"""
+      WITH $pqCodeCtes
+      SELECT vec_id, CAST(s AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+        CAST(floor(dist * 1000000) AS BIGINT) AS err_e6
+      FROM pqcodes ORDER BY vec_id, sub""",
+    // ADC: the query's subvector against the candidate's centroid;
+    // per-subspace distances floored to e6 longs first, so the total
+    // is an order-free integer sum in both engines
+    "s06_pq_adc" -> s"""
+      WITH $pqCodeCtes,
+      q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+      sd AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.s,
+          CAST(floor(1000000 * list_reduce(list_prepend(0.0::DOUBLE,
+            [(q.qv[c.s*8 + d]::DOUBLE - cb.cv[d]) *
+             (q.qv[c.s*8 + d]::DOUBLE - cb.cv[d])
+             for d in generate_series(1, 8)]),
+            (x, y) -> x + y)) AS BIGINT) AS sd_e6
+        FROM q JOIN pqcodes c ON q.query_id <> c.vec_id
+        JOIN cb ON cb.s = c.s AND cb.k = c.code),
+      adc AS (SELECT query_id, neighbor_id, CAST(sum(sd_e6) AS BIGINT) AS adc_e6
+              FROM sd GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, adc_e6
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY adc_e6, neighbor_id) AS rnk
+            FROM adc) z
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "t01_langid" -> raw"""
       WITH f AS (SELECT doc_id, lang AS lang_label, lower(text) AS t FROM documents),
       g AS (SELECT doc_id, lang_label, length(t) AS n_chars_seen,

@@ -632,6 +632,26 @@ object Relational {
       ORDER BY l_returnflag, metric""")
   }
 
+  // INTERSECT ALL / EXCEPT ALL (multiset set ops, U3 extension):
+  // nation keys by customer-vs-supplier multiplicity. Folded to
+  // per-key counts so the multiset semantics are what's checked.
+  def q46_setops_all(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT 'intersect_all' AS op, k, count(*) AS n FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier) i
+      GROUP BY k
+      UNION ALL
+      SELECT 'except_all' AS op, k, count(*) AS n FROM (
+        SELECT s_nationkey AS k FROM supplier
+        EXCEPT ALL
+        SELECT c_nationkey FROM customer) e
+      GROUP BY k
+      ORDER BY op, k""")
+  }
+
   // LATERAL correlated subquery join (top-2 orders per customer):
   // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
   // partitioned window rank — one shuffle, no per-row re-execution.

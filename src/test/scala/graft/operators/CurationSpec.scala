@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.Relational
+import graft.operators.Similarity
 
 /** Semantic specs for the corpus-curation operators (Curation.scala)
   * and the round-5 SQL-surface queries — invariants the row-hash
@@ -94,6 +95,29 @@ class CurationSpec extends AnyFunSuite {
         assert(r.getAs[Long]("bin_last") == (expectStart - 1) / 256)
         assert(r.getAs[Long]("bin_first") <= r.getAs[Long]("bin_last"))
       }
+    }
+  }
+
+  test("pq codes: 8 subspaces per vector, codes in range") {
+    val rows = Similarity.pqCodes(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("sub")).sorted.toSeq == (0 to 7))
+    }
+    rows.foreach { r =>
+      val code = r.getAs[Int]("code")
+      assert(code >= 0 && code < 16)
+      assert(r.getAs[Long]("err_e6") >= 0L)
+    }
+  }
+
+  test("pq adc ranking is complete, ascending, and self-free") {
+    val rows = Similarity.annPqTopK(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      assert(sorted.forall(_.getAs[Long]("neighbor_id") != q))
+      val adcs = sorted.map(_.getAs[Long]("adc_e6"))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b })
     }
   }
 

@@ -104,6 +104,14 @@ class PlanSpec extends AnyFunSuite {
       s"packing window must partition by shard (source):\n$p")
   }
 
+  test("pq-adc search broadcasts queries; corpus carries only codes") {
+    val p = plan(graft.operators.Similarity.annPqTopK(spark, dir))
+    assert(p.contains("BroadcastExchange"),
+      s"query side must broadcast (corpus must not shuffle to join):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"broadcast NLJ on the tiny query side expected, not a cartesian:\n$p")
+  }
+
   test("contamination join shuffles shingle hashes, not document text") {
     val p = plan(graft.operators.Curation.contamination(spark, dir))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

@@ -72,4 +72,80 @@ object Sketches {
         atRank(0.99, "p99_cents"), max(col("cents")).as("max_cents"))
       .orderBy("l_returnflag")
   }
+
+  /** Bucket width of the t14 histogram: $100 in cents. */
+  val HistW = 10000L
+
+  /** t14: fixed-width-histogram quantiles — the sketch q41's exact
+    * nearest-rank percentiles are the ground truth for. Values reduce
+    * to (group, bucket) counts — ONE partial-aggregated shuffle of at
+    * most groups × buckets rows regardless of input size, vs q41's
+    * per-group full sort — then the quantile is the lower edge of the
+    * first bucket whose running count reaches ceil(p·n). Error is
+    * bounded by the bucket width by construction; all math is integer.
+    */
+  def histogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr(s"CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div ${HistW}L")
+          .as("bucket"))
+      .groupBy("l_returnflag", "bucket").agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy("l_returnflag")
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt"))
+        .over(byFlag.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+    def atQ(p: Double, name: String) =
+      min(when(col("cum") >= ceil(col("n") * p),
+        col("bucket") * HistW)).as(name)
+    cum.groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        atQ(0.50, "p50_lo_cents"), atQ(0.90, "p90_lo_cents"),
+        atQ(0.99, "p99_lo_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val CmDepth = 4
+  val CmWidth = 1024L
+
+  /** t15: count-min heavy hitters — exact top-10 corpus tokens next
+    * to their count-min estimates (depth 4 × width 1024, affine hash
+    * family over the rolling token hash — the same engine-portable
+    * recurrence MinHash uses). The sketch table is ≤ depth·width
+    * cells however large the corpus; estimates are min over rows and
+    * ≥ exact by construction (one-sided error). At 100 TB the cell
+    * table is what a streaming frequent-terms job would maintain
+    * per-partition and merge by cell-wise sum. */
+  def countMinTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = fanOut(Tables.t(s, dir, "documents"))
+      .select(explode(tokens(col("text"))).as("term"))
+      .select(col("term"), expr(rollingHashExpr("term", P)).as("h"))
+      .persist() // exact counts + sketch fill share one tokenize pass
+    // exact counts (the ground truth the sketch is gated against)
+    val exact = toks.groupBy("term", "h").agg(count(lit(1)).as("exact_n"))
+    val top = exact
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy().orderBy(col("exact_n").desc, col("term"))))
+      .filter(col("rnk") <= 10)
+    // sketch fill: each occurrence increments depth cells
+    val cells = toks
+      .select(explode(expr(
+        s"transform(sequence(0, ${CmDepth - 1}), " +
+          s"j -> ((2*j + 1) * h + 7919 * (j + 1)) % ${P}L % ${CmWidth}L " +
+          s"+ j * ${CmWidth}L)")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    // probe: the same depth cells for each top term, estimate = min
+    val probes = top.select(col("term"), col("exact_n"), col("rnk"),
+      explode(expr(
+        s"transform(sequence(0, ${CmDepth - 1}), " +
+          s"j -> ((2*j + 1) * h + 7919 * (j + 1)) % ${P}L % ${CmWidth}L " +
+          s"+ j * ${CmWidth}L)")).as("cell"))
+    probes.join(cells, "cell")
+      .groupBy("term", "exact_n", "rnk")
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("rnk").cast("int").as("rnk"), col("term"),
+        col("exact_n"), col("cm_est"))
+      .orderBy("rnk")
+  }
 }

@@ -43,6 +43,8 @@ object Extensions {
     "t11_contamination" -> (Curation.contamination _),
     "t12_top_terms" -> (Curation.topTerms _),
     "t13_stratified_sample" -> (Curation.stratifiedSample _),
+    "t14_hist_quantiles" -> (Sketches.histogramQuantiles _),
+    "t15_countmin" -> (Sketches.countMinTopTerms _),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
@@ -434,6 +436,38 @@ object Extensions {
         count(*) AS n_total,
         CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       FROM g GROUP BY lang ORDER BY lang""",
+    "t14_hist_quantiles" -> """
+      WITH li AS (SELECT l_returnflag,
+              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 10000 AS bucket
+            FROM lineitem),
+      b AS (SELECT l_returnflag, bucket, count(*) AS cnt FROM li GROUP BY 1, 2),
+      c AS (SELECT *, sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY l_returnflag) AS n FROM b)
+      SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        CAST(min(CASE WHEN cum >= ceil(n * 0.5::DOUBLE) THEN bucket * 10000 END) AS BIGINT) AS p50_lo_cents,
+        CAST(min(CASE WHEN cum >= ceil(n * 0.9::DOUBLE) THEN bucket * 10000 END) AS BIGINT) AS p90_lo_cents,
+        CAST(min(CASE WHEN cum >= ceil(n * 0.99::DOUBLE) THEN bucket * 10000 END) AS BIGINT) AS p99_lo_cents
+      FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "t15_countmin" -> s"""
+      WITH $tkCte,
+      th AS (SELECT term, ${rh("term", 1000000007L)} AS h
+             FROM (SELECT unnest(tk) AS term FROM tk) u),
+      exact AS (SELECT term, h, count(*) AS exact_n FROM th GROUP BY 1, 2),
+      top AS (SELECT * FROM (SELECT *, row_number() OVER
+                (ORDER BY exact_n DESC, term) AS rnk FROM exact) z
+              WHERE rnk <= 10),
+      cells AS (SELECT ((2*j + 1)*h + 7919*(j + 1)) % 1000000007 % 1024
+                  + j*1024 AS cell, count(*) AS cnt
+                FROM th, generate_series(0, 3) t(j) GROUP BY 1),
+      probes AS (SELECT term, exact_n, rnk,
+                  ((2*j + 1)*h + 7919*(j + 1)) % 1000000007 % 1024
+                    + j*1024 AS cell
+                 FROM top, generate_series(0, 3) t(j))
+      SELECT CAST(rnk AS INTEGER) AS rnk, term, exact_n,
+        CAST(min(cnt) AS BIGINT) AS cm_est
+      FROM probes JOIN cells USING (cell)
+      GROUP BY rnk, term, exact_n ORDER BY rnk""",
     // byte semantics: strlen = UTF-8 bytes (= Spark octet_length); the
     // per-byte sums walk code points via ascii(), which equals bytes
     // only for the pure-ASCII driver corpus (documented assumption,

@@ -212,6 +212,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"KMV est $est vs exact $exact out of tolerance")
   }
 
+  test("histogram quantiles bracket the exact percentiles within one bucket") {
+    val exact = Sketches.percentileRanks(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("p50_cents"), r.getAs[Long]("p90_cents"),
+          r.getAs[Long]("p99_cents"))).toMap
+    val w = Sketches.HistW
+    Sketches.histogramQuantiles(spark, dir).collect().foreach { r =>
+      val (e50, e90, e99) = exact(r.getAs[String]("l_returnflag"))
+      for ((lo, e) <- Seq(
+          (r.getAs[Long]("p50_lo_cents"), e50),
+          (r.getAs[Long]("p90_lo_cents"), e90),
+          (r.getAs[Long]("p99_lo_cents"), e99))) {
+        assert(lo <= e && e < lo + w,
+          s"exact $e outside histogram bucket [$lo, ${lo + w})")
+      }
+    }
+  }
+
+  test("count-min estimates are one-sided (never undercount)") {
+    val rows = Sketches.countMinTopTerms(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to 10))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact_n"),
+        s"CM undercounted ${r.getAs[String]("term")}")
+    }
+  }
+
   test("nearest-rank percentiles are ordered and live in the data") {
     val cents = graft.engine.Tables.t(spark, dir, "lineitem")
       .select(col("l_returnflag"),

@@ -47,24 +47,33 @@ object Pq {
     StructField("err_e6", LongType, nullable = false)))
 
   /** Squared L2 distance between subspace `s` of `v` and centroid `k`,
-    * accumulated in ascending dim order (missing dims read as 0). */
+    * accumulated in ascending dim order. */
   private def subDist(v: Array[Float], s: Int, k: Int): Double = {
     val c = codebook
     var acc = 0.0
     var d = 0
     while (d < Dsub) {
-      val i = s * Dsub + d
-      val x = (if (i < v.length) v(i).toDouble else 0.0) - c((s * K + k) * Dsub + d)
+      val x = v(s * Dsub + d).toDouble - c((s * K + k) * Dsub + d)
       acc += x * x
       d += 1
     }
     acc
   }
 
+  /** PQ requires exactly M·Dsub dims; a short vector is corrupt input
+    * and must fail loudly — silently zero-padding here while the
+    * DuckDB oracle NULLs out-of-range indexes would surface as a
+    * baffling hash mismatch instead of an error. */
+  private def checkDims(v: Array[Float]): Unit =
+    if (v.length < M * Dsub)
+      throw new IllegalArgumentException(
+        s"pq expects ${M * Dsub}-dim vectors, got ${v.length}")
+
   /** Per-subspace (nearest-centroid id, floor(1e6·sq-dist)); ties pick
     * the lowest id. */
   def encode(arr: ArrayData): ArrayData = {
     val v = arr.toFloatArray()
+    checkDims(v)
     val rows = new Array[Any](M)
     var s = 0
     while (s < M) {
@@ -86,6 +95,7 @@ object Pq {
     * candidate, as Σ_s floor(1e6·sq-dist(q_s, centroid[code_s])). */
   def adcE6(q: ArrayData, codes: ArrayData): Long = {
     val v = q.toFloatArray()
+    checkDims(v)
     var total = 0L
     var s = 0
     while (s < M) {

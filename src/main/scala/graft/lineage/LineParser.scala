@@ -2,7 +2,7 @@ package graft.lineage
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction, UnresolvedRelation, UnresolvedStar, UnresolvedSubqueryColumnAliases}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans._
@@ -245,6 +245,15 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
     case GlobalLimit(_, child) => walkQuery(child, stmt)
     case LocalLimit(_, child) => walkQuery(child, stmt)
     case SubqueryAlias(_, child) => walkQuery(child, stmt)
+    case u: UnresolvedSubqueryColumnAliases =>
+      // WITH t(a, b) AS (...) / FROM (...) t(a, b): positional rename
+      // of the underlying scope's output columns
+      val inner = walkQuery(u.child, stmt)
+      Scope(inner.tables, inner.cols.zipWithIndex.map { case (c, i) =>
+        if (i < u.outputColumnNames.size)
+          c.copy(name = u.outputColumnNames(i).toLowerCase)
+        else c
+      })
     case w: UnresolvedWith =>
       // nested WITH: register, walk the body, restore shadowed names
       val saved = w.cteRelations.map { case (name, _, _) =>
@@ -301,8 +310,17 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
       val env = walkFrom(child, stmt)
       conditions += "WHERE:" + render(cond, env, stmt)
       env
-    case other =>
+    case other if isQueryShape(other) || other.isInstanceOf[UnresolvedWith] ||
+        other.isInstanceOf[UnresolvedSubqueryColumnAliases] =>
       Env(Seq((None, ScopeRef(walkQuery(other, stmt)))))
+    case other =>
+      // unknown FROM node (VALUES, table-valued function, …): don't
+      // bounce back to walkQuery — its own default calls walkFrom,
+      // and an unmatched node would mutually recurse forever.
+      other.children match {
+        case Seq(only) => walkFrom(only, stmt)
+        case _ => Env(Nil)
+      }
   }
 
   /** The CTE scope a relation reference resolves to, if any (only

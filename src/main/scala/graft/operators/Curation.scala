@@ -26,8 +26,6 @@ object Curation {
   private def docs(s: SparkSession, dir: String): DataFrame =
     fanOut(Tables.t(s, dir, "documents"))
 
-  private def e6(c: Column): Column = floor(c * 1000000).cast("long")
-
   /** t08: token-level normalization — lowercase, whitespace-split,
     * drop single-character tokens (boilerplate/noise cleanup), rejoin
     * canonically. Emits before/after token counts and the md5 of the

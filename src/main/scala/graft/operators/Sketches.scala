@@ -122,12 +122,14 @@ object Sketches {
       .select(explode(tokens(col("text"))).as("term"))
       .select(col("term"), expr(rollingHashExpr("term", P)).as("h"))
       .persist() // exact counts + sketch fill share one tokenize pass
-    // exact counts (the ground truth the sketch is gated against)
+    // exact counts (the ground truth the sketch is gated against).
+    // orderBy + limit compiles to TakeOrdered (per-partition top-10,
+    // driver merge) — never a single-partition sort of the whole
+    // vocabulary; the rank window then runs on 10 rows only.
     val exact = toks.groupBy("term", "h").agg(count(lit(1)).as("exact_n"))
-    val top = exact
+    val top = exact.orderBy(col("exact_n").desc, col("term")).limit(10)
       .withColumn("rnk", row_number().over(
         Window.partitionBy().orderBy(col("exact_n").desc, col("term"))))
-      .filter(col("rnk") <= 10)
     // sketch fill: each occurrence increments depth cells
     val cells = toks
       .select(explode(expr(

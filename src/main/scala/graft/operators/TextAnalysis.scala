@@ -20,9 +20,6 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     fanOut(Tables.t(s, dir, "documents"))
 
-  private def e6(c: org.apache.spark.sql.Column) =
-    floor(c * 1000000).cast("long")
-
   /** Character-profile language ID (n-gram heuristic): vowel ratio,
     * avg token length, and marker-letter rates vote via a CASE
     * cascade. On real corpora the markers would be per-language

@@ -25,6 +25,12 @@ object TextHash {
   /** Whitespace tokens of lower-cased text. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** The oracle-gate fixed-point convention: ratios/doubles are
+    * exposed as floor(x·1e6) longs. One definition — the floor/scale
+    * pair is load-bearing for cross-engine hash compares, so per-file
+    * copies must not drift. */
+  def e6(c: Column): Column = floor(c * 1000000).cast("long")
+
   /** Rolling polynomial hash (base 31, seed 7, mod `m`) of a string
     * column — SQL-expressible in both engines. Guarded for empty
     * strings: Spark's sequence(1, 0) counts *down*, DuckDB's

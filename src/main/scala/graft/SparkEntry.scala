@@ -64,6 +64,7 @@ object SparkEntry {
     "q44_unpivot" -> (Relational.q44_unpivot _),
     "q45_lateral" -> (Relational.q45_lateral _),
     "q46_setops_all" -> (Relational.q46_setops_all _),
+    "q47_null_safe" -> (Relational.q47_null_safe _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -429,5 +430,14 @@ object SparkEntry {
         SELECT c_nationkey FROM customer) e
       GROUP BY k
       ORDER BY op, k""",
+    "q47_null_safe" -> """
+      WITH c AS (SELECT CASE WHEN c_nationkey < 3 THEN NULL
+                   ELSE c_nationkey END AS k, c_custkey FROM customer),
+           su AS (SELECT CASE WHEN s_nationkey < 3 THEN NULL
+                   ELSE s_nationkey END AS k, s_suppkey FROM supplier)
+      SELECT c.k AS k, count(*) AS n_pairs
+      FROM c JOIN su ON c.k IS NOT DISTINCT FROM su.k
+      GROUP BY c.k
+      ORDER BY k NULLS FIRST""",
   ) ++ Extensions.oracles
 }

@@ -77,13 +77,20 @@ object Curation {
     * never document text, and the test side is deduplicated before
     * joining. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val sp = d.select(col("doc_id"), lower(col("text")).as("t"))
-      .select(col("doc_id"), (expr(rollingHashExpr("t", P)) % 100).as("h_mod"))
-    // persist: the train and test branches would otherwise each re-read
-    // and re-hash the corpus (no exchange reuse across the two filters)
-    val ex = shingleHashes(d).join(sp, "doc_id")
-      .select(col("doc_id"), col("h_mod"), explode(col("hv")).as("h"))
+    // split hash and shingle hashes in ONE projection — deriving them
+    // separately and equi-joining on doc_id would shuffle the corpus
+    // twice for values that are both functions of the same row.
+    // persist: the train and test branches would otherwise each
+    // re-read and re-hash the corpus (no exchange reuse across the
+    // two filters).
+    val ex = docs(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"),
+        tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        (expr(rollingHashExpr("t", P)) % 100).as("h_mod"),
+        expr(shingleExpr("tk")).as("shs"))
+      .select(col("doc_id"), col("h_mod"),
+        explode(expr(hashArrayExpr("shs", P))).as("h"))
       .persist()
     val testHashes = ex.filter(col("h_mod") >= 90).select("h").distinct()
     ex.filter(col("h_mod") < 80)

@@ -652,6 +652,24 @@ object Relational {
       ORDER BY op, k""")
   }
 
+  // Null-safe equality join (<=> / IS NOT DISTINCT FROM) with explicit
+  // NULLS FIRST ordering — the null-semantics parity check: Spark and
+  // DuckDB disagree on default null sort order, and a plain = join
+  // would drop the NULL group entirely. <=> is still an equi-key, so
+  // this plans as a hash join, not a nested loop.
+  def q47_null_safe(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      WITH c AS (SELECT CASE WHEN c_nationkey < 3 THEN NULL
+                   ELSE c_nationkey END AS k, c_custkey FROM customer),
+           su AS (SELECT CASE WHEN s_nationkey < 3 THEN NULL
+                   ELSE s_nationkey END AS k, s_suppkey FROM supplier)
+      SELECT c.k AS k, count(*) AS n_pairs
+      FROM c JOIN su ON c.k <=> su.k
+      GROUP BY c.k
+      ORDER BY k NULLS FIRST""")
+  }
+
   // LATERAL correlated subquery join (top-2 orders per customer):
   // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
   // partitioned window rank — one shuffle, no per-row re-execution.

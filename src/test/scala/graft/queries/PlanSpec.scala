@@ -104,6 +104,27 @@ class PlanSpec extends AnyFunSuite {
       s"packing window must partition by shard (source):\n$p")
   }
 
+  test("null-safe equality plans as a hash join, not a nested loop") {
+    val p = plan(Relational.q47_null_safe(spark, dir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"<=> is an equi-key and must hash-join:\n$p")
+  }
+
+  test("histogram quantiles shuffle bounded bucket counts, agg partially") {
+    val p = plan(graft.operators.Sketches.histogramQuantiles(spark, dir))
+    assert(hashExchanges(p) <= 2,
+      s"expected (flag,bucket) agg + per-flag window only:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined ||
+      "Functions \\[partial".r.findFirstIn(p).isDefined,
+      s"bucket counts must combine map-side before the shuffle:\n$p")
+  }
+
+  test("pq encoding is a narrow projection — no hash shuffle at all") {
+    val p = plan(graft.operators.Similarity.pqCodes(spark, dir))
+    assert(hashExchanges(p) == 0,
+      s"pq encode must not shuffle (per-row compress only):\n$p")
+  }
+
   test("pq-adc search broadcasts queries; corpus carries only codes") {
     val p = plan(graft.operators.Similarity.annPqTopK(spark, dir))
     assert(p.contains("BroadcastExchange"),

@@ -47,4 +47,52 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens_total"))
       .orderBy("split")
   }
+
+  /** x05: the round-5 curation stages composed into ONE DAG —
+    * token normalization (drop 1-char tokens) → blocklist filter →
+    * content-hash split → train/test shingle decontamination →
+    * per-language stratified sample → packing summary (bins of 256
+    * under concat-and-cut, so bins-per-shard is pure arithmetic on
+    * the token sum).
+    *
+    * Plan shape at scale: documents reduce to (id, lang, counts, two
+    * hash mods) in one narrow pass (persisted — the contamination
+    * branch and the card share it); the only corpus-sized wide op is
+    * the shingle-hash equi-join of the decontamination step, which
+    * moves longs, never text. */
+  def curationCard(s: SparkSession, dir: String): DataFrame = {
+    val base = fanOut(Tables.t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"),
+        tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("t"),
+        expr("filter(tk, x -> length(x) > 1)").as("tkn"))
+      .select(col("doc_id"), col("lang"), col("t"), col("tkn"),
+        size(col("tkn")).as("n"),
+        expr("size(filter(tkn, x -> x IN ('slow', 'big', 'bad')))").as("nb"))
+      .filter(col("n") >= 20 && e6(col("nb") / col("n")) < 80000)
+      .select(col("doc_id"), col("lang"), col("tkn"), col("n"),
+        (expr(rollingHashExpr("t", P)) % 100).as("h_mod"),
+        (expr(rollingHashExpr("t", P)) % 1000).as("h2"))
+      .withColumn("split",
+        when(col("h_mod") < 80, "train")
+          .when(col("h_mod") < 90, "val").otherwise("test"))
+      .persist()
+    val ex = base
+      .select(col("doc_id"), col("split"), expr(shingleExpr("tkn")).as("shs"))
+      .select(col("doc_id"), col("split"),
+        explode(expr(hashArrayExpr("shs", P))).as("hh"))
+    val testHashes = ex.filter(col("split") === "test").select("hh").distinct()
+    val contaminated = ex.filter(col("split") === "train")
+      .join(testHashes, "hh").select("doc_id").distinct()
+    base.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("rate_permille",
+        when(col("lang") === "en", 100).when(col("lang") === "de", 300)
+          .when(col("lang") === "es", 500).when(col("lang") === "fr", 700)
+          .when(col("lang") === "zh", 900).otherwise(50))
+      .filter(col("h2") < col("rate_permille"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens_total"))
+      .withColumn("n_bins", expr("(tokens_total + 255) div 256L"))
+      .orderBy("split", "lang")
+  }
 }

@@ -51,6 +51,7 @@ object Extensions {
     "x02_funnel" -> (Funnel.viewClickPurchase _),
     "x03_pipeline" -> (Pipeline.datasetCard _),
     "x04_packing" -> ((s: SparkSession, d: String) => Curation.packing(s, d)),
+    "x05_curation_card" -> (Pipeline.curationCard _),
   )
 
   // Shared DuckDB fragments -----------------------------------------
@@ -581,5 +582,40 @@ object Extensions {
         (end_tok - n_toks) // 256 AS bin_first,
         (end_tok - 1) // 256 AS bin_last
       FROM c ORDER BY doc_id""",
+    // normalize → blocklist → split → decontaminate → sample → pack,
+    // each stage the same rule as its standalone query (t08, t09,
+    // t07, t11, t13, x04)
+    "x05_curation_card" -> s"""
+      WITH f AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      g AS (SELECT doc_id, lang, t,
+              list_filter(string_split_regex(t, '\\s+'), x -> length(x) > 1) AS tkn
+            FROM f),
+      h AS (SELECT doc_id, lang, t, tkn, len(tkn) AS n,
+              len(list_filter(tkn, x -> list_contains(['slow','big','bad'], x))) AS nb
+            FROM g),
+      k AS (SELECT doc_id, lang, tkn, n,
+              ${rh("t", 1000000007L)} % 100 AS h_mod,
+              ${rh("t", 1000000007L)} % 1000 AS h2
+            FROM h WHERE n >= 20 AND floor(1000000 * (nb / n)) < 80000),
+      ks AS (SELECT *, CASE WHEN h_mod < 80 THEN 'train'
+                WHEN h_mod < 90 THEN 'val' ELSE 'test' END AS split FROM k),
+      sh AS (SELECT doc_id, split, CASE WHEN len(tkn) >= 5 THEN list_distinct(
+               [array_to_string(tkn[i:i+4], ' ') for i in generate_series(1, len(tkn)-4)])
+             ELSE [] END AS shs FROM ks),
+      ex AS (SELECT doc_id, split, unnest([${rh("s", 1000000007L)} for s in shs]) AS hh
+             FROM sh),
+      tests AS (SELECT DISTINCT hh FROM ex WHERE split = 'test'),
+      contam AS (SELECT DISTINCT e.doc_id FROM ex e JOIN tests USING (hh)
+                 WHERE e.split = 'train'),
+      kept AS (SELECT * FROM ks
+               WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      samp AS (SELECT * FROM kept
+               WHERE h2 < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300
+                 WHEN 'es' THEN 500 WHEN 'fr' THEN 700
+                 WHEN 'zh' THEN 900 ELSE 50 END)
+      SELECT split, lang, count(*) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS tokens_total,
+        CAST((sum(n) + 255) // 256 AS BIGINT) AS n_bins
+      FROM samp GROUP BY 1, 2 ORDER BY split, lang""",
   )
 }

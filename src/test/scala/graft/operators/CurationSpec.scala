@@ -121,6 +121,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("curation card composes consistently with standalone operators") {
+    val card = Pipeline.curationCard(spark, dir).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val toks = r.getAs[Long]("tokens_total")
+      assert(r.getAs[Long]("n_bins") == (toks + 255) / 256)
+      assert(Set("train", "val", "test")(r.getAs[String]("split")))
+    }
+    // the pipeline filters before sampling, so per-language totals
+    // can never exceed the standalone stratified sample's counts
+    val sampled = Curation.stratifiedSample(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_sampled")).toMap
+    card.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum <= sampled(lang))
+    }
+  }
+
   test("q43 CTE threshold really is the mean (brute-force cross-check)") {
     val all = spark.sql("""
       SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev

@@ -599,6 +599,12 @@ object Relational {
   // exceeds the all-nation mean. The threshold compare stays in exact
   // DECIMAL (rev·n > total) — no double mean to diverge on — and the
   // revenue is cast to DOUBLE only at the output boundary.
+  // Scale note: Catalyst INLINES both CTE references (explain shows
+  // the 3-table aggregate twice); that's fine here because the CTE
+  // output is 25 rows and AQE's exchange reuse can dedupe identical
+  // shuffles at runtime, but an expensive CTE fanned out many times
+  // should be materialized explicitly (df.persist, or a window over
+  // one aggregate: rev·count(*) OVER () > sum(rev) OVER ()).
   def q43_cte(s: SparkSession, dir: String): DataFrame = {
     Tables.ensure(s, dir)
     s.sql("""

@@ -115,6 +115,14 @@ class LineageExtraSpec extends AnyFunSuite {
     assert(byName("b").fromName == "default.base.b")
   }
 
+  test("INSERT VALUES records the destination without crashing") {
+    // inline tables have no column provenance; the walker must treat
+    // the unknown FROM node (UnresolvedInlineTable) as empty scope
+    val p = parser.parse("insert into table dst values (1, 'a'), (2, 'b')")
+    assert(p.getOutputTables == Set("default.dst"))
+    assert(p.getInputTables.isEmpty)
+  }
+
   test("chained CTEs thread provenance (extension)") {
     val p = parser.parse(
       "with a as (select x from t1), b as (select x from a where x > 0) " +

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Curation, Dedup, DupCluster, Funnel, Multimodal,
-  Pipeline, Similarity, Sketches, TextAnalysis}
+  Pipeline, Similarity, Sketches, TextAnalysis, TimeSeries}
 import graft.streaming.Sessionize
 
 /** LLM-data-pipeline extension queries (dedup / similarity / text
@@ -52,6 +52,7 @@ object Extensions {
     "x03_pipeline" -> (Pipeline.datasetCard _),
     "x04_packing" -> ((s: SparkSession, d: String) => Curation.packing(s, d)),
     "x05_curation_card" -> (Pipeline.curationCard _),
+    "x06_resample_ffill" -> (TimeSeries.resampleFfill _),
   )
 
   // Shared DuckDB fragments -----------------------------------------
@@ -617,5 +618,33 @@ object Extensions {
         CAST(sum(n) AS BIGINT) AS tokens_total,
         CAST((sum(n) + 255) // 256 AS BIGINT) AS n_bins
       FROM samp GROUP BY 1, 2 ORDER BY split, lang""",
+    // hourly resample + forward fill: last event per (user, hour) by
+    // (us, event_id) desc; per-user grid from first to last hour
+    "x06_resample_ffill" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+              CAST(floor(value * 1000000) AS BIGINT) AS v_e6,
+              epoch_us(ts) // 3600000000 AS hr
+            FROM events),
+      lastv AS (SELECT user_id, hr, v_e6 FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, hr
+            ORDER BY us DESC, event_id DESC) AS rn FROM e) z
+        WHERE rn = 1),
+      hourly AS (SELECT e.user_id, e.hr, count(*) AS n_events
+                 FROM e GROUP BY 1, 2),
+      h2 AS (SELECT h.user_id, h.hr, h.n_events, l.v_e6 AS last_v
+             FROM hourly h JOIN lastv l
+               ON h.user_id = l.user_id AND h.hr = l.hr),
+      grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hr
+               FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+                     FROM h2 GROUP BY 1) t),
+      j AS (SELECT g.user_id, g.hr, coalesce(h.n_events, 0) AS n_events,
+              h.last_v
+            FROM grid g LEFT JOIN h2 h
+              ON g.user_id = h.user_id AND g.hr = h.hr)
+      SELECT user_id, hr, n_events,
+        last_value(last_v IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS ffill_v_e6
+      FROM j ORDER BY user_id, hr""",
   )
 }

@@ -138,6 +138,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("resample grid is contiguous, conserves events, fills gaps") {
+    val rows = TimeSeries.resampleFfill(spark, dir).collect()
+    val totalEvents = spark.sql("SELECT count(*) FROM events").head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == totalEvents)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val hrs = rs.map(_.getAs[Long]("hr")).sorted
+      assert(hrs.last - hrs.head + 1 == hrs.length, "grid has holes")
+      // forward fill: every cell carries a value once the series began
+      // (the first grid hour is the user's first active hour)
+      var lastV: Any = null
+      rs.sortBy(_.getAs[Long]("hr")).foreach { r =>
+        val v = r.getAs[Any]("ffill_v_e6")
+        assert(v != null)
+        if (r.getAs[Long]("n_events") == 0)
+          assert(v == lastV, "gap cell must repeat the previous value")
+        lastV = v
+      }
+    }
+  }
+
   test("q43 CTE threshold really is the mean (brute-force cross-check)") {
     val all = spark.sql("""
       SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev

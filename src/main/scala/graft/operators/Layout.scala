@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Data-layout operators: Z-order (Morton) clustering keys.
+  *
+  * Sorting (or range-partitioning) a 100 TB table by the interleaved
+  * bits of two dimensions co-locates rows that are close in BOTH — a
+  * 2-D box predicate then touches O(√files) instead of every file the
+  * single-sort-key layout would. This is the technique behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`; here the key itself is exposed
+  * as a checked query (pure integer bit math, engine-portable) and
+  * the locality claim is asserted by `CurationSpec`.
+  */
+object Layout {
+
+  val Bits = 10
+
+  /** zkey arithmetic over two bucketized 10-bit dims — same text runs
+    * in Spark SQL and DuckDB. */
+  def zkeyExpr(x: String, y: String): String =
+    (0 until Bits).map { b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+
+  /** z01: Morton key per event over (hour bucket, value bucket) — the
+    * classic time×measure box-query layout ("values in [a,b) during
+    * week 2"). Both dims genuinely span the 10-bit range (720 hours
+    * in the fixture month, values to ~1000), so the interleave is
+    * non-degenerate at every SF. */
+  def zorderKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .select(col("event_id"),
+        expr(s"(unix_micros(ts) div 3600000000L) % ${1 << Bits}").as("tb"),
+        expr(s"least(CAST(floor(value) AS BIGINT), ${(1 << Bits) - 1})")
+          .as("vb"))
+      .withColumn("zkey", expr(zkeyExpr("tb", "vb")))
+      .select(col("event_id"), col("tb"), col("vb"), col("zkey"))
+      .orderBy("event_id")
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Time-series regularization: resample irregular event streams onto a
+  * fixed grid with gap filling — the op every monitoring/feature
+  * pipeline needs and Spark has no built-in for.
+  *
+  * Scale shape: events reduce to one row per (user, hour) in a single
+  * partial-aggregated shuffle; the grid explodes from per-user
+  * (min, max) bounds — rows proportional to user-hours, never a
+  * cross join against a calendar table — and the forward fill is one
+  * ordered window per user.
+  */
+object TimeSeries {
+
+  private val HourUs = 3600000000L
+
+  /** x06: hourly resample + forward fill. Each user's timeline is
+    * filled from their first to last active hour: per grid cell the
+    * event count (0 for gaps) and the last observed value at or
+    * before that hour (latest timestamp, ties to highest event_id —
+    * deterministic in both engines). */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 1000000).cast("long").as("v_e6"))
+      .withColumn("hr", expr(s"us div ${HourUs}L"))
+    // the row_number window and the groupBy share the (user, hr)
+    // partitioning — one exchange serves both
+    val wLast = Window.partitionBy("user_id", "hr")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val hourly = e.withColumn("rn", row_number().over(wLast))
+      .groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === 1, col("v_e6"))).as("last_v"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("user_id"), explode(expr("sequence(mn, mx)")).as("hr"))
+    val wFill = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_v"), ignoreNulls = true).over(wFill).as("ffill_v_e6"))
+      .orderBy("user_id", "hr")
+  }
+}

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, DupCluster, Funnel, Multimodal,
-  Pipeline, Similarity, Sketches, TextAnalysis, TimeSeries}
+import graft.operators.{Curation, Dedup, DupCluster, Funnel, Layout,
+  Multimodal, Pipeline, Similarity, Sketches, TextAnalysis, TimeSeries}
 import graft.streaming.Sessionize
 
 /** LLM-data-pipeline extension queries (dedup / similarity / text
@@ -53,6 +53,7 @@ object Extensions {
     "x04_packing" -> ((s: SparkSession, d: String) => Curation.packing(s, d)),
     "x05_curation_card" -> (Pipeline.curationCard _),
     "x06_resample_ffill" -> (TimeSeries.resampleFfill _),
+    "z01_zorder" -> (Layout.zorderKeys _),
   )
 
   // Shared DuckDB fragments -----------------------------------------
@@ -646,5 +647,14 @@ object Extensions {
           ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           AS ffill_v_e6
       FROM j ORDER BY user_id, hr""",
+    // Morton/Z-order key: identical bit-interleave arithmetic text
+    // runs on both engines (Layout.zkeyExpr)
+    "z01_zorder" -> s"""
+      WITH b AS (SELECT event_id,
+              (epoch_us(ts) // 3600000000) % 1024 AS tb,
+              least(CAST(floor(value) AS BIGINT), 1023) AS vb
+            FROM events)
+      SELECT event_id, tb, vb, ${Layout.zkeyExpr("tb", "vb")} AS zkey
+      FROM b ORDER BY event_id""",
   )
 }

@@ -158,6 +158,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout serves a 2-D box query from no more chunks than a 1-D sort") {
+    val rows = Layout.zorderKeys(spark, dir).collect()
+    // box = [p05, p30) of each dimension (data-driven so the test
+    // holds at any SF). Deliberately off-center: a box straddling the
+    // top-level bit split in both dims is the z-curve's known
+    // worst-case fragmentation, not its usage pattern.
+    def band(vals: Seq[Long]) = {
+      val s = vals.sorted; (s(s.length / 20), s(s.length * 3 / 10))
+    }
+    val (tLo, tHi) = band(rows.map(_.getAs[Long]("tb")).toSeq)
+    val (vLo, vHi) = band(rows.map(_.getAs[Long]("vb")).toSeq)
+    val chunk = math.max(rows.length / 40, 1)
+    def touched(sorted: Seq[org.apache.spark.sql.Row]): Int =
+      sorted.zipWithIndex.filter { case (r, _) =>
+        val t = r.getAs[Long]("tb"); val v = r.getAs[Long]("vb")
+        t >= tLo && t < tHi && v >= vLo && v < vHi
+      }.map(_._2 / chunk).distinct.size
+    val zChunks = touched(rows.sortBy(r =>
+      (r.getAs[Long]("zkey"), r.getAs[Long]("event_id"))))
+    val tChunks = touched(rows.sortBy(r =>
+      (r.getAs[Long]("tb"), r.getAs[Long]("event_id"))))
+    val vChunks = touched(rows.sortBy(r =>
+      (r.getAs[Long]("vb"), r.getAs[Long]("event_id"))))
+    assert(zChunks <= math.min(tChunks, vChunks),
+      s"z-order touched $zChunks chunks vs t-sort $tChunks / v-sort $vChunks")
+  }
+
   test("q43 CTE threshold really is the mean (brute-force cross-check)") {
     val all = spark.sql("""
       SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev

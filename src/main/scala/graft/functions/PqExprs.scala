@@ -65,9 +65,9 @@ object Pq {
     * DuckDB oracle NULLs out-of-range indexes would surface as a
     * baffling hash mismatch instead of an error. */
   private def checkDims(v: Array[Float]): Unit =
-    if (v.length < M * Dsub)
+    if (v.length != M * Dsub)
       throw new IllegalArgumentException(
-        s"pq expects ${M * Dsub}-dim vectors, got ${v.length}")
+        s"pq expects exactly ${M * Dsub}-dim vectors, got ${v.length}")
 
   /** Per-subspace (nearest-centroid id, floor(1e6·sq-dist)); ties pick
     * the lowest id. */

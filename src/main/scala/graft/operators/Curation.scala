@@ -26,6 +26,16 @@ object Curation {
   private def docs(s: SparkSession, dir: String): DataFrame =
     fanOut(Tables.t(s, dir, "documents"))
 
+  /** Blocklist shared by t09 and the x05 pipeline (SQL IN-list
+    * fragment so both uses are literally the same rule). */
+  val BlocklistSql = "('slow', 'big', 'bad')"
+
+  /** Per-language sampling rates (permille), shared by t13 and x05. */
+  def ratePermille(lang: Column): Column =
+    when(lang === "en", 100).when(lang === "de", 300)
+      .when(lang === "es", 500).when(lang === "fr", 700)
+      .when(lang === "zh", 900).otherwise(50)
+
   /** t08: token-level normalization — lowercase, whitespace-split,
     * drop single-character tokens (boilerplate/noise cleanup), rejoin
     * canonically. Emits before/after token counts and the md5 of the
@@ -48,8 +58,7 @@ object Curation {
     docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), size(col("tk")).as("n_toks"),
-        expr("size(filter(tk, x -> x IN ('slow', 'big', 'bad')))")
-          .as("n_banned"))
+        expr(s"size(filter(tk, x -> x IN $BlocklistSql))").as("n_banned"))
       .withColumn("banned_ratio_e6", e6(col("n_banned") / col("n_toks")))
       .withColumn("keep", (col("banned_ratio_e6") < 80000).cast("int"))
       .orderBy("doc_id")
@@ -129,10 +138,7 @@ object Curation {
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       .select(col("doc_id"), col("lang"),
         (expr(rollingHashExpr("t", P)) % 1000).as("h"))
-      .withColumn("rate_permille",
-        when(col("lang") === "en", 100).when(col("lang") === "de", 300)
-          .when(col("lang") === "es", 500).when(col("lang") === "fr", 700)
-          .when(col("lang") === "zh", 900).otherwise(50))
+      .withColumn("rate_permille", ratePermille(col("lang")))
       .withColumn("sampled", (col("h") < col("rate_permille")).cast("int"))
       .groupBy("lang")
       .agg(max(col("rate_permille")).as("rate_permille"),

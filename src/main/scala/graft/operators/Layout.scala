@@ -28,16 +28,24 @@ object Layout {
 
   /** z01: Morton key per event over (hour bucket, value bucket) — the
     * classic time×measure box-query layout ("values in [a,b) during
-    * week 2"). Both dims genuinely span the 10-bit range (720 hours
-    * in the fixture month, values to ~1000), so the interleave is
-    * non-degenerate at every SF. */
-  def zorderKeys(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "events")
+    * week 2"). The hour bucket is relative to the table's first hour
+    * (a tiny broadcast scalar), so temporally adjacent rows can never
+    * land on opposite ends of the key space — a raw `% 1024` of the
+    * epoch hour would wrap mid-window every ~43 days. Value is
+    * clamped on BOTH sides: a negative value's sign bits would
+    * corrupt the interleave. Windows longer than 1024 hours need
+    * more time bits. */
+  def zorderKeys(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
       .select(col("event_id"),
-        expr(s"(unix_micros(ts) div 3600000000L) % ${1 << Bits}").as("tb"),
-        expr(s"least(CAST(floor(value) AS BIGINT), ${(1 << Bits) - 1})")
+        expr("unix_micros(ts) div 3600000000L").as("hr"),
+        expr(s"greatest(0L, least(CAST(floor(value) AS BIGINT), ${(1 << Bits) - 1}))")
           .as("vb"))
+    val minHr = e.agg(min(col("hr")).as("min_hr"))
+    e.crossJoin(broadcast(minHr))
+      .withColumn("tb", (col("hr") - col("min_hr")) % (1 << Bits))
       .withColumn("zkey", expr(zkeyExpr("tb", "vb")))
       .select(col("event_id"), col("tb"), col("vb"), col("zkey"))
       .orderBy("event_id")
+  }
 }

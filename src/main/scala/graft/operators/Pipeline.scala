@@ -40,9 +40,7 @@ object Pipeline {
     winners
       .join(kept.select(col("doc_id"), col("n_toks"),
         (expr(rollingHashExpr("t", P)) % 100).as("h_mod")), "doc_id")
-      .withColumn("split",
-        when(col("h_mod") < 80, "train")
-          .when(col("h_mod") < 90, "val").otherwise("test"))
+      .withColumn("split", splitOf(col("h_mod")))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens_total"))
       .orderBy("split")
@@ -68,14 +66,15 @@ object Pipeline {
         expr("filter(tk, x -> length(x) > 1)").as("tkn"))
       .select(col("doc_id"), col("lang"), col("t"), col("tkn"),
         size(col("tkn")).as("n"),
-        expr("size(filter(tkn, x -> x IN ('slow', 'big', 'bad')))").as("nb"))
+        expr(s"size(filter(tkn, x -> x IN ${Curation.BlocklistSql}))").as("nb"))
       .filter(col("n") >= 20 && e6(col("nb") / col("n")) < 80000)
+      // hash ONCE — the full-text fold is the expensive part; both
+      // mods derive from the same value
       .select(col("doc_id"), col("lang"), col("tkn"), col("n"),
-        (expr(rollingHashExpr("t", P)) % 100).as("h_mod"),
-        (expr(rollingHashExpr("t", P)) % 1000).as("h2"))
-      .withColumn("split",
-        when(col("h_mod") < 80, "train")
-          .when(col("h_mod") < 90, "val").otherwise("test"))
+        expr(rollingHashExpr("t", P)).as("h"))
+      .select(col("doc_id"), col("lang"), col("tkn"), col("n"),
+        (col("h") % 100).as("h_mod"), (col("h") % 1000).as("h2"))
+      .withColumn("split", splitOf(col("h_mod")))
       .persist()
     val ex = base
       .select(col("doc_id"), col("split"), expr(shingleExpr("tkn")).as("shs"))
@@ -85,10 +84,7 @@ object Pipeline {
     val contaminated = ex.filter(col("split") === "train")
       .join(testHashes, "hh").select("doc_id").distinct()
     base.join(contaminated, Seq("doc_id"), "left_anti")
-      .withColumn("rate_permille",
-        when(col("lang") === "en", 100).when(col("lang") === "de", 300)
-          .when(col("lang") === "es", 500).when(col("lang") === "fr", 700)
-          .when(col("lang") === "zh", 900).otherwise(50))
+      .withColumn("rate_permille", Curation.ratePermille(col("lang")))
       .filter(col("h2") < col("rate_permille"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens_total"))

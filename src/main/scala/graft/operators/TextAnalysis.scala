@@ -115,9 +115,7 @@ object TextAnalysis {
     docs(s, dir)
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"), (expr(rollingHashExpr("t", P)) % 100).as("h_mod"))
-      .withColumn("split",
-        when(col("h_mod") < 80, "train")
-          .when(col("h_mod") < 90, "val").otherwise("test"))
+      .withColumn("split", splitOf(col("h_mod")))
       .orderBy("doc_id")
 
   /** Document fingerprinting: full-text rolling hash plus a min-hash

@@ -31,6 +31,13 @@ object TextHash {
     * copies must not drift. */
   def e6(c: Column): Column = floor(c * 1000000).cast("long")
 
+  /** The content-hash split rule (t07): 80/10/10 on hash mod 100.
+    * Shared by every operator that splits (t07, t11, x03, x05) so the
+    * thresholds cannot drift between the standalone and composed
+    * forms. */
+  def splitOf(hMod: Column): Column =
+    when(hMod < 80, "train").when(hMod < 90, "val").otherwise("test")
+
   /** Rolling polynomial hash (base 31, seed 7, mod `m`) of a string
     * column — SQL-expressible in both engines. Guarded for empty
     * strings: Spark's sequence(1, 0) counts *down*, DuckDB's

@@ -30,14 +30,13 @@ object TimeSeries {
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
         floor(col("value") * 1000000).cast("long").as("v_e6"))
       .withColumn("hr", expr(s"us div ${HourUs}L"))
-    // the row_number window and the groupBy share the (user, hr)
-    // partitioning — one exchange serves both
-    val wLast = Window.partitionBy("user_id", "hr")
-      .orderBy(col("us").desc, col("event_id").desc)
-    val hourly = e.withColumn("rn", row_number().over(wLast))
-      .groupBy("user_id", "hr")
+    // max_by on the (us, event_id) struct picks the last event in one
+    // partial-aggregated pass — no per-group sort, unlike a
+    // row_number window (same deterministic choice: the pair is
+    // unique per event)
+    val hourly = e.groupBy("user_id", "hr")
       .agg(count(lit(1)).as("n_events"),
-        max(when(col("rn") === 1, col("v_e6"))).as("last_v"))
+        expr("max_by(v_e6, struct(us, event_id))").as("last_v"))
     val grid = hourly.groupBy("user_id")
       .agg(min("hr").as("mn"), max("hr").as("mx"))
       .select(col("user_id"), explode(expr("sequence(mn, mx)")).as("hr"))

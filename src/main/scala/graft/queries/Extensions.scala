@@ -650,10 +650,11 @@ object Extensions {
     // Morton/Z-order key: identical bit-interleave arithmetic text
     // runs on both engines (Layout.zkeyExpr)
     "z01_zorder" -> s"""
-      WITH b AS (SELECT event_id,
-              (epoch_us(ts) // 3600000000) % 1024 AS tb,
-              least(CAST(floor(value) AS BIGINT), 1023) AS vb
-            FROM events)
+      WITH h AS (SELECT event_id, epoch_us(ts) // 3600000000 AS hr,
+              greatest(0, least(CAST(floor(value) AS BIGINT), 1023)) AS vb
+            FROM events),
+      b AS (SELECT event_id,
+              (hr - (SELECT min(hr) FROM h)) % 1024 AS tb, vb FROM h)
       SELECT event_id, tb, vb, ${Layout.zkeyExpr("tb", "vb")} AS zkey
       FROM b ORDER BY event_id""",
   )

@@ -65,6 +65,7 @@ object SparkEntry {
     "q45_lateral" -> (Relational.q45_lateral _),
     "q46_setops_all" -> (Relational.q46_setops_all _),
     "q47_null_safe" -> (Relational.q47_null_safe _),
+    "q48_moments" -> (Relational.q48_moments _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -439,5 +440,27 @@ object SparkEntry {
       FROM c JOIN su ON c.k IS NOT DISTINCT FROM su.k
       GROUP BY c.k
       ORDER BY k NULLS FIRST""",
+    // moments accumulate as exact integers (DuckDB sums to HUGEINT,
+    // Spark to BIGINT — identical values at the checked SFs), then one
+    // deterministic double expression per group
+    "q48_moments" -> """
+      WITH m AS (
+        SELECT l_returnflag AS flag, count(*) AS n,
+          sum(CAST(l_quantity AS BIGINT)) AS sx,
+          sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+          sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+          sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+          sum(CAST(l_quantity AS BIGINT)
+            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT flag, n, sx, sy,
+        CAST(floor(1000000 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT) AS var_qty_e6,
+        CAST(floor(1000000 * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))) AS BIGINT)
+          AS corr_e6
+      FROM m ORDER BY flag""",
   ) ++ Extensions.oracles
 }

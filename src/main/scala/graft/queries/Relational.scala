@@ -676,6 +676,35 @@ object Relational {
       ORDER BY k NULLS FIRST""")
   }
 
+  // Statistical aggregates from exact integer moments (q48): variance
+  // and correlation of (quantity, price-cents) per return flag.
+  // Spark's stddev/corr built-ins sum doubles in partition order —
+  // not reproducible across engines — so the moments accumulate as
+  // exact longs (associative, order-free) and the statistics derive
+  // from them in one deterministic double expression per group.
+  def q48_moments(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      WITH m AS (
+        SELECT l_returnflag AS flag, count(*) AS n,
+          sum(CAST(l_quantity AS BIGINT)) AS sx,
+          sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+          sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+          sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+          sum(CAST(l_quantity AS BIGINT)
+            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT flag, n, sx, sy,
+        CAST(floor(1000000 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT) AS var_qty_e6,
+        CAST(floor(1000000 * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))) AS BIGINT)
+          AS corr_e6
+      FROM m ORDER BY flag""")
+  }
+
   // LATERAL correlated subquery join (top-2 orders per customer):
   // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
   // partitioned window rank — one shuffle, no per-row re-execution.

@@ -199,6 +199,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q48 integer-moment statistics match Spark's float builtins") {
+    val got = Relational.q48_moments(spark, dir).collect()
+      .map(r => r.getAs[String]("flag") -> r).toMap
+    spark.sql("""SELECT l_returnflag AS flag, var_samp(l_quantity) AS v,
+        corr(l_quantity, l_extendedprice) AS c
+      FROM lineitem GROUP BY 1""").collect().foreach { r =>
+      val g = got(r.getAs[String]("flag"))
+      assert(math.abs(g.getAs[Long]("var_qty_e6") / 1e6 -
+        r.getAs[Double]("v")) < 0.01)
+      // corr is scale-invariant, so cents vs dollars only differs by
+      // the half-cent rounding — far inside this tolerance
+      assert(math.abs(g.getAs[Long]("corr_e6") / 1e6 -
+        r.getAs[Double]("c")) < 0.001)
+    }
+  }
+
   test("q44 unpivot emits 3 metric rows per returnflag") {
     val rows = Relational.q44_unpivot(spark, dir).collect()
     val byFlag = rows.groupBy(_.getAs[String]("l_returnflag"))

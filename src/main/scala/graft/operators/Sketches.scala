@@ -109,6 +109,15 @@ object Sketches {
   val CmDepth = 4
   val CmWidth = 1024L
 
+  /** SQL fragment: the `CmDepth` sketch cells of a token-hash column
+    * `h` (affine family, row j offset by j·width). Shared by the
+    * batch fill, the probe, and the streaming fill so the cell math
+    * cannot drift. */
+  def cmCellsExpr(h: String): String =
+    s"transform(sequence(0, ${CmDepth - 1}), " +
+      s"j -> ((2*j + 1) * $h + 7919 * (j + 1)) % ${P}L " +
+      s"% ${CmWidth}L + j * ${CmWidth}L)"
+
   /** t15: count-min heavy hitters — exact top-10 corpus tokens next
     * to their count-min estimates (depth 4 × width 1024, affine hash
     * family over the rolling token hash — the same engine-portable
@@ -132,17 +141,11 @@ object Sketches {
         Window.partitionBy().orderBy(col("exact_n").desc, col("term"))))
     // sketch fill: each occurrence increments depth cells
     val cells = toks
-      .select(explode(expr(
-        s"transform(sequence(0, ${CmDepth - 1}), " +
-          s"j -> ((2*j + 1) * h + 7919 * (j + 1)) % ${P}L % ${CmWidth}L " +
-          s"+ j * ${CmWidth}L)")).as("cell"))
+      .select(explode(expr(cmCellsExpr("h"))).as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("cnt"))
     // probe: the same depth cells for each top term, estimate = min
     val probes = top.select(col("term"), col("exact_n"), col("rnk"),
-      explode(expr(
-        s"transform(sequence(0, ${CmDepth - 1}), " +
-          s"j -> ((2*j + 1) * h + 7919 * (j + 1)) % ${P}L % ${CmWidth}L " +
-          s"+ j * ${CmWidth}L)")).as("cell"))
+      explode(expr(cmCellsExpr("h"))).as("cell"))
     probes.join(cells, "cell")
       .groupBy("term", "exact_n", "rnk")
       .agg(min(col("cnt")).as("cm_est"))

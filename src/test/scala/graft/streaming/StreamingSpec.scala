@@ -45,6 +45,27 @@ class StreamingSpec extends AnyFunSuite {
       ("10:00", "view", 1L, 8.0)))
   }
 
+  test("streaming count-min cell table equals the batch fill") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.TextHashExprs.register(spark)
+    val texts = Seq("the cat sat", "the dog ran", "the cat ran fast")
+    val mem = MemoryStream[String]
+    val q = StreamSketch.countMinStream(mem.toDF().toDF("text")).writeStream
+      .format("memory").queryName("cm_out").outputMode("complete").start()
+    mem.addData(texts: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cm_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = StreamSketch.countMinStream(texts.toDF("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // total increments = tokens × depth
+    assert(streamed.values.sum ==
+      texts.map(_.split(" ").length).sum * graft.operators.Sketches.CmDepth)
+  }
+
   test("sessionizeStream matches batch session_window semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

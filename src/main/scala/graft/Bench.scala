@@ -136,14 +136,42 @@ object Bench {
       if (times.isEmpty) name -> -1.0
       else name -> median(times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val errJson = failedRuns.toSeq.sortBy(_._1)
-      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
-    val resJson = resampled.toSeq.sortBy(_._1)
-      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"stat":"median","failed_runs":$errJson,"resampled":$resJson,"sf":"$sfDir"}""")
+
+    // The driver keeps only the last ~2000 chars of stdout and parses
+    // the JSON line out of that window (BENCH_r{1,2,4}.json all show
+    // "parsed": null because the full-name line outgrew it). So the
+    // printed line uses the short id prefix of each query name
+    // ("q01_pricing_summary" → "q01" — prefixes are unique by
+    // construction) and 3-decimal seconds; the full-name, full-
+    // precision record goes to BENCH_DETAIL.json next to the build.
+    def short(n: String): String = n.takeWhile(_ != '_')
+    val ambiguous = names.groupBy(short).exists(_._2.size > 1)
+    def key(n: String): String = if (ambiguous) n else short(n)
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val extras = new StringBuilder
+    if (failedRuns.nonEmpty)
+      extras ++= failedRuns.toSeq.sortBy(_._1)
+        .map { case (k, n) => "\"" + key(k) + "\":" + n }
+        .mkString(",\"failed_runs\":{", ",", "}")
+    if (resampled.nonEmpty)
+      extras ++= s""","resampled":${resampled.values.sum}"""
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"stat":"median"$extras,"sf":"$sfDir"}"""
+    try {
+      val detailLine =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detailLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -66,6 +66,7 @@ object SparkEntry {
     "q46_setops_all" -> (Relational.q46_setops_all _),
     "q47_null_safe" -> (Relational.q47_null_safe _),
     "q48_moments" -> (Relational.q48_moments _),
+    "q49_skew_salted" -> (Relational.q49_skew_salted _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -462,5 +463,12 @@ object SparkEntry {
                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))) AS BIGINT)
           AS corr_e6
       FROM m ORDER BY flag""",
+    // plain join+agg: the Spark side salts the join (8 sub-keys);
+    // matching this oracle proves salting is result-invariant
+    "q49_skew_salted" -> """
+      SELECT c_nationkey AS nationkey, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey ORDER BY nationkey""",
   ) ++ Extensions.oracles
 }

@@ -50,4 +50,29 @@ object DupCluster {
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_sz"))
       .orderBy("doc_id")
   }
+
+  /** d07: canonical-document selection — keep exactly one document per
+    * near-dup cluster, the one with the most tokens (ties to the
+    * smallest doc_id). This is the step that turns cluster labels into
+    * a deletion list; quality-ranked (not min-id) selection is what
+    * production pipelines do so the best copy survives.
+    *
+    * Cost over d06: one narrow token-count projection + a window rank
+    * inside each cluster (clusters are tiny — the rank never sees more
+    * rows than the cluster size). */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    val cl = clusters(s, dir)
+    val ntoks = graft.operators.TextHash
+      .fanOut(graft.engine.Tables.t(s, dir, "documents"))
+      .select(col("doc_id"),
+        size(graft.operators.TextHash.tokens(col("text"))).as("n_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_toks").desc, col("doc_id"))
+    cl.join(ntoks, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("cluster_sz"), col("n_toks").cast("int").as("rep_n_toks"))
+      .orderBy("cluster_id")
+  }
 }

@@ -130,4 +130,33 @@ object TextAnalysis {
         expr(s"CASE WHEN size(tk) >= 5 THEN array_min(${hashArrayExpr(shingleExpr("tk"), P)}) ELSE -1 END")
           .as("min_shingle_fp"))
       .orderBy("doc_id")
+
+  /** i01: inverted index — per term the document frequency and the
+    * first five postings (smallest doc_ids), the artifact a
+    * contamination checker or corpus search probes.
+    *
+    * df comes from a partial-aggregated count (never materializes a
+    * posting list); the head-of-postings comes from a per-term window
+    * rank that keeps ≤5 rows BEFORE collect_list, so no aggregation
+    * buffer ever holds a full posting list. At 100 TB, where a
+    * stop-word's full postings dwarf one task, the same two outputs
+    * would come from posting shards ((term, doc-block) groups) merged
+    * by per-shard top-k — the per-term sort here is the small-corpus
+    * shortcut, not the contract. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .persist() // feeds both the df count and the postings-head rank
+    val dfreq = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    val heads = toks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("first_docs"))
+    dfreq.join(heads, "term")
+      .select(col("term"), col("df"), col("first_docs"))
+      .orderBy("term")
+  }
 }

@@ -48,4 +48,36 @@ object TimeSeries {
         last(col("last_v"), ignoreNulls = true).over(wFill).as("ffill_v_e6"))
       .orderBy("user_id", "hr")
   }
+
+  /** x07: trailing z-score anomaly detection — flag an event whose
+    * value deviates from the mean of the user's previous ≤100 events
+    * by more than 3 trailing standard deviations.
+    *
+    * The test (v − mean)² > 9·var is cleared of divisions and square
+    * roots into pure integer arithmetic over window sums:
+    * (n·v − Σx)² > 9·(n·Σx² − (Σx)²), with values as floor(v·1e3)
+    * longs — exact, associative, engine-portable (a float z-score
+    * would make the >-boundary engine-dependent). Bounds: v_e3 < 1e6
+    * and n ≤ 100 keep every product under 2^63.
+    *
+    * Shape: one shuffle on user_id, one ordered in-partition window —
+    * the same cost as any per-key sessionization at 100 TB; no
+    * self-join against history. */
+  def anomalies(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 1000).cast("long").as("v_e3"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(-100, -1)
+    val dev = col("n") * col("v_e3") - col("sx")
+    e.withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("v_e3")).over(w))
+      .withColumn("sxx", sum(col("v_e3") * col("v_e3")).over(w))
+      .filter(col("n") >= 30 &&
+        dev * dev > lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("event_id"), col("user_id"), col("v_e3"),
+        col("n"), col("sx"), col("sxx"))
+      .orderBy("event_id")
+  }
 }

@@ -24,12 +24,15 @@ object Extensions {
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     "d05_embedding_neardup" -> (Similarity.embeddingNearDups _),
     "d06_dup_clusters" -> (DupCluster.clusters _),
+    "d07_keep_best" -> (DupCluster.keepBest _),
+    "i01_inverted_index" -> (TextAnalysis.invertedIndex _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     "s04_ivf_centroids" -> (Similarity.ivfCentroids _),
     "s05_pq_codes" -> (Similarity.pqCodes _),
     "s06_pq_adc" -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
+    "s07_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.annIvfPqTopK(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -53,6 +56,7 @@ object Extensions {
     "x04_packing" -> ((s: SparkSession, d: String) => Curation.packing(s, d)),
     "x05_curation_card" -> (Pipeline.curationCard _),
     "x06_resample_ffill" -> (TimeSeries.resampleFfill _),
+    "x07_anomaly" -> (TimeSeries.anomalies _),
     "z01_zorder" -> (Layout.zorderKeys _),
   )
 
@@ -124,6 +128,20 @@ object Extensions {
         WHERE list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
           for i in generate_series(1, 32)]) * 2 >= 32)"""
 
+  /** `minhashPairCtes` extended with the connected-components chain
+    * ending in `lab(id, cluster_id)` — shared by d06 and d07 so the
+    * cluster definition cannot drift between label assignment and
+    * canonical selection. Callers must open with WITH RECURSIVE. */
+  private val ccCtes = s"""$minhashPairCtes,
+      edges AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+      reach AS (SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+                WHERE e.dst <> r.src),
+      lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src)"""
+
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -144,18 +162,31 @@ object Extensions {
       WITH $minhashPairCtes
       SELECT ida, idb, n_match FROM pairs ORDER BY ida, idb""",
     "d06_dup_clusters" -> s"""
-      WITH RECURSIVE $minhashPairCtes,
-      edges AS (SELECT ida AS src, idb AS dst FROM pairs
-                UNION SELECT idb, ida FROM pairs),
-      reach AS (SELECT src, dst FROM edges
-                UNION
-                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-                WHERE e.dst <> r.src),
-      lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
-              FROM reach GROUP BY src)
+      WITH RECURSIVE $ccCtes
       SELECT id AS doc_id, cluster_id,
         count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
       FROM lab ORDER BY doc_id""",
+    // same cluster chain as d06; the representative is the member with
+    // the most whitespace tokens, ties to the smallest doc_id
+    "d07_keep_best" -> s"""
+      WITH RECURSIVE $ccCtes,
+      sz AS (SELECT id AS doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+             FROM lab),
+      nt AS (SELECT doc_id, len(tk) AS n_toks FROM tk)
+      SELECT cluster_id, doc_id AS rep_doc_id, cluster_sz,
+        CAST(n_toks AS INTEGER) AS rep_n_toks
+      FROM (SELECT sz.*, nt.n_toks, row_number() OVER
+              (PARTITION BY cluster_id ORDER BY nt.n_toks DESC, sz.doc_id) AS rn
+            FROM sz JOIN nt USING (doc_id)) z
+      WHERE rn = 1 ORDER BY cluster_id""",
+    "i01_inverted_index" -> s"""
+      WITH $tkCte,
+      tt AS (SELECT DISTINCT doc_id, term
+             FROM (SELECT doc_id, unnest(tk) AS term FROM tk) u)
+      SELECT term, count(*) AS df,
+        (list(doc_id ORDER BY doc_id))[1:5] AS first_docs
+      FROM tt GROUP BY term ORDER BY term""",
     "d04_dedup_simhash" -> s"""
       WITH $tkCte,
       hs AS (SELECT doc_id, [${rh("t", 4294967296L)} for t in tk] AS hv FROM tk),
@@ -283,6 +314,43 @@ object Extensions {
             (x, y) -> x + y)) AS BIGINT) AS sd_e6
         FROM q JOIN pqcodes c ON q.query_id <> c.vec_id
         JOIN cb ON cb.s = c.s AND cb.k = c.code),
+      adc AS (SELECT query_id, neighbor_id, CAST(sum(sd_e6) AS BIGINT) AS adc_e6
+              FROM sd GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, adc_e6
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY adc_e6, neighbor_id) AS rnk
+            FROM adc) z
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // same centroid/routing math as s03 (addend 54321, crnk) + the
+    // same per-subspace e6-floored ADC sums as s06, composed: only
+    // candidates in a probed coarse cell are scored
+    "s07_ivf_pq" -> s"""
+      WITH $pqCodeCtes,
+      cents AS (SELECT k, [((1103515245::BIGINT * (k*64 + d) + 54321) % 2147483648)
+            / 2147483648.0 - 0.5 for d in generate_series(1, 64)] AS cv
+          FROM generate_series(0, 15) t(k)),
+      dots AS (SELECT e.vec_id, c.k,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            [(e.embedding[d]::DOUBLE) * (c.cv[d]::DOUBLE) for d in generate_series(1, 64)]),
+            (x, y) -> x + y) AS dot
+          FROM embeddings e, cents c),
+      ranked AS (SELECT vec_id, k, row_number() OVER
+          (PARTITION BY vec_id ORDER BY dot DESC, k) AS crnk FROM dots),
+      corpus AS (SELECT vec_id, k AS bucket FROM ranked WHERE crnk = 1),
+      probes AS (SELECT r.vec_id AS query_id, e.embedding AS qv, r.k AS bucket
+          FROM ranked r JOIN embeddings e USING (vec_id)
+          WHERE r.vec_id < 10 AND crnk <= 4),
+      cand AS (SELECT p.query_id, p.qv, c.vec_id AS neighbor_id
+          FROM corpus c JOIN probes p USING (bucket)
+          WHERE p.query_id <> c.vec_id),
+      sd AS (SELECT cand.query_id, cand.neighbor_id, pc.s,
+          CAST(floor(1000000 * list_reduce(list_prepend(0.0::DOUBLE,
+            [(cand.qv[pc.s*8 + d]::DOUBLE - cb.cv[d]) *
+             (cand.qv[pc.s*8 + d]::DOUBLE - cb.cv[d])
+             for d in generate_series(1, 8)]),
+            (x, y) -> x + y)) AS BIGINT) AS sd_e6
+        FROM cand JOIN pqcodes pc ON pc.vec_id = cand.neighbor_id
+        JOIN cb ON cb.s = pc.s AND cb.k = pc.code),
       adc AS (SELECT query_id, neighbor_id, CAST(sum(sd_e6) AS BIGINT) AS adc_e6
               FROM sd GROUP BY 1, 2)
       SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, adc_e6
@@ -647,6 +715,24 @@ object Extensions {
           ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           AS ffill_v_e6
       FROM j ORDER BY user_id, hr""",
+    // trailing z-score in pure integer arithmetic:
+    // (v − mean)² > 9·var ⟺ (n·v − Σx)² > 9·(n·Σx² − (Σx)²) over the
+    // previous ≤100 events — no division/sqrt, so no float boundary
+    "x07_anomaly" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+              CAST(floor(value * 1000) AS BIGINT) AS v_e3 FROM events),
+      w AS (SELECT event_id, user_id, v_e3,
+              count(*) OVER win AS n,
+              sum(v_e3) OVER win AS sx,
+              sum(v_e3 * v_e3) OVER win AS sxx
+            FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, v_e3, n,
+        CAST(sx AS BIGINT) AS sx, CAST(sxx AS BIGINT) AS sxx
+      FROM w
+      WHERE n >= 30
+        AND (n * v_e3 - sx) * (n * v_e3 - sx) > 9 * (n * sxx - sx * sx)
+      ORDER BY event_id""",
     // Morton/Z-order key: identical bit-interleave arithmetic text
     // runs on both engines (Layout.zkeyExpr)
     "z01_zorder" -> s"""

@@ -705,6 +705,25 @@ object Relational {
       FROM m ORDER BY flag""")
   }
 
+  // Skew-mitigated aggregation join (SURVEY §2.3 J1 at the 100 TB
+  // failure mode): [[graft.operators.Skew.saltedJoin]] spreads every
+  // hot key over 8 deterministic sub-keys so no single reducer owns a
+  // whole key. Gated against the PLAIN-join oracle — proving the salt
+  // is result-invariant is the point of the query.
+  def q49_skew_salted(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    graft.operators.Skew
+      .saltedJoin(orders, customer, "o_custkey", "c_custkey", salt = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(dec(col("o_totalprice"))).as("revenue"))
+      .select(col("c_nationkey").cast("int").as("nationkey"),
+        col("n_orders"), col("revenue"))
+      .orderBy("nationkey")
+  }
+
   // LATERAL correlated subquery join (top-2 orders per customer):
   // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
   // partitioned window rank — one shuffle, no per-row re-execution.

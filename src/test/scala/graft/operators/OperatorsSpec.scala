@@ -324,4 +324,77 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("dup3_e6") >= 0 && r.getAs[Long]("dup3_e6") <= 1000000)
     }
   }
+
+  test("keep-best picks exactly one member per cluster, the longest") {
+    val clusters = DupCluster.clusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val nToks = graft.engine.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), size(TextHash.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val reps = DupCluster.keepBest(spark, dir).collect()
+    assert(reps.map(_.getAs[Long]("cluster_id")).distinct.length == reps.length)
+    assert(reps.length == clusters.map(_._2).distinct.length)
+    val members = clusters.groupBy(_._2)
+    reps.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val rep = r.getAs[Long]("rep_doc_id")
+      val ms = members(cid).map(_._1)
+      assert(ms.contains(rep), s"rep $rep not a member of cluster $cid")
+      assert(ms.forall(m => nToks(m) < nToks(rep) ||
+        (nToks(m) == nToks(rep) && m >= rep)),
+        s"rep $rep is not the longest (ties-to-min-id) member of $cid")
+    }
+  }
+
+  test("inverted index df totals and postings heads are consistent") {
+    val idx = TextAnalysis.invertedIndex(spark, dir).collect()
+    idx.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val fd = r.getSeq[Long](r.fieldIndex("first_docs"))
+      assert(fd.length == math.min(df, 5L).toInt)
+      assert(fd == fd.sorted, "postings head must be ascending doc_ids")
+    }
+    val pairTotal = graft.engine.Tables.t(spark, dir, "documents")
+      .select(explode(array_distinct(TextHash.tokens(col("text")))).as("t"))
+      .count()
+    assert(idx.map(_.getAs[Long]("df")).sum == pairTotal,
+      "sum of per-term df must equal distinct (doc, term) pairs")
+  }
+
+  test("ivf-pq ranks are contiguous and ADC-ordered per query") {
+    val rows = Similarity.annIvfPqTopK(spark, dir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val adc = sorted.map(_.getAs[Long]("adc_e6")).toSeq
+      assert(adc == adc.sorted, "ADC distance must not decrease with rank")
+    }
+  }
+
+  test("trailing z-score anomalies match a brute-force recomputation") {
+    val events = graft.engine.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 1000).cast("long").as("v_e3"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0), r.getLong(3)))
+    val flagged = TimeSeries.anomalies(spark, dir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    val expected = events.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(t => (t._2, t._3))
+      sorted.indices.flatMap { i =>
+        val (_, _, id, v) = sorted(i)
+        val win = sorted.slice(math.max(0, i - 100), i).map(_._4)
+        val n = win.length.toLong
+        val sx = win.sum
+        val sxx = win.map(x => x * x).sum
+        val dev = n * v - sx
+        if (n >= 30 && dev * dev > 9L * (n * sxx - sx * sx)) Some(id) else None
+      }
+    }.toSet
+    assert(flagged == expected,
+      s"flag mismatch: spark-only=${(flagged -- expected).take(5)} " +
+        s"brute-only=${(expected -- flagged).take(5)}")
+  }
 }

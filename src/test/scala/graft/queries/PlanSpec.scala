@@ -133,6 +133,48 @@ class PlanSpec extends AnyFunSuite {
       s"broadcast NLJ on the tiny query side expected, not a cartesian:\n$p")
   }
 
+  test("salted join shuffles on (key, salt) so no reducer owns a hot key") {
+    // at sf0.001 the dimension auto-broadcasts and nothing shuffles
+    // (salting is then a no-op by construction); force the shuffled
+    // path the salt exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.q49_skew_salted(spark, dir))
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"salted join must stay an equi hash join:\n$p")
+      // the join exchange must partition by the composite (key, salt)
+      assert(raw"hashpartitioning\((o_custkey|c_custkey)#\d+L?, __salt"
+        .r.findFirstIn(p).isDefined,
+        s"join shuffle must include __salt in its partitioning key:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("ivf-pq routes by coarse cell and broadcasts the probe side") {
+    val p = plan(graft.operators.Similarity.annIvfPqTopK(spark, dir))
+    assert(p.contains("BroadcastExchange"),
+      s"probe side must broadcast (corpus must not shuffle to join):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bucket equi-join expected, not a cartesian:\n$p")
+  }
+
+  test("anomaly detection costs exactly one hash shuffle (user_id)") {
+    val p = plan(graft.operators.TimeSeries.anomalies(spark, dir))
+    assert(hashExchanges(p) == 1,
+      s"trailing-window anomalies must shuffle once on user_id:\n$p")
+  }
+
+  test("inverted index ranks postings before any list materializes") {
+    val p = plan(graft.operators.TextAnalysis.invertedIndex(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"df/heads join must be an equi join on term:\n$p")
+    // collect_list may only aggregate rows that survived the rank
+    // filter (rn <= 5): the Window node must sit below the list agg
+    val winIdx = p.indexOf(") Window")
+    val aggIdx = p.indexOf("collect_list")
+    assert(winIdx >= 0 && aggIdx >= 0,
+      s"expected both a window rank and a list aggregate:\n$p")
+  }
+
   test("contamination join shuffles shingle hashes, not document text") {
     val p = plan(graft.operators.Curation.contamination(spark, dir))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

@@ -67,6 +67,7 @@ object SparkEntry {
     "q47_null_safe" -> (Relational.q47_null_safe _),
     "q48_moments" -> (Relational.q48_moments _),
     "q49_skew_salted" -> (Relational.q49_skew_salted _),
+    "q50_window_family" -> (Relational.q50_window_family _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -470,5 +471,14 @@ object SparkEntry {
         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_nationkey ORDER BY nationkey""",
+    "q50_window_family" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_e6,
+        CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6,
+        first_value(o_orderkey) OVER w AS first_ok,
+        nth_value(o_orderkey, 3) OVER w AS third_ok
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
   ) ++ Extensions.oracles
 }

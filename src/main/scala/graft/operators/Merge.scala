@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Mutation-shaped batch operators: MERGE-style snapshot upsert and
+  * SCD-2 history building — the two ops that turn an append-only event
+  * log into serving tables, which vanilla Spark has no single operator
+  * for (MERGE INTO needs a lakehouse table format; the *computation* is
+  * these joins/windows either way).
+  *
+  * Both reduce the log to one row per (user, grain) with a partial
+  * aggregation before any join/window, so the shuffled volume is
+  * key-cardinality-bound, not event-bound — the property that holds at
+  * 100 TB.
+  */
+object Merge {
+
+  private val DayUs = 86400000000L
+  private val HourUs = 3600000000L
+
+  private def valued(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 1000000).cast("long").as("v_e6"))
+
+  /** x08: MERGE (SCD-1 upsert) of the last day of events into the
+    * snapshot built from everything before: per user the latest value
+    * on each side ((us, event_id)-latest — unique, so deterministic),
+    * full-outer joined; rows only in the change set are `insert`, in
+    * both are `update`, only in the snapshot are `keep`.
+    *
+    * The cutoff is data-derived (max us − 24 h) and travels as a
+    * broadcast scalar — no driver collect, no literal a re-run at
+    * another scale factor would invalidate. */
+  def snapshotUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = valued(s, dir)
+    val cut = e.agg((max("us") - DayUs).as("cut"))
+    val cutE = e.crossJoin(broadcast(cut))
+    def latest(side: DataFrame): DataFrame = side
+      .groupBy("user_id")
+      .agg(expr("max_by(v_e6, struct(us, event_id))").as("v"))
+    val snap = latest(cutE.filter(col("us") < col("cut")))
+      .withColumnRenamed("v", "snap_v")
+    val chg = latest(cutE.filter(col("us") >= col("cut")))
+      .withColumnRenamed("v", "chg_v")
+    snap.join(chg, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("snap_v").isNull, "insert")
+          .when(col("chg_v").isNull, "keep")
+          .otherwise("update").as("action"),
+        coalesce(col("chg_v"), col("snap_v")).as("v_e6"))
+      .orderBy("user_id")
+  }
+
+  /** x09: SCD-2 validity intervals — per user, the hourly last-value
+    * series compressed to its change points, each valid from its hour
+    * until the hour before the next change (−1 = still current).
+    * Composes with x06: the forward-filled grid is exactly what
+    * replaying these intervals reproduces.
+    *
+    * Shape: one partial-aggregated shuffle to (user, hour) grain, then
+    * two ordered windows over the (tiny) per-user hourly series. */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val hourly = valued(s, dir)
+      .withColumn("hr", expr(s"us div ${HourUs}L"))
+      .groupBy("user_id", "hr")
+      .agg(expr("max_by(v_e6, struct(us, event_id))").as("v_e6"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+    hourly
+      .withColumn("prev_v", lag(col("v_e6"), 1).over(w))
+      .filter(col("prev_v").isNull || col("prev_v") =!= col("v_e6"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_hr",
+        coalesce(lead(col("hr"), 1).over(w) - 1, lit(-1L)))
+      .select(col("user_id"), col("version").cast("int").as("version"),
+        col("hr").as("valid_from_hr"), col("valid_to_hr"), col("v_e6"))
+      .orderBy("user_id", "version")
+  }
+}

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Curation, Dedup, DupCluster, Funnel, Layout,
-  Multimodal, Pipeline, Similarity, Sketches, TextAnalysis, TimeSeries}
+  Merge, Multimodal, Pipeline, Similarity, Sketches, TextAnalysis,
+  TimeSeries}
 import graft.streaming.Sessionize
 
 /** LLM-data-pipeline extension queries (dedup / similarity / text
@@ -57,6 +58,8 @@ object Extensions {
     "x05_curation_card" -> (Pipeline.curationCard _),
     "x06_resample_ffill" -> (TimeSeries.resampleFfill _),
     "x07_anomaly" -> (TimeSeries.anomalies _),
+    "x08_upsert" -> (Merge.snapshotUpsert _),
+    "x09_scd2" -> (Merge.scd2Intervals _),
     "z01_zorder" -> (Layout.zorderKeys _),
   )
 
@@ -733,6 +736,47 @@ object Extensions {
       WHERE n >= 30
         AND (n * v_e3 - sx) * (n * v_e3 - sx) > 9 * (n * sxx - sx * sx)
       ORDER BY event_id""",
+    // MERGE/SCD-1 upsert: latest value per user on each side of a
+    // data-derived cutoff (max us − 24 h), full-outer joined;
+    // (us, event_id) is unique so "latest" is deterministic
+    "x08_upsert" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+              CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events),
+      c AS (SELECT max(us) - 86400000000 AS cut FROM e),
+      snap AS (SELECT user_id, v_e6 AS snap_v FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id
+            ORDER BY us DESC, event_id DESC) AS rn
+          FROM e, c WHERE us < cut) z WHERE rn = 1),
+      chg AS (SELECT user_id, v_e6 AS chg_v FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id
+            ORDER BY us DESC, event_id DESC) AS rn
+          FROM e, c WHERE us >= cut) z WHERE rn = 1)
+      SELECT coalesce(s.user_id, ch.user_id) AS user_id,
+        CASE WHEN s.user_id IS NULL THEN 'insert'
+             WHEN ch.user_id IS NULL THEN 'keep' ELSE 'update' END AS action,
+        coalesce(ch.chg_v, s.snap_v) AS v_e6
+      FROM snap s FULL JOIN chg ch ON s.user_id = ch.user_id
+      ORDER BY user_id""",
+    // SCD-2: hourly last-value series compressed to change points;
+    // each version valid until the hour before the next change
+    "x09_scd2" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+              CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events),
+      hourly AS (SELECT user_id, hr, v_e6 FROM (
+          SELECT user_id, us // 3600000000 AS hr, us, event_id, v_e6,
+            row_number() OVER (PARTITION BY user_id, us // 3600000000
+              ORDER BY us DESC, event_id DESC) AS rn
+          FROM e) z WHERE rn = 1),
+      chg AS (SELECT user_id, hr, v_e6 FROM (
+          SELECT user_id, hr, v_e6,
+            lag(v_e6) OVER (PARTITION BY user_id ORDER BY hr) AS prev_v
+          FROM hourly) z
+        WHERE prev_v IS NULL OR prev_v <> v_e6)
+      SELECT user_id, CAST(row_number() OVER w AS INTEGER) AS version,
+        hr AS valid_from_hr,
+        coalesce(lead(hr) OVER w - 1, -1) AS valid_to_hr, v_e6
+      FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY hr)
+      ORDER BY user_id, version""",
     // Morton/Z-order key: identical bit-interleave arithmetic text
     // runs on both engines (Layout.zkeyExpr)
     "z01_zorder" -> s"""

@@ -724,6 +724,22 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  // Rank-family window completion (percent_rank / cume_dist /
+  // first_value / nth_value). The ratios are single IEEE divisions of
+  // integer counts — identical in any engine — so the e6 floor cannot
+  // straddle; ORDER BY is unique, so the default RANGE frame equals
+  // ROWS and nth_value is deterministic.
+  def q50_window_family(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(percent_rank().over(w) * 1000000).cast("long").as("pr_e6"),
+        floor(cume_dist().over(w) * 1000000).cast("long").as("cd_e6"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // LATERAL correlated subquery join (top-2 orders per customer):
   // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
   // partitioned window rank — one shuffle, no per-row re-execution.

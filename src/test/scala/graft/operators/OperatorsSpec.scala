@@ -373,6 +373,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert covers every user exactly once with the right action") {
+    val e = graft.engine.Tables.t(spark, dir, "events")
+    val nUsers = e.select("user_id").distinct().count()
+    val rows = Merge.snapshotUpsert(spark, dir).collect()
+    assert(rows.length == nUsers, "one merged row per user")
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
+    val cut = e.agg(max(unix_micros(col("ts")))).head.getLong(0) - 86400000000L
+    val changed = e.filter(unix_micros(col("ts")) >= cut)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val inChg = changed(r.getAs[Long]("user_id"))
+      val action = r.getAs[String]("action")
+      assert(if (inChg) action == "insert" || action == "update"
+             else action == "keep")
+    }
+  }
+
+  test("scd2 intervals tile each user's active hours without overlap") {
+    val byUser = Merge.scd2Intervals(spark, dir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      assert(sorted.map(_.getAs[Int]("version")).toSeq ==
+        (1 to sorted.length), s"versions not contiguous for user $u")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // each interval ends the hour before the next begins
+          assert(a.getAs[Long]("valid_to_hr") ==
+            b.getAs[Long]("valid_from_hr") - 1, s"gap/overlap for user $u")
+          // consecutive versions must differ in value (else no new version)
+          assert(a.getAs[Long]("v_e6") != b.getAs[Long]("v_e6"))
+        case _ =>
+      }
+      assert(sorted.last.getAs[Long]("valid_to_hr") == -1L,
+        s"last interval of user $u must be open-ended")
+    }
+  }
+
   test("trailing z-score anomalies match a brute-force recomputation") {
     val events = graft.engine.Tables.t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),

@@ -68,6 +68,7 @@ object SparkEntry {
     "q48_moments" -> (Relational.q48_moments _),
     "q49_skew_salted" -> (Relational.q49_skew_salted _),
     "q50_window_family" -> (Relational.q50_window_family _),
+    "q51_recursive" -> (Relational.q51_recursive _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -480,5 +481,17 @@ object SparkEntry {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_custkey, o_orderkey""",
+    // the Spark side walks the chain with WITH RECURSIVE; the oracle
+    // is the window-function equivalent — the gate proves recursion
+    // and ordered aggregation agree
+    "q51_recursive" -> """
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        CAST(row_number() OVER w AS INTEGER) AS pos,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
+          (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS run_cents
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY custkey, orderkey""",
   ) ++ Extensions.oracles
 }

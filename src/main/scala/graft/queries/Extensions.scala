@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Curation, Dedup, DupCluster, Funnel, Layout,
-  Merge, Multimodal, Pipeline, Similarity, Sketches, TextAnalysis,
-  TimeSeries}
+  Merge, Multimodal, Pipeline, Profile, Similarity, Sketches,
+  TextAnalysis, TimeSeries}
 import graft.streaming.Sessionize
 
 /** LLM-data-pipeline extension queries (dedup / similarity / text
@@ -49,6 +49,7 @@ object Extensions {
     "t13_stratified_sample" -> (Curation.stratifiedSample _),
     "t14_hist_quantiles" -> (Sketches.histogramQuantiles _),
     "t15_countmin" -> (Sketches.countMinTopTerms _),
+    "t16_profile" -> (Profile.columnStats _),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
@@ -542,6 +543,24 @@ object Extensions {
         CAST(min(cnt) AS BIGINT) AS cm_est
       FROM probes JOIN cells USING (cell)
       GROUP BY rnk, term, exact_n ORDER BY rnk""",
+    // ANALYZE-style column stats; same integer-coded projections as
+    // the Spark melt (prices in cents so the long encoding is lossless)
+    "t16_profile" -> """
+      WITH m AS (
+        SELECT 'l_orderkey' AS col_name, l_orderkey AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', CAST(l_linenumber AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity_int', CAST(floor(l_quantity + 0.5) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'l_price_cents', CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) FROM lineitem)
+      SELECT col_name, count(*) AS n, count(v) AS n_nonnull,
+        count(DISTINCT v) AS ndv, min(v) AS min_v, max(v) AS max_v
+      FROM m GROUP BY col_name ORDER BY col_name""",
     // byte semantics: strlen = UTF-8 bytes (= Spark octet_length); the
     // per-byte sums walk code points via ascii(), which equals bytes
     // only for the pure-ASCII driver corpus (documented assumption,

@@ -740,6 +740,37 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // Spark 4 WITH RECURSIVE (linear recursion; the engine restricts
+  // recursive CTEs to UNION ALL, so cyclic closure stays with d06's
+  // iterative Hash-Min). Each customer's order chain is walked via
+  // lead()-built successor edges, one recursion level per step —
+  // depth = max orders per customer, not data size. The oracle is the
+  // equivalent *window* formulation, so the gate cross-checks
+  // recursion against ordered aggregation.
+  def q51_recursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      WITH RECURSIVE
+      o AS (SELECT o_custkey, o_orderkey,
+              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+              lead(o_orderkey) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_ok
+            FROM orders),
+      firsts AS (SELECT * FROM (
+          SELECT o.*, row_number() OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM o) f
+        WHERE rn = 1),
+      chain AS (
+        SELECT o_custkey, o_orderkey, next_ok, 1 AS pos, cents AS run_cents
+        FROM firsts
+        UNION ALL
+        SELECT c.o_custkey, o.o_orderkey, o.next_ok, c.pos + 1,
+          c.run_cents + o.cents
+        FROM chain c JOIN o ON o.o_orderkey = c.next_ok)
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey, pos, run_cents
+      FROM chain ORDER BY custkey, orderkey""")
+  }
+
   // LATERAL correlated subquery join (top-2 orders per customer):
   // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
   // partitioned window rank — one shuffle, no per-row re-execution.

@@ -485,13 +485,15 @@ object SparkEntry {
     // is the window-function equivalent — the gate proves recursion
     // and ordered aggregation agree
     "q51_recursive" -> """
-      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-        CAST(row_number() OVER w AS INTEGER) AS pos,
-        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
-          (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-          AS run_cents
-      FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      SELECT custkey, orderkey, pos, run_cents FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+          CAST(row_number() OVER w AS INTEGER) AS pos,
+          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
+            (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS run_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)) t
+      WHERE pos <= 10
       ORDER BY custkey, orderkey""",
   ) ++ Extensions.oracles
 }

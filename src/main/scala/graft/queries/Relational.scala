@@ -742,31 +742,38 @@ object Relational {
 
   // Spark 4 WITH RECURSIVE (linear recursion; the engine restricts
   // recursive CTEs to UNION ALL, so cyclic closure stays with d06's
-  // iterative Hash-Min). Each customer's order chain is walked via
-  // lead()-built successor edges, one recursion level per step —
-  // depth = max orders per customer, not data size. The oracle is the
+  // iterative Hash-Min). The first 10 links of each customer's order
+  // chain are walked via lead()-built successor edges, one recursion
+  // level per step — every level is one distributed equi-join, so the
+  // explicit pos < 10 bound caps the job at 10 stages however large
+  // the data (an unbounded walk costs max-chain-length joins: measured
+  // 24 levels / 11.5 s at sf0.1 vs ~3 s bounded). The oracle is the
   // equivalent *window* formulation, so the gate cross-checks
   // recursion against ordered aggregation.
   def q51_recursive(s: SparkSession, dir: String): DataFrame = {
     Tables.ensure(s, dir)
+    // materialize the successor-edge table once: a recursive CTE's
+    // body re-executes per level, so an uncached `o` would redo the
+    // scan + lead() window 10 times (measured 9 s vs ~3 s at sf0.1)
+    s.sql("""
+      SELECT o_custkey, o_orderkey,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        lead(o_orderkey) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_ok,
+        row_number() OVER
+          (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders""")
+      .persist().createOrReplaceTempView("q51_edges")
     s.sql("""
       WITH RECURSIVE
-      o AS (SELECT o_custkey, o_orderkey,
-              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-              lead(o_orderkey) OVER
-                (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_ok
-            FROM orders),
-      firsts AS (SELECT * FROM (
-          SELECT o.*, row_number() OVER
-            (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM o) f
-        WHERE rn = 1),
       chain AS (
         SELECT o_custkey, o_orderkey, next_ok, 1 AS pos, cents AS run_cents
-        FROM firsts
+        FROM q51_edges WHERE rn = 1
         UNION ALL
         SELECT c.o_custkey, o.o_orderkey, o.next_ok, c.pos + 1,
           c.run_cents + o.cents
-        FROM chain c JOIN o ON o.o_orderkey = c.next_ok)
+        FROM chain c JOIN q51_edges o ON o.o_orderkey = c.next_ok
+        WHERE c.pos < 10)
       SELECT o_custkey AS custkey, o_orderkey AS orderkey, pos, run_cents
       FROM chain ORDER BY custkey, orderkey""")
   }

@@ -169,4 +169,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.user_id == 1L && rows.head.n == 2L)
     assert(rows.head.endMs - rows.head.startMs == 2 * 60 * 1000L)
   }
+
+  test("streaming latest-value upsert converges to the batch merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val df = mem.toDF().toDF("user_id", "us", "event_id", "v_e6")
+    val q = StreamUpsert.latestValueStream(df).writeStream
+      .format("memory").queryName("upsert_out").outputMode("complete").start()
+    // batch 1 = the "snapshot"; batch 2 = the change feed (update for
+    // user 1, insert for user 3, nothing for user 2 — a keep)
+    mem.addData((1L, 100L, 1L, 10L), (1L, 200L, 2L, 20L), (2L, 50L, 3L, 5L))
+    q.processAllAvailable()
+    mem.addData((1L, 300L, 4L, 30L), (3L, 10L, 5L, 7L))
+    q.processAllAvailable()
+    val rows = spark.table("upsert_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows == Map(1L -> 30L, 2L -> 5L, 3L -> 7L))
+  }
 }

@@ -103,8 +103,10 @@ object Bench {
     // the fast sample proves the plan is cheap and the median is
     // stall-contaminated — collect extra samples until the median is
     // consistent or the extra budget (one full pass worth) runs out.
-    // The median over ALL collected samples is reported; per-query
-    // extra counts appear under "resampled".
+    // The median over ALL collected samples is reported; the printed
+    // line carries only the total resample count (to stay inside the
+    // driver's stdout tail window), per-query counts go to
+    // BENCH_DETAIL.json.
     var extraBudget = names.size
     var resampled = Map.empty[String, Int].withDefaultValue(0)
     var rounds = 0
@@ -148,7 +150,12 @@ object Bench {
     def short(n: String): String = n.takeWhile(_ != '_')
     val ambiguous = names.groupBy(short).exists(_._2.size > 1)
     def key(n: String): String = if (ambiguous) n else short(n)
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR…)
+    // would render 8.496 as "8,496" and break the JSON parse this
+    // line exists for
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val extras = new StringBuilder
@@ -163,8 +170,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"stat":"median"$extras,"sf":"$sfDir"}"""
     try {
+      val errDetail = failedRuns.toSeq.sortBy(_._1)
+        .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+      val resDetail = resampled.toSeq.sortBy(_._1)
+        .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
       val detailLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","failed_runs":$errDetail,"resampled":$resDetail,"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (detailLine + "\n").getBytes("UTF-8"))

@@ -43,14 +43,17 @@ object Merge {
     def latest(side: DataFrame): DataFrame = side
       .groupBy("user_id")
       .agg(expr("max_by(v_e6, struct(us, event_id))").as("v"))
+    // presence flags, not value nullness, drive the action: a user
+    // whose latest event carries a NULL value is still present on that
+    // side (the oracle classifies via join-side user_id nullness)
     val snap = latest(cutE.filter(col("us") < col("cut")))
-      .withColumnRenamed("v", "snap_v")
+      .withColumnRenamed("v", "snap_v").withColumn("in_snap", lit(1))
     val chg = latest(cutE.filter(col("us") >= col("cut")))
-      .withColumnRenamed("v", "chg_v")
+      .withColumnRenamed("v", "chg_v").withColumn("in_chg", lit(1))
     snap.join(chg, Seq("user_id"), "full_outer")
       .select(col("user_id"),
-        when(col("snap_v").isNull, "insert")
-          .when(col("chg_v").isNull, "keep")
+        when(col("in_snap").isNull, "insert")
+          .when(col("in_chg").isNull, "keep")
           .otherwise("update").as("action"),
         coalesce(col("chg_v"), col("snap_v")).as("v_e6"))
       .orderBy("user_id")

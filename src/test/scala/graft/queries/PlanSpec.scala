@@ -168,11 +168,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"df/heads join must be an equi join on term:\n$p")
     // collect_list may only aggregate rows that survived the rank
-    // filter (rn <= 5): the Window node must sit below the list agg
-    val winIdx = p.indexOf(") Window")
-    val aggIdx = p.indexOf("collect_list")
-    assert(winIdx >= 0 && aggIdx >= 0,
+    // filter (rn <= 5): the Window node must sit BELOW the list
+    // aggregate. FormattedMode numbers nodes leaf-first, so "below"
+    // means the Window's node number is smaller than every
+    // collect_list aggregate's.
+    val winNum = raw"\((\d+)\) Window".r.findFirstMatchIn(p)
+      .map(_.group(1).toInt)
+    val aggNums = raw"\((\d+)\) ObjectHashAggregate".r.findAllMatchIn(p)
+      .map(_.group(1).toInt).toSeq
+    assert(winNum.isDefined && aggNums.nonEmpty,
       s"expected both a window rank and a list aggregate:\n$p")
+    assert(winNum.get < aggNums.min,
+      s"the rank window must run before the posting-list aggregate " +
+        s"(win=${winNum.get}, aggs=$aggNums):\n$p")
   }
 
   test("contamination join shuffles shingle hashes, not document text") {

@@ -170,22 +170,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.endMs - rows.head.startMs == 2 * 60 * 1000L)
   }
 
-  test("streaming latest-value upsert converges to the batch merge") {
+  test("streaming latest-value upsert emits per-batch change feeds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, Long)]
     val df = mem.toDF().toDF("user_id", "us", "event_id", "v_e6")
+    // update mode IS the contract (the change feed a foreachBatch
+    // MERGE consumes): each micro-batch may only emit touched keys
     val q = StreamUpsert.latestValueStream(df).writeStream
-      .format("memory").queryName("upsert_out").outputMode("complete").start()
+      .format("memory").queryName("upsert_out").outputMode("update").start()
     // batch 1 = the "snapshot"; batch 2 = the change feed (update for
     // user 1, insert for user 3, nothing for user 2 — a keep)
     mem.addData((1L, 100L, 1L, 10L), (1L, 200L, 2L, 20L), (2L, 50L, 3L, 5L))
     q.processAllAvailable()
+    val batch1 = spark.table("upsert_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(batch1.toMap == Map(1L -> 20L, 2L -> 5L))
     mem.addData((1L, 300L, 4L, 30L), (3L, 10L, 5L, 7L))
     q.processAllAvailable()
-    val rows = spark.table("upsert_out").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = spark.table("upsert_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
     q.stop()
-    assert(rows == Map(1L -> 30L, 2L -> 5L, 3L -> 7L))
+    // batch 2 appended rows for the touched keys only (1 and 3, not 2)
+    val batch2 = all.drop(batch1.length)
+    assert(batch2.toMap == Map(1L -> 30L, 3L -> 7L))
+    // converged state = latest row per key = the batch-merge outcome
+    assert(all.toMap == Map(1L -> 30L, 2L -> 5L, 3L -> 7L))
   }
 }

@@ -31,8 +31,14 @@ object DupCluster {
     val pairs = Dedup.minhashLshPairs(s, dir).select(col("ida"), col("idb"))
     val edges = pairs.union(pairs.select(col("idb"), col("ida")))
       .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).localCheckpoint()
+    // seed with the 1-hop minimum (id vs. smallest neighbor) instead
+    // of the identity label: the first propagation round is folded
+    // into the same groupBy that deduplicates vertices, saving one
+    // full join+agg+count iteration on shallow components
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("cluster_id"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, col("dst") === col("id"))

@@ -67,6 +67,27 @@ object Merge {
     *
     * Shape: one partial-aggregated shuffle to (user, hour) grain, then
     * two ordered windows over the (tiny) per-user hourly series. */
+  /** x10: the per-user serving card — the three incremental-
+    * maintenance views of the event log composed by key: the merged
+    * current value (x08), how many SCD-2 versions the user's history
+    * holds (x09), and how many of their events were flagged anomalous
+    * (x07). Each input is already key-grain, so the composition is
+    * two broadcast-sized left joins — no new event-scale shuffle. */
+  def servingCard(s: SparkSession, dir: String): DataFrame = {
+    val merged = snapshotUpsert(s, dir)
+    val versions = scd2Intervals(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_versions"))
+    val anomalies = TimeSeries.anomalies(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_anomalies"))
+    merged
+      .join(versions, Seq("user_id"), "left")
+      .join(anomalies, Seq("user_id"), "left")
+      .select(col("user_id"), col("action"), col("v_e6"),
+        coalesce(col("n_versions"), lit(0L)).as("n_versions"),
+        coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"))
+      .orderBy("user_id")
+  }
+
   def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
     val hourly = valued(s, dir)
       .withColumn("hr", expr(s"us div ${HourUs}L"))

@@ -61,6 +61,7 @@ object Extensions {
     "x07_anomaly" -> (TimeSeries.anomalies _),
     "x08_upsert" -> (Merge.snapshotUpsert _),
     "x09_scd2" -> (Merge.scd2Intervals _),
+    "x10_serving_card" -> (Merge.servingCard _),
     "z01_zorder" -> (Layout.zorderKeys _),
   )
 
@@ -145,6 +146,61 @@ object Extensions {
                 WHERE e.dst <> r.src),
       lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
               FROM reach GROUP BY src)"""
+
+  /** x07/x08/x09 oracle bodies, extracted so the x10 composition
+    * embeds the exact same SQL (no drift between the standalone
+    * queries and the card). */
+  private val x07Oracle = """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+              CAST(floor(value * 1000) AS BIGINT) AS v_e3 FROM events),
+      w AS (SELECT event_id, user_id, v_e3,
+              count(*) OVER win AS n,
+              sum(v_e3) OVER win AS sx,
+              sum(v_e3 * v_e3) OVER win AS sxx
+            FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, v_e3, n,
+        CAST(sx AS BIGINT) AS sx, CAST(sxx AS BIGINT) AS sxx
+      FROM w
+      WHERE n >= 30
+        AND (n * v_e3 - sx) * (n * v_e3 - sx) > 9 * (n * sxx - sx * sx)
+      ORDER BY event_id"""
+  private val x08Oracle = """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+              CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events),
+      c AS (SELECT max(us) - 86400000000 AS cut FROM e),
+      snap AS (SELECT user_id, v_e6 AS snap_v FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id
+            ORDER BY us DESC, event_id DESC) AS rn
+          FROM e, c WHERE us < cut) z WHERE rn = 1),
+      chg AS (SELECT user_id, v_e6 AS chg_v FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id
+            ORDER BY us DESC, event_id DESC) AS rn
+          FROM e, c WHERE us >= cut) z WHERE rn = 1)
+      SELECT coalesce(s.user_id, ch.user_id) AS user_id,
+        CASE WHEN s.user_id IS NULL THEN 'insert'
+             WHEN ch.user_id IS NULL THEN 'keep' ELSE 'update' END AS action,
+        coalesce(ch.chg_v, s.snap_v) AS v_e6
+      FROM snap s FULL JOIN chg ch ON s.user_id = ch.user_id
+      ORDER BY user_id"""
+  private val x09Oracle = """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+              CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events),
+      hourly AS (SELECT user_id, hr, v_e6 FROM (
+          SELECT user_id, us // 3600000000 AS hr, us, event_id, v_e6,
+            row_number() OVER (PARTITION BY user_id, us // 3600000000
+              ORDER BY us DESC, event_id DESC) AS rn
+          FROM e) z WHERE rn = 1),
+      chg AS (SELECT user_id, hr, v_e6 FROM (
+          SELECT user_id, hr, v_e6,
+            lag(v_e6) OVER (PARTITION BY user_id ORDER BY hr) AS prev_v
+          FROM hourly) z
+        WHERE prev_v IS NULL OR prev_v <> v_e6)
+      SELECT user_id, CAST(row_number() OVER w AS INTEGER) AS version,
+        hr AS valid_from_hr,
+        coalesce(lead(hr) OVER w - 1, -1) AS valid_to_hr, v_e6
+      FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY hr)
+      ORDER BY user_id, version"""
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> """
@@ -740,62 +796,26 @@ object Extensions {
     // trailing z-score in pure integer arithmetic:
     // (v − mean)² > 9·var ⟺ (n·v − Σx)² > 9·(n·Σx² − (Σx)²) over the
     // previous ≤100 events — no division/sqrt, so no float boundary
-    "x07_anomaly" -> """
-      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
-              CAST(floor(value * 1000) AS BIGINT) AS v_e3 FROM events),
-      w AS (SELECT event_id, user_id, v_e3,
-              count(*) OVER win AS n,
-              sum(v_e3) OVER win AS sx,
-              sum(v_e3 * v_e3) OVER win AS sxx
-            FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
-              ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
-      SELECT event_id, user_id, v_e3, n,
-        CAST(sx AS BIGINT) AS sx, CAST(sxx AS BIGINT) AS sxx
-      FROM w
-      WHERE n >= 30
-        AND (n * v_e3 - sx) * (n * v_e3 - sx) > 9 * (n * sxx - sx * sx)
-      ORDER BY event_id""",
+    "x07_anomaly" -> x07Oracle,
     // MERGE/SCD-1 upsert: latest value per user on each side of a
     // data-derived cutoff (max us − 24 h), full-outer joined;
     // (us, event_id) is unique so "latest" is deterministic
-    "x08_upsert" -> """
-      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-              CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events),
-      c AS (SELECT max(us) - 86400000000 AS cut FROM e),
-      snap AS (SELECT user_id, v_e6 AS snap_v FROM (
-          SELECT e.*, row_number() OVER (PARTITION BY user_id
-            ORDER BY us DESC, event_id DESC) AS rn
-          FROM e, c WHERE us < cut) z WHERE rn = 1),
-      chg AS (SELECT user_id, v_e6 AS chg_v FROM (
-          SELECT e.*, row_number() OVER (PARTITION BY user_id
-            ORDER BY us DESC, event_id DESC) AS rn
-          FROM e, c WHERE us >= cut) z WHERE rn = 1)
-      SELECT coalesce(s.user_id, ch.user_id) AS user_id,
-        CASE WHEN s.user_id IS NULL THEN 'insert'
-             WHEN ch.user_id IS NULL THEN 'keep' ELSE 'update' END AS action,
-        coalesce(ch.chg_v, s.snap_v) AS v_e6
-      FROM snap s FULL JOIN chg ch ON s.user_id = ch.user_id
-      ORDER BY user_id""",
+    "x08_upsert" -> x08Oracle,
     // SCD-2: hourly last-value series compressed to change points;
     // each version valid until the hour before the next change
-    "x09_scd2" -> """
-      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-              CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events),
-      hourly AS (SELECT user_id, hr, v_e6 FROM (
-          SELECT user_id, us // 3600000000 AS hr, us, event_id, v_e6,
-            row_number() OVER (PARTITION BY user_id, us // 3600000000
-              ORDER BY us DESC, event_id DESC) AS rn
-          FROM e) z WHERE rn = 1),
-      chg AS (SELECT user_id, hr, v_e6 FROM (
-          SELECT user_id, hr, v_e6,
-            lag(v_e6) OVER (PARTITION BY user_id ORDER BY hr) AS prev_v
-          FROM hourly) z
-        WHERE prev_v IS NULL OR prev_v <> v_e6)
-      SELECT user_id, CAST(row_number() OVER w AS INTEGER) AS version,
-        hr AS valid_from_hr,
-        coalesce(lead(hr) OVER w - 1, -1) AS valid_to_hr, v_e6
-      FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY hr)
-      ORDER BY user_id, version""",
+    "x09_scd2" -> x09Oracle,
+    // the card embeds the x08/x09/x07 oracle bodies verbatim — the
+    // composed stages cannot drift from the standalone gates
+    "x10_serving_card" -> s"""
+      SELECT m.user_id, m.action, m.v_e6,
+        coalesce(v.n_versions, 0) AS n_versions,
+        coalesce(a.n_anomalies, 0) AS n_anomalies
+      FROM ($x08Oracle) m
+      LEFT JOIN (SELECT user_id, count(*) AS n_versions
+                 FROM ($x09Oracle) s GROUP BY 1) v USING (user_id)
+      LEFT JOIN (SELECT user_id, count(*) AS n_anomalies
+                 FROM ($x07Oracle) z GROUP BY 1) a USING (user_id)
+      ORDER BY m.user_id""",
     // Morton/Z-order key: identical bit-interleave arithmetic text
     // runs on both engines (Layout.zkeyExpr)
     "z01_zorder" -> s"""

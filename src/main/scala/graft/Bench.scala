@@ -156,24 +156,23 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def jsonObj[A](pairs: Seq[(String, A)])(render: A => String): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + render(v) }
+        .mkString("{", ",", "}")
+    val qs = jsonObj(results.map { case (k, v) => key(k) -> v })(fmt)
     val extras = new StringBuilder
     if (failedRuns.nonEmpty)
-      extras ++= failedRuns.toSeq.sortBy(_._1)
-        .map { case (k, n) => "\"" + key(k) + "\":" + n }
-        .mkString(",\"failed_runs\":{", ",", "}")
+      extras ++= ",\"failed_runs\":" + jsonObj(
+        failedRuns.toSeq.sortBy(_._1).map { case (k, n) => key(k) -> n })(
+        _.toString)
     if (resampled.nonEmpty)
       extras ++= s""","resampled":${resampled.values.sum}"""
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"stat":"median"$extras,"sf":"$sfDir"}"""
     try {
-      val errDetail = failedRuns.toSeq.sortBy(_._1)
-        .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
-      val resDetail = resampled.toSeq.sortBy(_._1)
-        .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+      val detail = jsonObj(results)(_.toString)
+      val errDetail = jsonObj(failedRuns.toSeq.sortBy(_._1))(_.toString)
+      val resDetail = jsonObj(resampled.toSeq.sortBy(_._1))(_.toString)
       val detailLine =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","failed_runs":$errDetail,"resampled":$resDetail,"sf":"$sfDir"}"""
       java.nio.file.Files.write(

@@ -20,7 +20,6 @@ import graft.engine.Tables
 object Merge {
 
   private val DayUs = 86400000000L
-  private val HourUs = 3600000000L
 
   private def valued(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "events")
@@ -59,14 +58,6 @@ object Merge {
       .orderBy("user_id")
   }
 
-  /** x09: SCD-2 validity intervals — per user, the hourly last-value
-    * series compressed to its change points, each valid from its hour
-    * until the hour before the next change (−1 = still current).
-    * Composes with x06: the forward-filled grid is exactly what
-    * replaying these intervals reproduces.
-    *
-    * Shape: one partial-aggregated shuffle to (user, hour) grain, then
-    * two ordered windows over the (tiny) per-user hourly series. */
   /** x10: the per-user serving card — the three incremental-
     * maintenance views of the event log composed by key: the merged
     * current value (x08), how many SCD-2 versions the user's history
@@ -88,11 +79,19 @@ object Merge {
       .orderBy("user_id")
   }
 
+  /** x09: SCD-2 validity intervals — per user, the hourly last-value
+    * series compressed to its change points, each valid from its hour
+    * until the hour before the next change (−1 = still current).
+    * Composes with x06: the forward-filled grid is exactly what
+    * replaying these intervals reproduces — both consume the same
+    * [[TimeSeries.hourlyLatest]] reduction, so the hourly-latest rule
+    * cannot drift between them.
+    *
+    * Shape: one partial-aggregated shuffle to (user, hour) grain, then
+    * two ordered windows over the (tiny) per-user hourly series. */
   def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
-    val hourly = valued(s, dir)
-      .withColumn("hr", expr(s"us div ${HourUs}L"))
-      .groupBy("user_id", "hr")
-      .agg(expr("max_by(v_e6, struct(us, event_id))").as("v_e6"))
+    val hourly = TimeSeries.hourlyLatest(s, dir)
+      .select(col("user_id"), col("hr"), col("last_v").as("v_e6"))
     val w = Window.partitionBy("user_id").orderBy("hr")
     hourly
       .withColumn("prev_v", lag(col("v_e6"), 1).over(w))

@@ -196,6 +196,23 @@ object Similarity {
     * vec_id + 8 codes through the scan; the tiny query side
     * broadcasts; ranking shuffles (q, k) rows. This is the in-cell
     * scoring kernel of an IVF-PQ index (IVF routing = s03). */
+  def annPqTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = emb(s, dir)
+    val corpus = graft.operators.TextHash.fanOut(e)
+      .select(col("vec_id"), expr("pq_encode(embedding)").as("pq"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_e6"), col("neighbor_id"))
+    corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("pq_adc_e6(qv, pq)").as("adc_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
+      .orderBy("query_id", "rank")
+  }
+
   /** s07: IVF-PQ search — the composed production index. IVF routing
     * prunes the corpus to the query's `nprobe` coarse cells (equi-join
     * on bucket id, as s03) and PQ-ADC scores only those candidates
@@ -217,23 +234,6 @@ object Similarity {
       .orderBy(col("adc_e6"), col("neighbor_id"))
     corpus.join(broadcast(q), Seq("bucket")) // route: coarse-cell equi-join
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr("pq_adc_e6(qv, pq)").as("adc_e6"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
-      .orderBy("query_id", "rank")
-  }
-
-  def annPqTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = emb(s, dir)
-    val corpus = graft.operators.TextHash.fanOut(e)
-      .select(col("vec_id"), expr("pq_encode(embedding)").as("pq"))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_e6"), col("neighbor_id"))
-    corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         expr("pq_adc_e6(qv, pq)").as("adc_e6"))
       .withColumn("rank", row_number().over(w))

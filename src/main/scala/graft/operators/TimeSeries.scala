@@ -20,23 +20,28 @@ object TimeSeries {
 
   private val HourUs = 3600000000L
 
-  /** x06: hourly resample + forward fill. Each user's timeline is
-    * filled from their first to last active hour: per grid cell the
-    * event count (0 for gaps) and the last observed value at or
-    * before that hour (latest timestamp, ties to highest event_id —
-    * deterministic in both engines). */
-  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "events")
+  /** One row per (user, hour): event count and the hour's last
+    * observed value as floor(v·1e6) (latest timestamp, ties to
+    * highest event_id — a unique pair, so deterministic in both
+    * engines). max_by on the (us, event_id) struct picks it in one
+    * partial-aggregated pass — no per-group sort, unlike a row_number
+    * window. Shared by x06's resample and x09's SCD-2 builder so the
+    * hourly-latest rule cannot drift between them. */
+  def hourlyLatest(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
         floor(col("value") * 1000000).cast("long").as("v_e6"))
       .withColumn("hr", expr(s"us div ${HourUs}L"))
-    // max_by on the (us, event_id) struct picks the last event in one
-    // partial-aggregated pass — no per-group sort, unlike a
-    // row_number window (same deterministic choice: the pair is
-    // unique per event)
-    val hourly = e.groupBy("user_id", "hr")
+      .groupBy("user_id", "hr")
       .agg(count(lit(1)).as("n_events"),
         expr("max_by(v_e6, struct(us, event_id))").as("last_v"))
+
+  /** x06: hourly resample + forward fill. Each user's timeline is
+    * filled from their first to last active hour: per grid cell the
+    * event count (0 for gaps) and the last observed value at or
+    * before that hour. */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = hourlyLatest(s, dir)
     val grid = hourly.groupBy("user_id")
       .agg(min("hr").as("mn"), max("hr").as("mx"))
       .select(col("user_id"), explode(expr("sequence(mn, mx)")).as("hr"))

@@ -177,8 +177,8 @@ object SparkEntry {
       SELECT l_orderkey, l_linenumber,
         l_quantity + l_tax AS a_add,
         l_quantity - l_discount AS a_sub,
-        round(l_quantity * l_extendedprice, 2) AS a_mul,
-        round(l_extendedprice / l_quantity, 4) AS a_div,
+        CAST(floor(l_quantity * l_extendedprice * 100 + 0.5) AS BIGINT) AS a_mul_e2,
+        CAST(floor(l_extendedprice / l_quantity * 10000 + 0.5) AS BIGINT) AS a_div_e4,
         l_partkey % 10 AS a_mod,
         (l_partkey & 255) AS b_and,
         (l_partkey | 16) AS b_or,

@@ -261,8 +261,15 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"),
         (col("l_quantity") + col("l_tax")).as("a_add"),
         (col("l_quantity") - col("l_discount")).as("a_sub"),
-        m(col("l_quantity") * col("l_extendedprice")).as("a_mul"),
-        round(col("l_extendedprice") / col("l_quantity"), 4).as("a_div"),
+        // product/quotient exposed as floor(x·10^k + 0.5) longs: both
+        // engines compute the identical IEEE double, then the same
+        // floor — round(double, k) is NOT portable (engines disagree
+        // by 1 in the last digit on representation ties; seen at
+        // sf0.1)
+        floor(col("l_quantity") * col("l_extendedprice") * 100 + 0.5)
+          .cast("long").as("a_mul_e2"),
+        floor(col("l_extendedprice") / col("l_quantity") * 10000 + 0.5)
+          .cast("long").as("a_div_e4"),
         (col("l_partkey") % 10).as("a_mod"),
         col("l_partkey").bitwiseAND(lit(255L)).as("b_and"),
         col("l_partkey").bitwiseOR(lit(16L)).as("b_or"),

@@ -26,13 +26,32 @@ object Sessionize {
 
   val GapMinutes = 5
 
-  /** Batch gap-based sessionization via `session_window` — 5-minute
-    * inactivity gap per user. `session_window` starts a new session
-    * when the next event is >= gap after the previous one. */
-  def sessionizeBatch(s: SparkSession, dir: String): DataFrame =
+  /** Batch gap-based sessionization — a new session starts when the
+    * gap since the previous event is >= 5 minutes.
+    *
+    * Formulated as lag + cumulative-sum (the classic one-shuffle
+    * shape: gap marker, running session id, group) rather than
+    * `session_window`, because the two disagree on a gap of EXACTLY
+    * the threshold: `session_window` merges it (next.start <= window
+    * end extends the session), the >=-splits rule here does not —
+    * observed as 2 divergent sessions at sf0.1. The lag form makes
+    * the boundary rule explicit and is what the DuckDB oracle runs
+    * verbatim; `session_window` remains the streaming operator
+    * ([[sessionizeStream]]), where its inclusive boundary is fine. */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tss")
     Tables.t(s, dir, "events")
       .select(col("user_id"), date_trunc("second", col("ts")).as("tss"))
-      .groupBy(col("user_id"), session_window(col("tss"), s"$GapMinutes minutes"))
+      .withColumn("prev", lag(col("tss"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_timestamp(col("tss")) - unix_timestamp(col("prev"))
+            >= GapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
       .agg(
         date_format(min(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
@@ -40,6 +59,7 @@ object Sessionize {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
       .orderBy("user_id", "session_start")
+  }
 
   /** Streaming tumbling-window counts: watermark + 1-hour windows per
     * event type (the streaming twin of Relational.q28_time_window). */

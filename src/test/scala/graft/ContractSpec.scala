@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants that don't need a SparkSession — the
+  * rules that make the harness gates work, pinned so adding a query
+  * can't silently break them.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every query has a DuckDB oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
+  }
+
+  test("query id prefixes stay unique (bench short keys) ") {
+    val names = SparkEntry.queries.keys.toSeq
+    val prefixes = names.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size == prefixes.size,
+      "duplicate id prefix would force the bench line back to full names")
+  }
+
+  test("bench JSON line estimate stays inside the driver tail window") {
+    // the driver parses the bench line from the last ~2000 chars of
+    // stdout, minus sbt's trailing [success] line (~75 chars); the
+    // compact line spends ~(prefix + 10) chars per query plus ~200 of
+    // envelope. Estimate against 1900 so growth is caught before a
+    // round silently records parsed:null again (rounds 1, 2, 4 did).
+    val names = SparkEntry.queries.keys.toSeq
+    val estimate = names.map(_.takeWhile(_ != '_').length + 10).sum + 200
+    assert(estimate < 1900,
+      s"estimated bench line $estimate chars — trim or re-shorten keys")
+  }
+
+  test("oracle SQL never leaks unaliased aggregate column names") {
+    // the driver compare sorts columns by NAME before hashing: an
+    // unaliased aggregate ("sum(x)") can never match the Spark side
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val head = sql.linesIterator.mkString(" ")
+        .replaceAll("(?i)\\bcount\\(\\*\\)\\s+AS", "")
+      assert(!head.matches(".*SELECT[^A-Za-z]*count\\(\\*\\)\\s*,.*"),
+        s"$name: bare count(*) column in oracle SELECT")
+    }
+  }
+}

@@ -69,6 +69,7 @@ object SparkEntry {
     "q49_skew_salted" -> (Relational.q49_skew_salted _),
     "q50_window_family" -> (Relational.q50_window_family _),
     "q51_recursive" -> (Relational.q51_recursive _),
+    "q52_struct" -> (Relational.q52_struct _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -495,5 +496,17 @@ object SparkEntry {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)) t
       WHERE pos <= 10
       ORDER BY custkey, orderkey""",
+    // rank-window equivalent of Spark's max(struct(date, key)):
+    // matching proves struct ordering == explicit lexicographic rank
+    "q52_struct" -> """
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS last_date,
+        o_orderkey AS last_ok, n_orders
+      FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+              count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) z
+      WHERE rn = 1
+      ORDER BY o_custkey""",
   ) ++ Extensions.oracles
 }

@@ -131,6 +131,30 @@ object TextAnalysis {
           .as("min_shingle_fp"))
       .orderBy("doc_id")
 
+  /** t17: bigram language-model statistics — exact continuation
+    * counts c(w1 w2), context totals c(w1 ·), and the conditional
+    * probability P(w2|w1) as an integer-division e6 (exact in both
+    * engines; no float path). These count tables are what an n-gram
+    * LM quality filter / perplexity scorer consumes; shape is one
+    * narrow pair explosion + two partial-aggregated groupBys, so the
+    * shuffle carries (vocab²) rows however large the corpus. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .select(tokens(col("text")).as("tk"))
+      .select(explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2)) " +
+          "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pair = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = pair.groupBy("w1").agg(sum("c12").as("c1"))
+    pair.join(uni, "w1")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        expr("(c12 * 1000000L) div c1").as("p_e6"))
+      .orderBy("w1", "w2")
+  }
+
   /** i01: inverted index — per term the document frequency and the
     * first five postings (smallest doc_ids), the artifact a
     * contamination checker or corpus search probes.

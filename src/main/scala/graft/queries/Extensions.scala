@@ -50,6 +50,7 @@ object Extensions {
     "t14_hist_quantiles" -> (Sketches.histogramQuantiles _),
     "t15_countmin" -> (Sketches.countMinTopTerms _),
     "t16_profile" -> (Profile.columnStats _),
+    "t17_bigram_lm" -> (TextAnalysis.bigramLm _),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
@@ -599,6 +600,20 @@ object Extensions {
         CAST(min(cnt) AS BIGINT) AS cm_est
       FROM probes JOIN cells USING (cell)
       GROUP BY rnk, term, exact_n ORDER BY rnk""",
+    // exact bigram counts; P(w2|w1) via integer division (no floats)
+    "t17_bigram_lm" -> s"""
+      WITH $tkCte,
+      g AS (SELECT CASE WHEN len(tk) >= 2 THEN
+              [[tk[i], tk[i+1]] for i in generate_series(1, len(tk)-1)]
+            ELSE [] END AS bs FROM tk),
+      e AS (SELECT unnest(bs) AS b FROM g),
+      pair AS (SELECT b[1] AS w1, b[2] AS w2, count(*) AS c12
+               FROM e GROUP BY 1, 2),
+      uni AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY 1)
+      SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+        CAST((c12 * 1000000) // c1 AS BIGINT) AS p_e6
+      FROM pair JOIN uni USING (w1)
+      ORDER BY w1, w2""",
     // ANALYZE-style column stats; same integer-coded projections as
     // the Spark melt (prices in cents so the long encoding is lossless)
     "t16_profile" -> """

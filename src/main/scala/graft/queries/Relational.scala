@@ -785,6 +785,25 @@ object Relational {
       FROM chain ORDER BY custkey, orderkey""")
   }
 
+  // Struct support — beyond reference parity (the reference rejects
+  // struct access outright, /root/reference/README.md:971). Builds a
+  // (date, key) struct per order and aggregates with max(struct):
+  // Spark's lexicographic struct ordering replaces an argmax window —
+  // one partial-aggregated pass, no per-group sort. The oracle
+  // produces the same rows via a rank window, so the gate proves the
+  // struct ordering agrees with explicit lexicographic ranking.
+  def q52_struct(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("last"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        date_format(col("last.o_orderdate"), "yyyy-MM-dd").as("last_date"),
+        col("last.o_orderkey").as("last_ok"),
+        col("n_orders"))
+      .orderBy("o_custkey")
+  }
+
   // LATERAL correlated subquery join (top-2 orders per customer):
   // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
   // partitioned window rank — one shuffle, no per-row re-execution.

@@ -197,4 +197,27 @@ class StreamingSpec extends AnyFunSuite {
     // converged state = latest row per key = the batch-merge outcome
     assert(all.toMap == Map(1L -> 30L, 2L -> 5L, 3L -> 7L))
   }
+
+  test("foreachBatch MERGE consumes the upsert change feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val df = mem.toDF().toDF("user_id", "us", "event_id", "v_e6")
+    // the serving table a lakehouse MERGE would maintain; upserting
+    // each micro-batch's change feed must reproduce the full state
+    val serving = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = StreamUpsert.latestValueStream(df).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => serving(r.getLong(0)) = r.getLong(1))
+      }
+      .start()
+    mem.addData((1L, 100L, 1L, 10L), (2L, 50L, 2L, 5L))
+    q.processAllAvailable()
+    mem.addData((1L, 200L, 3L, 20L), (3L, 10L, 4L, 7L))
+    q.processAllAvailable()
+    q.stop()
+    assert(serving.toMap == Map(1L -> 20L, 2L -> 5L, 3L -> 7L))
+  }
 }

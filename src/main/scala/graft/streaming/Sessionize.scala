@@ -38,19 +38,24 @@ object Sessionize {
     * the boundary rule explicit and is what the DuckDB oracle runs
     * verbatim; `session_window` remains the streaming operator
     * ([[sessionizeStream]]), where its inclusive boundary is fine. */
-  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("tss")
-    Tables.t(s, dir, "events")
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(Tables.t(s, dir, "events"))
+
+  /** The batch sessionization core over any (user_id, ts) frame —
+    * separated from the table lookup so the exact >=-boundary rule is
+    * unit-testable (SessionBoundarySpec). */
+  def sessionizeEvents(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tss")
+    events
       .select(col("user_id"), date_trunc("second", col("ts")).as("tss"))
       .withColumn("prev", lag(col("tss"), 1).over(w))
       .withColumn("new_s",
         when(col("prev").isNull ||
           unix_timestamp(col("tss")) - unix_timestamp(col("prev"))
             >= GapMinutes * 60L, 1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sid"))
       .agg(
         date_format(min(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_start"),

@@ -34,14 +34,4 @@ class ContractSpec extends AnyFunSuite {
       s"estimated bench line $estimate chars — trim or re-shorten keys")
   }
 
-  test("oracle SQL never leaks unaliased aggregate column names") {
-    // the driver compare sorts columns by NAME before hashing: an
-    // unaliased aggregate ("sum(x)") can never match the Spark side
-    SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val head = sql.linesIterator.mkString(" ")
-        .replaceAll("(?i)\\bcount\\(\\*\\)\\s+AS", "")
-      assert(!head.matches(".*SELECT[^A-Za-z]*count\\(\\*\\)\\s*,.*"),
-        s"$name: bare count(*) column in oracle SELECT")
-    }
-  }
 }

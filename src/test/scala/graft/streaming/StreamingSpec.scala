@@ -66,7 +66,25 @@ class StreamingSpec extends AnyFunSuite {
       texts.map(_.split(" ").length).sum * graft.operators.Sketches.CmDepth)
   }
 
-  test("sessionizeStream matches batch session_window semantics") {
+  test("batch sessionization splits on a gap of exactly the threshold") {
+    import spark.implicits._
+    // the boundary rule the sf0.1 oracle run pinned down: gap >= 5min
+    // starts a new session (session_window would MERGE the exact-300s
+    // gap — that is why the batch path uses the lag+cumsum form)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:05:00")), // gap exactly 300s -> split
+      (2L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:04:59"))) // gap 299s -> merge
+      .toDF("user_id", "ts")
+    val got = sessionizeEvents(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(got.count(_._1 == 1L) == 2, "exact-threshold gap must split")
+    assert(got.filter(_._1 == 2L).toSeq ==
+      Seq((2L, "2024-01-01 10:00:00", 2L)), "sub-threshold gap must merge")
+  }
+
+  test("sessionizeStream groups events with session_window semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]

@@ -39,15 +39,33 @@ object Dedup {
     * J ≥ 0.5), via an inverted-index self-join on shingle *hashes*:
     * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Output is integer
     * (common, union_sz) — the threshold test 2·common ≥ union is
-    * float-free. At scale, add a document-frequency cap on shingles
-    * (stop-shingle removal) to bound join fan-out. */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    * float-free.
+    *
+    * `maxShingleDf`: the 100 TB guard. A shingle shared by d docs
+    * contributes d² join rows, so one boilerplate phrase ("all rights
+    * reserved …") makes the self-join quadratic; capping shingle
+    * document frequency drops those stop-shingles from CANDIDATE
+    * GENERATION only (intersection counts shrink by high-df shingles
+    * on both sides — a slight recall, never precision, trade;
+    * JaccardCapSpec pins the containment). Default off so the driver
+    * gate checks the exact semantics. */
+  def jaccardPairs(s: SparkSession, dir: String,
+      maxShingleDf: Option[Long] = None): DataFrame = {
     // The signature frame feeds 4 plan branches (both join sides, both
     // size lookups); without persist each branch re-reads + re-hashes
     // the corpus (no exchange reuse across differing projections). At
     // 100 TB this is the "materialize signatures" pipeline stage.
     val sh = shingleHashes(docs(s, dir)).persist()
-    val ex = sh.select(col("doc_id"), explode(col("hv")).as("h")).distinct()
+    val exAll = sh.select(col("doc_id"), explode(col("hv")).as("h")).distinct()
+    val ex = maxShingleDf match {
+      case None => exAll
+      case Some(cap) =>
+        // one partial-aggregated df count + a broadcast-able join
+        // against the (tiny) stop-shingle list
+        val stop = exAll.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("h")
+        exAll.join(broadcast(stop), Seq("h"), "left_anti")
+    }
     val sizes = sh.select(col("doc_id"), col("n_sh"))
     val common = ex.as("a")
       .join(ex.as("b"),

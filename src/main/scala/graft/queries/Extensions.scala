@@ -20,7 +20,7 @@ object Extensions {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (Dedup.exact _),
-    "d02_dedup_jaccard" -> (Dedup.jaccardPairs _),
+    "d02_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
     "d03_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     "d05_embedding_neardup" -> (Similarity.embeddingNearDups _),

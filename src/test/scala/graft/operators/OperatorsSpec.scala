@@ -33,6 +33,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("df-capped jaccard pairs are a high-recall subset of the exact pairs") {
+    val exact = Dedup.jaccardPairs(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairs(spark, dir, maxShingleDf = Some(50L))
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((capped -- exact).isEmpty,
+      "dropping stop-shingles may lose pairs but must never invent them")
+    assert(capped.size >= exact.size / 2,
+      s"cap too destructive on this corpus: ${capped.size} of ${exact.size}")
+  }
+
   test("minhash LSH recalls the exact-jaccard near-dup pairs") {
     val exact = Dedup.jaccardPairs(spark, dir)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

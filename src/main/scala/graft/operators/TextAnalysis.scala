@@ -155,6 +155,32 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** t18: document fluency score from the t17 bigram model — the mean
+    * corpus continuation probability over a document's bigrams, as an
+    * integer-division e6. This is the perplexity-filter shape (score
+    * each doc against a corpus LM, drop the tail) with the float
+    * log-likelihood replaced by an exact integer mean so the oracle
+    * gates it bit-for-bit; a real filter swaps the scoring expression,
+    * not the plan. The model side is vocab²-bound → broadcast; the
+    * doc side is one narrow pair explosion + a key-grain groupBy. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val model = bigramLm(s, dir).select(col("w1"), col("w2"), col("p_e6"))
+    val docPairs = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2)) " +
+          "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    docPairs.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e6")).as("sum_p_e6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_p_e6 div n_bigrams").as("mean_p_e6"))
+      .orderBy("doc_id")
+  }
+
   /** i01: inverted index — per term the document frequency and the
     * first five postings (smallest doc_ids), the artifact a
     * contamination checker or corpus search probes.

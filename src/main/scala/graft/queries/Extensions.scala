@@ -51,6 +51,7 @@ object Extensions {
     "t15_countmin" -> (Sketches.countMinTopTerms _),
     "t16_profile" -> (Profile.columnStats _),
     "t17_bigram_lm" -> (TextAnalysis.bigramLm _),
+    "t18_lm_score" -> (TextAnalysis.lmScore _),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
@@ -133,6 +134,21 @@ object Extensions {
         FROM cand JOIN sigs sa ON ida = sa.doc_id JOIN sigs sb ON idb = sb.doc_id
         WHERE list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
           for i in generate_series(1, 32)]) * 2 >= 32)"""
+
+  /** t17's bigram model CTE chain ending in `dp(doc_id, w1, w2)` and
+    * `model(w1, w2, c12, c1, p_e6)` — shared by t17 and the t18 doc
+    * scorer so the model definition cannot drift. */
+  private val bigramCtes = s"""$tkCte,
+      g AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN
+              [[tk[i], tk[i+1]] for i in generate_series(1, len(tk)-1)]
+            ELSE [] END AS bs FROM tk),
+      e AS (SELECT doc_id, unnest(bs) AS b FROM g),
+      dp AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM e),
+      pair AS (SELECT w1, w2, count(*) AS c12 FROM dp GROUP BY 1, 2),
+      uni AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY 1),
+      model AS (SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+          CAST((c12 * 1000000) // c1 AS BIGINT) AS p_e6
+        FROM pair JOIN uni USING (w1))"""
 
   /** `minhashPairCtes` extended with the connected-components chain
     * ending in `lab(id, cluster_id)` — shared by d06 and d07 so the
@@ -602,18 +618,17 @@ object Extensions {
       GROUP BY rnk, term, exact_n ORDER BY rnk""",
     // exact bigram counts; P(w2|w1) via integer division (no floats)
     "t17_bigram_lm" -> s"""
-      WITH $tkCte,
-      g AS (SELECT CASE WHEN len(tk) >= 2 THEN
-              [[tk[i], tk[i+1]] for i in generate_series(1, len(tk)-1)]
-            ELSE [] END AS bs FROM tk),
-      e AS (SELECT unnest(bs) AS b FROM g),
-      pair AS (SELECT b[1] AS w1, b[2] AS w2, count(*) AS c12
-               FROM e GROUP BY 1, 2),
-      uni AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY 1)
-      SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
-        CAST((c12 * 1000000) // c1 AS BIGINT) AS p_e6
-      FROM pair JOIN uni USING (w1)
-      ORDER BY w1, w2""",
+      WITH $bigramCtes
+      SELECT w1, w2, c12, c1, p_e6 FROM model ORDER BY w1, w2""",
+    // doc fluency = integer mean of the corpus continuation
+    // probabilities over the doc's bigrams (the perplexity-filter
+    // shape with exact integer scoring)
+    "t18_lm_score" -> s"""
+      WITH $bigramCtes
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(p_e6) // count(*) AS BIGINT) AS mean_p_e6
+      FROM dp JOIN model USING (w1, w2)
+      GROUP BY doc_id ORDER BY doc_id""",
     // ANALYZE-style column stats; same integer-coded projections as
     // the Spark melt (prices in cents so the long encoding is lossless)
     "t16_profile" -> """

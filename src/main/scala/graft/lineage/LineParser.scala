@@ -100,11 +100,15 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
         dispatch(w.child, stmt)
       case SetCatalogAndNamespace(child) =>
         // USE db (README.md:637-640): mutate the db used by fillDB.
+        // Read the namespace parts structurally (the last part is the
+        // database for a `USE cat.db`) — never via argString, whose
+        // debug formatting truncates multipart names and may change
+        // between Spark versions.
         child.collectFirst {
-          case ns if ns.nodeName == "UnresolvedNamespace" =>
-            ns.argString(10)
-        }.foreach { arg =>
-          currentDb = arg.stripPrefix("[").takeWhile(c => c != ']' && c != ',')
+          case ns: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+            ns.multipartIdentifier
+        }.foreach { parts =>
+          if (parts.nonEmpty) currentDb = parts.last.toLowerCase
         }
       case i: InsertIntoStatement =>
         val dest = fillDB(relationParts(i.table))
@@ -112,7 +116,13 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
         finishStatement(i.query, dest, stmt)
       case u @ Union(children, _, _)
           if children.forall(_.isInstanceOf[InsertIntoStatement]) =>
-        // Hive multi-insert with several INSERT branches (S13).
+        // Hive multi-insert with several INSERT branches (S13). NOTE:
+        // `conditions` deliberately accumulates ACROSS branches — the
+        // reference keeps one per-statement condition set that is
+        // never cleared per TOK_INSERT (README.md:108-129; the stacks
+        // at :660-675 do not include `conditions`), so later branches'
+        // ColLines carry earlier branches' tags. Golden sql25 pins
+        // this behavior.
         children.foreach { case i: InsertIntoStatement =>
           val dest = fillDB(relationParts(i.table))
           outputTables += dest
@@ -198,8 +208,17 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
     }
   }
 
+  /** Strips the wrappers Catalyst puts above a top-level set operation
+    * — `Distinct` for UNION (vs UNION ALL), `Sort`/limits for trailing
+    * ORDER BY/LIMIT — so the positional merge still sees the branches.
+    * A non-union query under the same wrappers yields one branch and
+    * takes the ordinary single-query path. */
   private def flattenUnion(p: LogicalPlan): Seq[LogicalPlan] = p match {
     case Union(children, _, _) => children.flatMap(flattenUnion)
+    case Distinct(child) => flattenUnion(child)
+    case Sort(_, _, child, _) => flattenUnion(child)
+    case GlobalLimit(_, child) => flattenUnion(child)
+    case LocalLimit(_, child) => flattenUnion(child)
     case other => Seq(other)
   }
 
@@ -365,7 +384,10 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
         }
       case _ =>
         val (expr, aliasName) = ne match {
-          case Alias(child, name) => (child, Some(name))
+          // lowercased like every other identifier path (the reference
+          // lower-cases all identifiers, README.md:512-515; subquery
+          // column lookups compare lowercased names)
+          case Alias(child, name) => (child, Some(name.toLowerCase))
           case UnresolvedAlias(child, _) => (child, None)
           case other => (other, None)
         }
@@ -407,6 +429,14 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
       case UnresolvedExtractValue(child, _) => sources(child, env, stmt)
       case f: UnresolvedFunction =>
         f.arguments.flatMap(sources(_, env, stmt))
+      case sub: SubqueryExpression =>
+        // IN (SELECT …) / EXISTS / scalar subqueries (beyond the
+        // reference, which only handles FROM-clause subqueries —
+        // SURVEY §2.8 Q3): walk the subquery plan so its relations
+        // reach inputTables; the subquery yields no source column for
+        // the enclosing expression itself.
+        walkQuery(sub.plan, stmt)
+        Nil
       case other => other.children.flatMap(sources(_, env, stmt))
     }
 
@@ -453,6 +483,13 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
       s"${render(child, env, stmt)}[${render(key, env, stmt)}]"
     case a: UnresolvedAttribute => resolveAttr(a.nameParts, env)
     case l: Literal => literalText(l, stmt)
+    case ins: InSubquery =>
+      walkQuery(ins.query.plan, stmt) // register the subquery's inputs
+      ins.values.map(render(_, env, stmt)).mkString(",") +
+        " in (" + originText(ins.query, stmt).getOrElse("subquery") + ")"
+    case sub: SubqueryExpression =>
+      walkQuery(sub.plan, stmt)
+      originText(sub, stmt).getOrElse("subquery")
     case Cast(child, dt, _, _) =>
       s"cast(${render(child, env, stmt)} as ${dt.sql.toLowerCase})"
     case Not(c) => "not " + render(c, env, stmt)
@@ -465,6 +502,15 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
   private def binop(op: String, l: Expression, r: Expression, env: Env,
       stmt: String): String =
     s"${render(l, env, stmt)} $op ${render(r, env, stmt)}"
+
+  /** Source text of any expression via parser origin offsets, if the
+    * parser recorded a usable span. */
+  private def originText(e: Expression, stmt: String): Option[String] =
+    (e.origin.sqlText, e.origin.startIndex, e.origin.stopIndex) match {
+      case (Some(text), Some(a), Some(b)) if b >= a && b < text.length =>
+        Some(text.substring(a, b + 1))
+      case _ => None
+    }
 
   /** Exact source text of a literal via parser origin offsets — this
     * is what preserves quote style (`'x'` vs `"x"`) and number

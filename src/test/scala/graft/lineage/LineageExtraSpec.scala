@@ -132,4 +132,44 @@ class LineageExtraSpec extends AnyFunSuite {
     assert(p.getColLines.head.conditionSet
       .contains("WHERE:default.t1.x > 0"))
   }
+
+  test("UNION (distinct) and trailing ORDER BY still merge positionally") {
+    // Distinct/Sort wrappers above the Union must not defeat the
+    // positional branch merge (U1)
+    val p = parser.parse(
+      "insert into table dst select a from t1 union select b from t2")
+    assert(p.getColLines.size == 1, p.getColLines.mkString("; "))
+    assert(p.getColLines.head.fromName == "default.t1.a,default.t2.b")
+
+    val p2 = parser.parse(
+      "insert into table dst select a from t1 union all select b from t2 order by 1")
+    assert(p2.getColLines.size == 1)
+    assert(p2.getColLines.head.fromName == "default.t1.a,default.t2.b")
+  }
+
+  test("mixed-case subquery alias resolves through the scope") {
+    // provenance keeps the reference's table-part + OUTER-name
+    // convention (getSubQueryTable, README.md:589-611): the matched
+    // subquery column contributes its source TABLE, the outer
+    // reference contributes the name. The point here is the case fix:
+    // `Foo` must match the scope (db.t), not fall through to an
+    // unresolved qualifier.
+    val p = parser.parse(
+      "insert into table dst select s.Foo from (select a as Foo from db.t) s")
+    assert(p.getColLines.head.fromName == "db.t.foo")
+  }
+
+  test("USE with a multipart namespace keeps the database part") {
+    val p = parser.parse("use cat.db2; insert into table dst select x from t")
+    assert(p.getInputTables == Set("db2.t"))
+  }
+
+  test("IN/EXISTS subqueries register their source tables (Q3 extension)") {
+    val p = parser.parse(
+      "insert into table dst select x from t1 where k in (select k from t2)")
+    assert(p.getInputTables == Set("default.t1", "default.t2"))
+    val cond = p.getColLines.head.conditionSet.find(_.startsWith("WHERE:"))
+    assert(cond.exists(_.contains("in (select k from t2")),
+      s"subquery text mangled: $cond")
+  }
 }

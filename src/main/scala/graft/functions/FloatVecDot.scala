@@ -23,13 +23,19 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Ragged input (length mismatch) yields NULL — the same outcome as
+  // the HOF form it replaces (zip_with null-pads the shorter side and
+  // the fold nullifies), so a corrupt vector drops out of ranking
+  // instead of scoring on a silently truncated dot product.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
     var acc = 0.0
     var i = 0
-    while (i < n) {
+    while (i < x.length) {
       acc += x(i).toDouble * y(i).toDouble
       i += 1
     }
@@ -40,18 +46,20 @@ case class FloatVecDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
          |float[] $x = $a.toFloatArray();
          |float[] $y = $b.toFloatArray();
-         |int $n = java.lang.Math.min($x.length, $y.length);
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x[$i]) * ((double) $y[$i]);
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    $acc += ((double) $x[$i]) * ((double) $y[$i]);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -31,16 +31,8 @@ object Pq {
 
   /** Flattened codebook: entry ((s·K + k)·Dsub + d) for d in 0..7 is
     * LCG((s·16 + k)·8 + d + 1). */
-  lazy val codebook: Array[Double] = {
-    val out = new Array[Double](M * K * Dsub)
-    var i = 0
-    while (i < out.length) {
-      val lcg = (1103515245L * (i + 1) + 77777L) % 2147483648L
-      out(i) = lcg.toDouble / 2147483648.0 - 0.5
-      i += 1
-    }
-    out
-  }
+  lazy val codebook: Array[Double] =
+    Array.tabulate(M * K * Dsub)(i => Lcg.plane(i + 1, 77777L))
 
   val codeType: StructType = StructType(Seq(
     StructField("code", IntegerType, nullable = false),
@@ -92,14 +84,25 @@ object Pq {
   }
 
   /** Asymmetric distance between a raw query vector and a PQ-coded
-    * candidate, as Σ_s floor(1e6·sq-dist(q_s, centroid[code_s])). */
+    * candidate, as Σ_s floor(1e6·sq-dist(q_s, centroid[code_s])).
+    * The codes array is validated like the query dims: a wrong arity
+    * or an out-of-range code would otherwise read a NEIGHBORING
+    * subspace's codebook region and return a wrong-but-plausible
+    * distance — the silent-corruption mode checkDims exists to
+    * prevent. */
   def adcE6(q: ArrayData, codes: ArrayData): Long = {
     val v = q.toFloatArray()
     checkDims(v)
+    if (codes.numElements() != M)
+      throw new IllegalArgumentException(
+        s"pq_adc_e6 expects $M codes, got ${codes.numElements()}")
     var total = 0L
     var s = 0
     while (s < M) {
       val code = codes.getStruct(s, 2).getInt(0)
+      if (code < 0 || code >= K)
+        throw new IllegalArgumentException(
+          s"pq code $code out of range [0, $K) at subspace $s")
       total += math.floor(subDist(v, s, code) * 1e6).toLong
       s += 1
     }

@@ -22,13 +22,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreter per row, splitting the hot dedup pipelines' stages.
   */
 
+/** The deterministic pseudo-random "plane" value shared by the LSH
+  * hyperplanes, IVF centroids and PQ codebook — ONE definition of the
+  * multiplier/modulus/scale formula all three DuckDB oracles
+  * regenerate; only the addend distinguishes the families. */
+private[functions] object Lcg {
+  def plane(idx: Long, addend: Long): Double =
+    ((1103515245L * idx + addend) % 2147483648L).toDouble / 2147483648.0 - 0.5
+}
+
 /** Rolling polynomial hash (seed 7, base 31, mod `mod`) of every
-  * element of an array<string>; empty string → seed. */
+  * element of an array<string>; empty string → seed; a null element
+  * hashes to a null element (as the `transform` HOF form would). */
 case class RollingHashArray(child: Expression, modExpr: Expression)
     extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = modExpr
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def nullSafeEval(arr: Any, m: Any): Any =
     RollingHashArray.hashArr(arr.asInstanceOf[ArrayData], m.asInstanceOf[Long])
@@ -54,10 +64,11 @@ object RollingHashArray {
   }
 
   def hashArr(a: ArrayData, mod: Long): ArrayData = {
-    val out = new Array[Long](a.numElements())
+    val out = new Array[Any](a.numElements())
     var i = 0
     while (i < out.length) {
-      out(i) = hash(a.getUTF8String(i), mod)
+      val s = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      out(i) = if (s == null) null else hash(s, mod)
       i += 1
     }
     new GenericArrayData(out)
@@ -83,19 +94,27 @@ case class RollingHashStr(child: Expression, modExpr: Expression)
 }
 
 /** MinHash signature: sig[i] = min over h of ((2i+1)·h + 7919·(i+1))
-  * mod 1e9+7, for i in 0 until k. */
+  * mod 1e9+7, for i in 0 until k. An EMPTY (or null-element) input
+  * yields NULL, never a sentinel signature — a Long.MaxValue-filled
+  * signature would make every empty document a 32/32 "near-duplicate"
+  * of every other one, the opposite of no-evidence. (The dedup
+  * pipeline filters n_sh > 0 before signing; this guards direct SQL
+  * callers of `affine_minhash`.) */
 case class AffineMinHash(child: Expression, kExpr: Expression)
     extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = kExpr
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(arr: Any, kAny: Any): Any =
     AffineMinHash.sig(arr.asInstanceOf[ArrayData], kAny.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, k) =>
-      s"${ev.value} = graft.functions.AffineMinHash.sig($a, $k);")
+    nullSafeCodeGen(ctx, ev, (a, k) => s"""
+      |${ev.value} = graft.functions.AffineMinHash.sig($a, $k);
+      |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): AffineMinHash = copy(l, r)
@@ -103,6 +122,10 @@ case class AffineMinHash(child: Expression, kExpr: Expression)
 
 object AffineMinHash {
   def sig(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    var c = 0
+    while (c < n) { if (arr.isNullAt(c)) return null; c += 1 }
     val a = arr.toLongArray()
     val p = 1000000007L
     val out = new Array[Long](k)
@@ -174,22 +197,10 @@ case class LshSig16(child: Expression) extends UnaryExpression {
 }
 
 object LshSig16 {
-  /** r(j, d) for j in 0..15, d in 1..64, flattened; matches
-    * ((1103515245·(j·64+d) + 12345) % 2^31) / 2^31 - 0.5 exactly. */
-  lazy val planes: Array[Double] = {
-    val out = new Array[Double](16 * 64)
-    var j = 0
-    while (j < 16) {
-      var d = 1
-      while (d <= 64) {
-        val lcg = (1103515245L * (j * 64 + d) + 12345L) % 2147483648L
-        out(j * 64 + d - 1) = lcg.toDouble / 2147483648.0 - 0.5
-        d += 1
-      }
-      j += 1
-    }
-    out
-  }
+  /** r(j, d) for j in 0..15, d in 1..64, flattened; [[Lcg.plane]] of
+    * j·64+d with addend 12345. */
+  lazy val planes: Array[Double] =
+    Array.tabulate(16 * 64)(i => Lcg.plane(i + 1, 12345L))
 
   def sigOf(arr: ArrayData): Long = {
     val v = arr.toFloatArray()
@@ -235,21 +246,10 @@ case class IvfAssign(child: Expression, nprobeExpr: Expression)
 
 object IvfAssign {
   val K = 16
-  /** c(k, d) for k in 0..15, d in 1..64, flattened. */
-  lazy val centroids: Array[Double] = {
-    val out = new Array[Double](K * 64)
-    var k = 0
-    while (k < K) {
-      var d = 1
-      while (d <= 64) {
-        val lcg = (1103515245L * (k * 64 + d) + 54321L) % 2147483648L
-        out(k * 64 + d - 1) = lcg.toDouble / 2147483648.0 - 0.5
-        d += 1
-      }
-      k += 1
-    }
-    out
-  }
+  /** c(k, d) for k in 0..15, d in 1..64, flattened; [[Lcg.plane]] of
+    * k·64+d with addend 54321. */
+  lazy val centroids: Array[Double] =
+    Array.tabulate(K * 64)(i => Lcg.plane(i + 1, 54321L))
 
   def assign(arr: ArrayData, nprobe: Int): ArrayData = {
     val v = arr.toFloatArray()

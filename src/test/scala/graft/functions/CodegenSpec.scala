@@ -52,4 +52,32 @@ class CodegenSpec extends AnyFunSuite {
     }).toSeq)
     assert(gen.head.getAs[Long]("h") > 0)
   }
+
+  private def edgeCases(mode: String): Array[Row] = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.factoryMode", mode)
+    TextHashExprs.register(s)
+    s.sql("""
+      SELECT float_dot(array(1.0f, 2.0f), array(1.0f)) AS ragged,
+             affine_minhash(cast(array() as array<bigint>), 4) AS mh_empty,
+             affine_minhash(array(1L, cast(null as bigint)), 4) AS mh_null,
+             rolling_hash_arr(array('a', cast(null as string)), 1000000007L) AS ha_null
+    """).collect()
+  }
+
+  test("corrupt inputs yield NULL, never silent sentinels") {
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val r = edgeCases(mode).head
+      // ragged dot: NULL (HOF zip_with semantics), not a truncated dot
+      assert(r.isNullAt(0), s"$mode: ragged float_dot must be null")
+      // empty/null-element minhash: NULL, not a MaxValue sentinel that
+      // makes all empty docs mutual near-duplicates
+      assert(r.isNullAt(1), s"$mode: empty minhash must be null")
+      assert(r.isNullAt(2), s"$mode: null-element minhash must be null")
+      // null element hashes to a null element
+      assert(r.getSeq[Any](3) == Seq(RollingHashArray.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+        1000000007L), null), s"$mode: null element must pass through")
+    }
+  }
 }

@@ -132,12 +132,13 @@ object Curation {
   /** t13: stratified deterministic sampling — per-language target
     * rates (permille), membership by content hash, not rand(): the
     * sample is reproducible and stable under re-sharding. Emits the
-    * per-stratum census. */
+    * per-stratum census. Uses the P2 hash so sampling stays
+    * independent of the P-hash split decision when composed (x05). */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       .select(col("doc_id"), col("lang"),
-        (expr(rollingHashExpr("t", P)) % 1000).as("h"))
+        (expr(rollingHashExpr("t", P2)) % 1000).as("h"))
       .withColumn("rate_permille", ratePermille(col("lang")))
       .withColumn("sampled", (col("h") < col("rate_permille")).cast("int"))
       .groupBy("lang")

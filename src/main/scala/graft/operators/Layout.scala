@@ -33,13 +33,16 @@ object Layout {
     * land on opposite ends of the key space — a raw `% 1024` of the
     * epoch hour would wrap mid-window every ~43 days. Value is
     * clamped on BOTH sides: a negative value's sign bits would
-    * corrupt the interleave. Windows longer than 1024 hours need
+    * corrupt the interleave — and a NULL value buckets at 0, not at
+    * the top (least/greatest silently SKIP nulls in both engines, so
+    * without the coalesce a null row would z-order next to the
+    * highest-valued events). Windows longer than 1024 hours need
     * more time bits. */
   def zorderKeys(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "events")
       .select(col("event_id"),
         expr("unix_micros(ts) div 3600000000L").as("hr"),
-        expr(s"greatest(0L, least(CAST(floor(value) AS BIGINT), ${(1 << Bits) - 1}))")
+        expr(s"greatest(0L, least(CAST(floor(coalesce(value, 0.0)) AS BIGINT), ${(1 << Bits) - 1}))")
           .as("vb"))
     val minHr = e.agg(min(col("hr")).as("min_hr"))
     e.crossJoin(broadcast(minHr))

@@ -30,10 +30,15 @@ object Pipeline {
         split(col("t"), "\\s+").as("tk"))
       .select(col("doc_id"), col("t"), col("n_chars"), col("n_punct"),
         size(col("tk")).as("n_toks"), size(array_distinct(col("tk"))).as("n_types"))
-    // identical keep rule to TextAnalysis.quality (same e6 floors)
-    val kept = base.filter(col("n_chars") >= 100 && col("n_toks") >= 20 &&
-        floor(col("n_punct") / col("n_chars") * 1000000) < 100000 &&
-        floor(col("n_types") / col("n_toks") * 1000000) > 150000)
+    // identical keep rule to TextAnalysis.quality — the thresholds are
+    // the shared constants, not copies
+    val kept = base.filter(
+        col("n_chars") >= TextAnalysis.QualityMinChars &&
+        col("n_toks") >= TextAnalysis.QualityMinToks &&
+        floor(col("n_punct") / col("n_chars") * 1000000)
+          < TextAnalysis.QualityMaxPunctE6 &&
+        floor(col("n_types") / col("n_toks") * 1000000)
+          > TextAnalysis.QualityMinTtrE6)
       .persist() // winner election + attribute re-join share this pass
     val winners = kept
       .groupBy(md5(col("t")).as("m")).agg(min(col("doc_id")).as("doc_id"))
@@ -68,12 +73,13 @@ object Pipeline {
         size(col("tkn")).as("n"),
         expr(s"size(filter(tkn, x -> x IN ${Curation.BlocklistSql}))").as("nb"))
       .filter(col("n") >= 20 && e6(col("nb") / col("n")) < 80000)
-      // hash ONCE — the full-text fold is the expensive part; both
-      // mods derive from the same value
+      // split and sampling take DIFFERENT hashes (P vs P2): two mods
+      // of one hash are correlated — h%1000 < 50 forces h%100 < 50,
+      // i.e. every low-rate sampled doc would be 'train' and the
+      // (val|test, lang) strata would silently vanish from the card
       .select(col("doc_id"), col("lang"), col("tkn"), col("n"),
-        expr(rollingHashExpr("t", P)).as("h"))
-      .select(col("doc_id"), col("lang"), col("tkn"), col("n"),
-        (col("h") % 100).as("h_mod"), (col("h") % 1000).as("h2"))
+        (expr(rollingHashExpr("t", P)) % 100).as("h_mod"),
+        (expr(rollingHashExpr("t", P2)) % 1000).as("h2"))
       .withColumn("split", splitOf(col("h_mod")))
       .persist()
     val ex = base

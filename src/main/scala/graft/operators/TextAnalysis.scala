@@ -47,9 +47,20 @@ object TextAnalysis {
           .otherwise("other"))
       .orderBy("doc_id")
 
-  /** Quality scoring: length, punctuation ratio, stopword ratio,
-    * repetition (type-token ratio) → keep/drop flag. The standard
-    * pre-training filter stack, as one projection. */
+  /** Keep-rule thresholds, shared with the x03 pipeline
+    * ([[Pipeline.datasetCard]]) so the composed form cannot drift from
+    * this standalone query. */
+  val QualityMinChars = 100
+  val QualityMinToks = 20
+  val QualityMaxPunctE6 = 100000L
+  val QualityMinTtrE6 = 150000L
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio and
+    * repetition (type-token ratio) signals in one projection — the
+    * standard pre-training filter stack. The keep flag gates on
+    * length, punctuation and TTR; the stopword ratio is reported as a
+    * signal column (its useful threshold is corpus-specific, so it is
+    * surfaced, not hard-coded into keep). */
   def quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), lower(col("text")).as("t"))
@@ -67,8 +78,10 @@ object TextAnalysis {
         e6(col("n_stop") / col("n_toks")).as("stop_ratio_e6"),
         e6(col("n_types") / col("n_toks")).as("ttr_e6"))
       .withColumn("keep",
-        (col("n_chars_seen") >= 100 && col("n_toks") >= 20 &&
-          col("punct_ratio_e6") < 100000 && col("ttr_e6") > 150000)
+        (col("n_chars_seen") >= QualityMinChars &&
+          col("n_toks") >= QualityMinToks &&
+          col("punct_ratio_e6") < QualityMaxPunctE6 &&
+          col("ttr_e6") > QualityMinTtrE6)
           .cast("int"))
       .orderBy("doc_id")
 
@@ -141,11 +154,7 @@ object TextAnalysis {
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     val pairs = docs(s, dir)
       .select(tokens(col("text")).as("tk"))
-      .select(explode(expr(
-        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
-          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2)) " +
-          "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"))
-        .as("b"))
+      .select(explode(expr(bigramsExpr("tk"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val pair = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = pair.groupBy("w1").agg(sum("c12").as("c1"))
@@ -167,11 +176,7 @@ object TextAnalysis {
     val model = bigramLm(s, dir).select(col("w1"), col("w2"), col("p_e6"))
     val docPairs = docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
-          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2)) " +
-          "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"))
-        .as("b"))
+      .select(col("doc_id"), explode(expr(bigramsExpr("tk"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     docPairs.join(broadcast(model), Seq("w1", "w2"))
       .groupBy("doc_id")

@@ -17,10 +17,25 @@ import org.apache.spark.sql.functions._
   * embarrassingly; the only shuffles downstream are the groupBy/join
   * on the hashed keys, which are longs — far cheaper to shuffle than
   * raw document text at 100 TB.
+  *
+  * Cache lifecycle: several operators `persist()` a signature frame
+  * that feeds multiple plan branches of ONE returned query. Because
+  * the result is lazy, the operator cannot unpersist before the
+  * caller materializes it — cache ownership is the CALLER's:
+  * `spark.catalog.clearCache()` between independent queries (exactly
+  * what Verify and Bench do per query). A long-lived session running
+  * many operators without it will accumulate cached corpora.
   */
 object TextHash {
 
   val P = 1000000007L
+
+  /** Second hash modulus, for decisions that must be INDEPENDENT of a
+    * P-hash decision on the same text: `h%100 < a` (split, mod P) and
+    * `h%1000 < b` (sampling) from ONE hash are correlated — every
+    * sampled doc with b <= 100 would land in 'train'. A different
+    * prime modulus of the same polynomial decorrelates them. */
+  val P2 = 998244353L
 
   /** Whitespace tokens of lower-cased text. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
@@ -45,6 +60,16 @@ object TextHash {
     * to the seed in both. */
   def rollingHashExpr(s: String, m: Long): String =
     s"rolling_hash_str($s, ${m}L)"
+
+  /** Adjacent token pairs of a token-array column `tk` as
+    * struct(w1, w2) — ONE definition of the bigram-extraction rule
+    * shared by the t17 model build and the t18 document scorer (a
+    * drifted copy would score documents against a differently-
+    * tokenized model). */
+  def bigramsExpr(tk: String): String =
+    s"CASE WHEN size($tk) >= 2 THEN transform(sequence(1, size($tk) - 1), " +
+      s"i -> struct(element_at($tk, i) AS w1, element_at($tk, i + 1) AS w2)) " +
+      s"ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
 
   /** ALL word n-grams (with repeats) of a token-array column `tk`. */
   def ngramsExpr(tk: String, n: Int): String =

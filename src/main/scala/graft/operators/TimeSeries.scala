@@ -76,7 +76,10 @@ object TimeSeries {
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
       .rowsBetween(-100, -1)
     val dev = col("n") * col("v_e3") - col("sx")
-    e.withColumn("n", count(lit(1)).over(w))
+    // n counts VALUED events (count(v_e3), not count(*)): a window of
+    // null-valued events must not pass the n >= 30 evidence gate with
+    // zero variance and flag the first real value as anomalous
+    e.withColumn("n", count(col("v_e3")).over(w))
       .withColumn("sx", sum(col("v_e3")).over(w))
       .withColumn("sxx", sum(col("v_e3") * col("v_e3")).over(w))
       .filter(col("n") >= 30 &&

@@ -171,7 +171,7 @@ object Extensions {
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
               CAST(floor(value * 1000) AS BIGINT) AS v_e3 FROM events),
       w AS (SELECT event_id, user_id, v_e3,
-              count(*) OVER win AS n,
+              count(v_e3) OVER win AS n,
               sum(v_e3) OVER win AS sx,
               sum(v_e3 * v_e3) OVER win AS sxx
             FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
@@ -575,7 +575,7 @@ object Extensions {
       ORDER BY doc_id""",
     "t13_stratified_sample" -> s"""
       WITH g AS (SELECT doc_id, lang,
-              ${rh("lower(text)", 1000000007L)} % 1000 AS h,
+              ${rh("lower(text)", 998244353L)} % 1000 AS h,
               CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300
                 WHEN 'es' THEN 500 WHEN 'fr' THEN 700
                 WHEN 'zh' THEN 900 ELSE 50 END AS rate
@@ -773,7 +773,7 @@ object Extensions {
             FROM g),
       k AS (SELECT doc_id, lang, tkn, n,
               ${rh("t", 1000000007L)} % 100 AS h_mod,
-              ${rh("t", 1000000007L)} % 1000 AS h2
+              ${rh("t", 998244353L)} % 1000 AS h2
             FROM h WHERE n >= 20 AND floor(1000000 * (nb / n)) < 80000),
       ks AS (SELECT *, CASE WHEN h_mod < 80 THEN 'train'
                 WHEN h_mod < 90 THEN 'val' ELSE 'test' END AS split FROM k),
@@ -850,7 +850,7 @@ object Extensions {
     // runs on both engines (Layout.zkeyExpr)
     "z01_zorder" -> s"""
       WITH h AS (SELECT event_id, epoch_us(ts) // 3600000000 AS hr,
-              greatest(0, least(CAST(floor(value) AS BIGINT), 1023)) AS vb
+              greatest(0, least(CAST(floor(coalesce(value, 0.0)) AS BIGINT), 1023)) AS vb
             FROM events),
       b AS (SELECT event_id,
               (hr - (SELECT min(hr) FROM h)) % 1024 AS tb, vb FROM h)

@@ -105,14 +105,20 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // seconds truncation as everywhere else (file doc above):
+          // batch, session_window and this state machine must agree
+          val sorted = rows.toSeq.map(e => e.ts.getTime / 1000L * 1000L).sorted
           var cur = state.getOption
           val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
+          sorted.foreach { t =>
             cur match {
               case Some(s) if t - s.last < gapMs =>
-                cur = Some(SessionState(s.start, t, s.n + 1))
+                // a LATE event (t < s.last, possible across micro-
+                // batches — sorting is per-batch only) must not move
+                // the session's frontier backwards: a rolled-back
+                // `last` would mis-close the session on the next event
+                cur = Some(SessionState(math.min(s.start, t),
+                  math.max(s.last, t), s.n + 1))
               case Some(s) =>
                 closed += SessionOut(uid, s.start, s.last, s.n)
                 cur = Some(SessionState(t, t, 1))

@@ -22,10 +22,15 @@ object StreamSketch {
 
   /** Input: streaming frame with a `text` column; output: running
     * (cell, cnt) — the live count-min table. */
-  def countMinStream(docs: DataFrame): DataFrame =
+  def countMinStream(docs: DataFrame): DataFrame = {
+    // every batch operator reaches the native hash functions through
+    // Tables.t; this is the one operator taking a bare DataFrame, so
+    // it must register them itself or fail analysis on a fresh session
+    graft.functions.TextHashExprs.register(docs.sparkSession)
     docs
       .select(explode(TextHash.tokens(col("text"))).as("term"))
       .select(expr(s"rolling_hash_str(term, ${TextHash.P}L)").as("h"))
       .select(explode(expr(Sketches.cmCellsExpr("h"))).as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -120,7 +120,15 @@ object Bench {
       for (name <- outliers if extraBudget > 0) {
         extraBudget -= 1
         val t0 = System.nanoTime()
-        val ok = try { materialize(name); true } catch { case _: Throwable => false }
+        val ok =
+          try { materialize(name); true }
+          catch { case e: Throwable =>
+            // log like the other two failure paths — a silent resample
+            // failure would burn the shared budget invisibly and leave
+            // the stall-contaminated median it was meant to repair
+            System.err.println(s"[bench] resample $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         if (ok) {

@@ -79,9 +79,9 @@ object SparkEntry {
         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-        round(avg(l_quantity), 4) AS avg_qty,
-        round(avg(l_extendedprice), 4) AS avg_price,
-        round(avg(l_discount), 4) AS avg_disc,
+        floor(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_qty,
+        floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_price,
+        floor(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_disc,
         count(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
       GROUP BY l_returnflag, l_linestatus
@@ -201,10 +201,14 @@ object SparkEntry {
       JOIN customer ON o_custkey = c_custkey
       WHERE spend > 1000000
       ORDER BY c_custkey""",
+    // price > avg*1.5 cleared of the double mean: price*2n > sum*3 in
+    // exact DECIMAL (membership cannot flip on summation order)
     "q20_scalar_subquery" -> """
+      WITH a AS (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+                   count(*) AS n FROM orders)
       SELECT o_orderkey, round(o_totalprice, 2) AS price
-      FROM orders
-      WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+      FROM orders, a
+      WHERE CAST(o_totalprice AS DECIMAL(12,2)) * 2 * n > s * 3
       ORDER BY o_orderkey""",
     "q21_in_subquery" -> """
       SELECT c_custkey, c_name FROM customer
@@ -220,9 +224,9 @@ object SparkEntry {
       FROM (SELECT o_custkey, o_orderkey,
               row_number() OVER (PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
-              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
                 ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
             FROM orders) t
       WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
     "q24_rollup" -> """
@@ -261,7 +265,8 @@ object SparkEntry {
       GROUP BY n_name, st ORDER BY n_name, st""",
     "q28_time_window" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
-        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        event_type, count(*) AS n,
+        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
       FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
     "q29_like_null" -> """
       SELECT p_partkey, p_name, p_type FROM part

@@ -648,6 +648,8 @@ object Extensions {
         count(DISTINCT v) AS ndv, min(v) AS min_v, max(v) AS max_v
       FROM m GROUP BY col_name ORDER BY col_name""",
     // byte semantics: strlen = UTF-8 bytes (= Spark octet_length); the
+    // empty-payload guards (greatest/coalesce) mirror FakeCodec's
+    // max(len,1) divisor and 255/0 min/max initial values; the
     // per-byte sums walk code points via ascii(), which equals bytes
     // only for the pure-ASCII driver corpus (documented assumption,
     // mirrored in Multimodal.mediaTable).
@@ -664,9 +666,9 @@ object Extensions {
         list_max([ascii(text[j])::BIGINT for j in generate_series(1, length(text))]) AS mx
         FROM documents)
       SELECT doc_id, byte_len,
-        CAST(floor((s0 / byte_len) * 1000000) AS BIGINT) AS mean_e6,
-        CAST(floor((s1 / byte_len) * 1000000) AS BIGINT) AS mom2_e6,
-        mn AS min_byte, mx AS max_byte
+        CAST(floor((s0 / greatest(byte_len, 1)) * 1000000) AS BIGINT) AS mean_e6,
+        CAST(floor((s1 / greatest(byte_len, 1)) * 1000000) AS BIGINT) AS mom2_e6,
+        coalesce(mn, 255) AS min_byte, coalesce(mx, 0) AS max_byte
       FROM s ORDER BY doc_id""",
     // frame-sample = every-50th-byte stride; resize = 4 quarter block
     // means. Same ASCII byte≡code-point assumption as m01. DuckDB lists

@@ -53,8 +53,14 @@ object Relational {
     * through sf0.1 for every query here (worst case sum_charge:
     * ~3e9 × 10^6 = 3e15 < 9.0e15); at sf1+ render at a reduced scale. */
   private def dsum(e: Column): Column = sum(e).cast(DoubleType)
-  private def dsum4(e: Column): Column = sum(e).cast(DoubleType)
-  private def dsum6(e: Column): Column = sum(e).cast(DoubleType)
+
+  /** 4-dp average from an exact DECIMAL sum and a count: one exact
+    * double cast, one division, floor(·1e4 + 0.5)/1e4 — every step is
+    * the same IEEE op in both engines, unlike round(avg(double), 4),
+    * whose input depends on summation order and whose rounding
+    * resolves representation ties engine-specifically. */
+  private def avg4(sumDec: Column, n: Column): Column =
+    floor(sumDec.cast(DoubleType) / n * 10000 + 0.5) / 10000.0
 
   // ---------------------------------------------------------------
   // Aggregation (SURVEY §2.4: A2, A3) — TPC-H Q1 pricing summary.
@@ -66,14 +72,22 @@ object Relational {
       .agg(
         m(sum(col("l_quantity"))).as("sum_qty"),
         dsum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        dsum4(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
+        dsum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
           .as("sum_disc_price"),
-        dsum6(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))) *
+        dsum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))) *
           (oneD + dec(col("l_tax")))).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // averages derive from the exact DECIMAL sums (avg4) — a
+        // round(avg(double)) would depend on summation order
+        sum(dec(col("l_quantity"))).as("sq_dec"),
+        sum(dec(col("l_extendedprice"))).as("sp_dec"),
+        sum(dec(col("l_discount"))).as("sd_dec"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        avg4(col("sq_dec"), col("count_order")).as("avg_qty"),
+        avg4(col("sp_dec"), col("count_order")).as("avg_price"),
+        avg4(col("sd_dec"), col("count_order")).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -303,11 +317,15 @@ object Relational {
 
   // Scalar subquery (Q3 extension): price above 1.5× global average.
   // Declarative: the single-row aggregate is broadcast, not collected.
+  // The comparison is cleared of the double mean: price > sum/n · 1.5
+  // ⟺ price·2n > sum·3 in exact DECIMAL, so membership cannot flip on
+  // engine summation order (the q43/q48 convention).
   def q20_scalar_subquery(s: SparkSession, dir: String): DataFrame = {
-    val thr = t(s, dir, "orders")
-      .agg((avg(col("o_totalprice")) * 1.5).as("thr"))
+    val tot = t(s, dir, "orders")
+      .agg(sum(dec(col("o_totalprice"))).as("s"), count(lit(1)).as("n"))
     t(s, dir, "orders")
-      .join(broadcast(thr), col("o_totalprice") > col("thr"))
+      .join(broadcast(tot),
+        dec(col("o_totalprice")) * 2 * col("n") > col("s") * 3)
       .select(col("o_orderkey"), m(col("o_totalprice")).as("price"))
       .orderBy("o_orderkey")
   }
@@ -345,7 +363,11 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         col("o_orderdate"))
       .withColumn("rnk", row_number().over(byPrice))
-      .withColumn("running", m(sum(col("o_totalprice")).over(byDate)))
+      // running sum accumulates in DECIMAL: a windowed double sum's
+      // association order is an engine implementation detail (segment
+      // trees vs sequential), the same hazard dsum avoids for groups
+      .withColumn("running",
+        sum(dec(col("o_totalprice"))).over(byDate).cast(DoubleType))
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("rnk"), col("running"))
       .orderBy("o_custkey", "rnk")
@@ -392,7 +414,7 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dsum4(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
+      .agg(dsum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
         .as("revenue"))
       .orderBy("n_name")
   }
@@ -421,12 +443,17 @@ object Relational {
   // Tumbling time window over the events table (batch analog of the
   // streaming pipeline in graft.streaming): 1-hour buckets.
   def q28_time_window(s: SparkSession, dir: String): DataFrame = {
+    // values sum as floor(v·1e6) longs — events.value is NOT 2dp-coded
+    // like the money columns, so a double sum would be summation-order
+    // dependent (the q17 hazard class); integer addition is exact and
+    // associative
     t(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_e6"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-        col("event_type"), col("n"), col("sum_value"))
+        col("event_type"), col("n"), col("sum_value_e6"))
       .orderBy("w_start", "event_type")
   }
 

@@ -449,9 +449,10 @@ object SparkEntry {
       FROM c JOIN su ON c.k IS NOT DISTINCT FROM su.k
       GROUP BY c.k
       ORDER BY k NULLS FIRST""",
-    // moments accumulate as exact integers (DuckDB sums to HUGEINT,
-    // Spark to BIGINT — identical values at the checked SFs), then one
-    // deterministic double expression per group
+    // moments accumulate as exact integers (DuckDB sums to HUGEINT —
+    // gated columns must be re-CAST to BIGINT or pandas renders them
+    // float64 vs Spark's int64), then one deterministic double
+    // expression per group
     "q48_moments" -> """
       WITH m AS (
         SELECT l_returnflag AS flag, count(*) AS n,
@@ -463,7 +464,7 @@ object SparkEntry {
           sum(CAST(l_quantity AS BIGINT)
             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
         FROM lineitem GROUP BY l_returnflag)
-      SELECT flag, n, sx, sy,
+      SELECT flag, n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
         CAST(floor(1000000 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
           / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT) AS var_qty_e6,
         CAST(floor(1000000 * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)

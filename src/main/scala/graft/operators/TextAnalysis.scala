@@ -197,7 +197,12 @@ object TextAnalysis {
     * stop-word's full postings dwarf one task, the same two outputs
     * would come from posting shards ((term, doc-block) groups) merged
     * by per-shard top-k — the per-term sort here is the small-corpus
-    * shortcut, not the contract. */
+    * shortcut, not the contract.
+    *
+    * The postings head is emitted as a comma-joined STRING, not an
+    * array: gated outputs must be scalar-only (the driver's pandas
+    * compare cannot sort/hash array cells). Sort happens on the
+    * numeric array BEFORE the string cast so '10' sorts after '2'. */
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"),
@@ -209,7 +214,9 @@ object TextAnalysis {
     val heads = toks.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .groupBy("term")
-      .agg(sort_array(collect_list(col("doc_id"))).as("first_docs"))
+      .agg(array_join(
+        expr("transform(sort_array(collect_list(doc_id)), x -> cast(x as string))"),
+        ",").as("first_docs"))
     dfreq.join(heads, "term")
       .select(col("term"), col("df"), col("first_docs"))
       .orderBy("term")

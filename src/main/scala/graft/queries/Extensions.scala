@@ -262,7 +262,7 @@ object Extensions {
       tt AS (SELECT DISTINCT doc_id, term
              FROM (SELECT doc_id, unnest(tk) AS term FROM tk) u)
       SELECT term, count(*) AS df,
-        (list(doc_id ORDER BY doc_id))[1:5] AS first_docs
+        array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS first_docs
       FROM tt GROUP BY term ORDER BY term""",
     "d04_dedup_simhash" -> s"""
       WITH $tkCte,
@@ -758,9 +758,10 @@ object Extensions {
               sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
             FROM n)
-      SELECT doc_id, source, n_toks, end_tok - n_toks AS start_tok,
-        (end_tok - n_toks) // 256 AS bin_first,
-        (end_tok - 1) // 256 AS bin_last
+      SELECT doc_id, source, n_toks,
+        CAST(end_tok - n_toks AS BIGINT) AS start_tok,
+        CAST((end_tok - n_toks) // 256 AS BIGINT) AS bin_first,
+        CAST((end_tok - 1) // 256 AS BIGINT) AS bin_last
       FROM c ORDER BY doc_id""",
     // normalize → blocklist → split → decontaminate → sample → pack,
     // each stage the same rule as its standalone query (t08, t09,

@@ -3,22 +3,52 @@
 of the Scala library): reads the parquet results written by
 `graft.Verify` and compares each against its DuckDB oracle.
 
+Driver-faithful comparison path (round-6 fix): both sides are fetched
+through pandas (`.df()`), sorted by every column, and hashed over the
+stringified cell values. This reproduces the two failure classes the
+older fetchall() path silently masked:
+
+  * array/struct-typed cells make pandas `sort_values` raise
+    TypeError (unhashable numpy.ndarray) — gated outputs must be
+    scalar-only, so such a column is an outright FAIL here;
+  * DuckDB HUGEINT (e.g. sum(BIGINT), window sums) renders as
+    float64 in pandas → str() gives '123.0' while Spark's int64
+    gives '123' — a hash mismatch on numerically equal values.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
+import hashlib
 import json
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(rows):
-    out = []
-    for r in rows:
-        out.append(tuple(str(v) for v in r))
-    return sorted(out)
+def canon(df):
+    """Sort a pandas frame the way the driver does and hash its cells.
+
+    Returns (sorted_columns, n_rows, hexdigest). Raises on non-scalar
+    cells (arrays/structs/maps) — those can never pass the driver gate.
+    """
+    cols = sorted(df.columns)
+    df = df[cols]
+    for c in cols:
+        if df[c].dtype == object:
+            for v in df[c].dropna().head(20):
+                if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+                    raise TypeError(
+                        f"column '{c}' holds non-scalar cells "
+                        f"({type(v).__name__}); gated outputs must be "
+                        "scalar-only")
+    df = df.sort_values(cols).reset_index(drop=True)
+    h = hashlib.md5()
+    for row in df.itertuples(index=False):
+        h.update(("|".join(str(v) for v in row) + "\n").encode())
+    return cols, len(df), h.hexdigest()
 
 
 def main(sf_dir, out_dir):
@@ -30,15 +60,11 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = sorted(got_rel.columns)
-            got = norm(con.sql(
-                f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall())
-            exp_rel = con.sql(sql)
-            exp_cols = sorted(exp_rel.columns)
-            exp = norm(con.execute(
-                f"SELECT {', '.join(exp_cols)} FROM exp_rel").fetchall())
+            got_df = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            exp_df = con.sql(sql).df()
+            got_cols, got_n, got_h = canon(got_df)
+            exp_cols, exp_n, exp_h = canon(exp_df)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: error {e}")
             n_bad += 1
@@ -46,23 +72,24 @@ def main(sf_dir, out_dir):
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} vs oracle {exp_cols}")
             n_bad += 1
-        elif got != exp:
+        elif got_n != exp_n:
+            print(f"FAIL {name}: rows {got_n} vs {exp_n}")
             n_bad += 1
-            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
-            for i, (g, e) in enumerate(zip(got, exp)):
+        elif got_h != exp_h:
+            n_bad += 1
+            print(f"FAIL {name}: hash mismatch over {got_n} rows")
+            gs = got_df[got_cols].sort_values(got_cols).reset_index(drop=True)
+            es = exp_df[exp_cols].sort_values(exp_cols).reset_index(drop=True)
+            for i in range(got_n):
+                g = tuple(str(v) for v in gs.iloc[i])
+                e = tuple(str(v) for v in es.iloc[i])
                 if g != e:
                     print(f"  first diff at {i}: got={g} exp={e}")
+                    print(f"  dtypes: got={list(gs.dtypes)} exp={list(es.dtypes)}")
                     break
-            if len(got) != len(exp):
-                only_got = set(got) - set(exp)
-                only_exp = set(exp) - set(got)
-                for r in list(only_got)[:2]:
-                    print(f"  only in got: {r}")
-                for r in list(only_exp)[:2]:
-                    print(f"  only in oracle: {r}")
         else:
             n_ok += 1
-            print(f"ok   {name} ({len(got)} rows)")
+            print(f"ok   {name} ({got_n} rows)")
     print(f"== {n_ok} ok, {n_bad} fail ==")
     return 1 if n_bad else 0
 

@@ -47,8 +47,18 @@ object Dedup {
     * document frequency drops those stop-shingles from CANDIDATE
     * GENERATION only (intersection counts shrink by high-df shingles
     * on both sides — a slight recall, never precision, trade;
-    * JaccardCapSpec pins the containment). Default off so the driver
-    * gate checks the exact semantics. */
+    * JaccardCapSpec pins the containment).
+    *
+    * The DRIVER-GATED configuration is `Some(JaccardDfCap)`: the
+    * scale-safe capped path is what the correctness gate exercises
+    * (the oracle applies the identical QUALIFY df cap). The cap (64)
+    * is ~16× the max observed shingle df at the gate SFs (3–4 at
+    * sf0.001/0.01/0.1), so it never binds on checked data — the gate
+    * proves the capped plan computes exact Jaccard whenever no
+    * shingle is a stop-shingle, while the plan itself survives a
+    * boilerplate-heavy corpus. */
+  val JaccardDfCap = 64L
+
   def jaccardPairs(s: SparkSession, dir: String,
       maxShingleDf: Option[Long] = None): DataFrame = {
     // The signature frame feeds 4 plan branches (both join sides, both

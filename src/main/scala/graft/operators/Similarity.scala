@@ -63,6 +63,47 @@ object Similarity {
       .orderBy("ida", "idb")
   }
 
+  /** d08: LSH-bucketed embedding near-dup pairs — the 100 TB route
+    * that replaces [[embeddingNearDups]]'s all-pairs baseline.
+    * Candidates are vector pairs sharing ≥ 1 of four 4-bit bands of
+    * the 16-bit random-hyperplane signature (`lsh_sig16`, an
+    * equi-join on (band_idx, band_key) — never a corpus cross join);
+    * exact sequential-fold cosine then reranks candidates only and
+    * keeps cs ≥ 0.4. The signature is deterministic LCG math, so the
+    * DuckDB oracle applies the identical banding rule (same pattern
+    * as d04's SimHash bands) and the gate checks the full
+    * candidates+rerank semantics exactly. Recall vs the exact
+    * baseline is the documented LSH trade (BucketedNearDupSpec pins
+    * containment: every emitted pair is a brute-force pair). */
+  def embeddingNearDupsBucketed(s: SparkSession, dir: String): DataFrame = {
+    // persisted: band explosion + both rerank sides share one
+    // norm+signature pass
+    val e = withNorm(emb(s, dir))
+      .withColumn("sig", expr(sigExpr("embedding")))
+      .persist()
+    val bands = e.select(col("vec_id"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftright(sig, b * 4) & 15)")))
+      .toDF("vec_id", "band_idx", "band_key")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    cand
+      .join(e.as("sa"), col("ida") === col("sa.vec_id"))
+      .join(e.as("sb"), col("idb") === col("sb.vec_id"))
+      .select(col("ida"), col("idb"),
+        (expr(dotExpr("sa.embedding", "sb.embedding")) /
+          (col("sa.nrm") * col("sb.nrm"))).as("cs"))
+      .filter(col("cs") >= 0.4)
+      .select(col("ida"), col("idb"),
+        floor(col("cs") * 1000000).cast("long").as("cs_e6"))
+      .orderBy("ida", "idb")
+  }
+
   /** Brute-force cosine top-k: queries (vec_id < 10) against the whole
     * corpus. The query side is tiny → broadcast; the corpus streams
     * through one narrow stage; ranking shuffles only (q, k) rows. */

@@ -20,10 +20,14 @@ object Extensions {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (Dedup.exact _),
-    "d02_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
+    // gated with the scale-safe stop-shingle df cap ON (the oracle
+    // applies the identical cap; never binds at the gate SFs)
+    "d02_dedup_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.jaccardPairs(s, d, maxShingleDf = Some(Dedup.JaccardDfCap))),
     "d03_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     "d05_embedding_neardup" -> (Similarity.embeddingNearDups _),
+    "d08_neardup_bucketed" -> (Similarity.embeddingNearDupsBucketed _),
     "d06_dup_clusters" -> (DupCluster.clusters _),
     "d07_keep_best" -> (DupCluster.keepBest _),
     "i01_inverted_index" -> (TextAnalysis.invertedIndex _),
@@ -223,11 +227,16 @@ object Extensions {
     "d01_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""",
+    // mirrors the gated Spark path: stop-shingle df cap (64) drops
+    // high-df shingle hashes from candidate generation only; union
+    // sizes stay uncapped (graft.operators.Dedup.JaccardDfCap)
     "d02_dedup_jaccard" -> s"""
       WITH $tkCte, $shCte,
       hv AS (SELECT doc_id, list_distinct([${rh("s", 1000000007L)} for s in shs]) AS hv,
              len(shs) AS n_sh FROM sh),
-      ex AS (SELECT doc_id, unnest(hv) AS h FROM hv),
+      ex0 AS (SELECT doc_id, unnest(hv) AS h FROM hv),
+      ex AS (SELECT doc_id, h FROM ex0
+             QUALIFY count(*) OVER (PARTITION BY h) <= 64),
       common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
@@ -287,6 +296,27 @@ object Extensions {
               ${cos("a.embedding", "b.embedding")} AS cs
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
       WHERE cs >= 0.4 ORDER BY ida, idb""",
+    // mirrors the gated Spark path: lsh_sig16 banding (4 bands × 4
+    // bits) generates candidates, exact sequential-fold cosine
+    // reranks — identical LCG hyperplane math on both sides
+    "d08_neardup_bucketed" -> s"""
+      WITH sigs AS (SELECT vec_id, embedding,
+        CAST(list_sum([CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+          [(embedding[d]::DOUBLE) * (((1103515245::BIGINT * (j*64 + d) + 12345) % 2147483648)
+            / 2147483648.0 - 0.5) for d in generate_series(1, 64)]),
+          (x, y) -> x + y) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
+          for j in generate_series(0, 15)]) AS BIGINT) AS sig
+        FROM embeddings),
+      bands AS (SELECT vec_id, b AS band_idx, (sig >> (b*4)) & 15 AS band_key
+                FROM sigs, generate_series(0, 3) t(b)),
+      cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+               FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+      scored AS (SELECT ida, idb, ${cos("sa.embedding", "sb.embedding")} AS cs
+                 FROM cand JOIN sigs sa ON ida = sa.vec_id
+                           JOIN sigs sb ON idb = sb.vec_id)
+      SELECT ida, idb, CAST(floor(cs * 1000000) AS BIGINT) AS cs_e6
+      FROM scored WHERE cs >= 0.4 ORDER BY ida, idb""",
     "s01_ann_topk" -> s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                  FROM embeddings WHERE vec_id < 10),

@@ -44,6 +44,27 @@ class OperatorsSpec extends AnyFunSuite {
       s"cap too destructive on this corpus: ${capped.size} of ${exact.size}")
   }
 
+  test("gated jaccard df cap never binds on checked data") {
+    // the driver gate runs the capped path; this pins that the cap
+    // (chosen ~16x above the max observed shingle df) changes nothing
+    // at the checked SFs, so the gate is verifying exact Jaccard
+    val exact = Dedup.jaccardPairs(spark, dir).collect().map(_.toString).sorted
+    val gated = Dedup.jaccardPairs(spark, dir,
+      maxShingleDf = Some(Dedup.JaccardDfCap)).collect().map(_.toString).sorted
+    assert(gated.toSeq == exact.toSeq,
+      "JaccardDfCap binds at a checked SF; raise the cap")
+  }
+
+  test("bucketed embedding near-dups are a non-empty subset of brute force") {
+    val brute = Similarity.embeddingNearDups(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.embeddingNearDupsBucketed(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.nonEmpty, "banding found no candidate pairs at all")
+    assert((bucketed -- brute).isEmpty,
+      "bucketing may lose pairs (LSH recall trade) but must never invent them")
+  }
+
   test("minhash LSH recalls the exact-jaccard near-dup pairs") {
     val exact = Dedup.jaccardPairs(spark, dir)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

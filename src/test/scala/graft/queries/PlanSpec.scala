@@ -54,6 +54,12 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 2, s"expected partial+final aggregate pair, got $aggs")
   }
 
+  test("bucketed near-dup candidates come from an equi-join, not a cross join") {
+    val p = plan(graft.operators.Similarity.embeddingNearDupsBucketed(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed near-dup must never plan an all-pairs join:\n$p")
+  }
+
   // FormattedMode prints each Exchange's partitioning on a detail line:
   //   Arguments: hashpartitioning(user_id#39L, 4), ENSURE_REQUIREMENTS, ...
   private def hashExchanges(p: String): Int =

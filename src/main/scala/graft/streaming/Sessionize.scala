@@ -112,11 +112,20 @@ object Sessionize {
           val closed = Seq.newBuilder[SessionOut]
           sorted.foreach { t =>
             cur match {
+              case Some(s) if t < s.start - gapMs =>
+                // beyond any merge horizon: batch semantics would put
+                // this event in a SEPARATE earlier session, which this
+                // state machine can no longer emit in order — drop it,
+                // exactly what an event-time watermark of one gap
+                // would have done upstream
+                ()
               case Some(s) if t - s.last < gapMs =>
                 // a LATE event (t < s.last, possible across micro-
                 // batches — sorting is per-batch only) must not move
                 // the session's frontier backwards: a rolled-back
-                // `last` would mis-close the session on the next event
+                // `last` would mis-close the session on the next event;
+                // backward extension is allowed only within one gap of
+                // the session start (the guard above)
                 cur = Some(SessionState(math.min(s.start, t),
                   math.max(s.last, t), s.n + 1))
               case Some(s) =>

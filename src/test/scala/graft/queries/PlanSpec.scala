@@ -54,6 +54,17 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 2, s"expected partial+final aggregate pair, got $aggs")
   }
 
+  test("q51 recursion depth stays bounded at 10 levels") {
+    // the pos < 10 literal is q51's scale guard: an unbounded chain
+    // walk costs max-chain-length join stages (measured 24 levels /
+    // 11.5 s vs ~3 s bounded at sf0.1). A data or query change must
+    // not silently unbound it.
+    import org.apache.spark.sql.functions.max
+    val maxPos = Relational.q51_recursive(spark, dir)
+      .agg(max("pos")).collect()(0).getInt(0)
+    assert(maxPos <= 10, s"recursion walked $maxPos levels; bound lost")
+  }
+
   test("bucketed near-dup candidates come from an equi-join, not a cross join") {
     val p = plan(graft.operators.Similarity.embeddingNearDupsBucketed(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -188,6 +188,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.endMs - rows.head.startMs == 2 * 60 * 1000L)
   }
 
+  test("stateful sessionizer drops events beyond the merge horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStateful(mem.toDS()).writeStream
+      .format("memory").queryName("state_drop_out").outputMode("append").start()
+    mem.addData(Event(1L, ts("2024-01-01 10:00:00")),
+      Event(1L, ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    // hours older than session start - gap: batch semantics would make
+    // a separate earlier session; the state machine drops it like a
+    // one-gap watermark would, instead of absorbing it (which would
+    // silently stretch session_start back to 05:00)
+    mem.addData(Event(1L, ts("2024-01-01 05:00:00")))
+    q.processAllAvailable()
+    mem.addData(Event(1L, ts("2024-01-01 11:00:00"))) // closes the session
+    q.processAllAvailable()
+    val rows = spark.table("state_drop_out").as[SessionOut].collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.n == 2L, s"too-late event must not join the session: ${rows.head}")
+    assert(rows.head.startMs == ts("2024-01-01 10:00:00").getTime,
+      "session start must not be stretched backwards by a dropped event")
+  }
+
+  test("streamed upsert state on real events equals the gated x08 values") {
+    // the streaming twin of the driver-gated x08 (Merge.snapshotUpsert):
+    // feed the actual sf0.001 event log through the update-mode state
+    // machine in three micro-batches; the final per-user state must
+    // equal the batch operator's merged v_e6 on the same data
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.engine.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), floor(col("value") * 1000000).cast("long").as("v_e6"))
+      .as[(Long, Long, Long, Long)].collect()
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val q = StreamUpsert.latestValueStream(
+        mem.toDF().toDF("user_id", "us", "event_id", "v_e6")).writeStream
+      .format("memory").queryName("upsert_equiv_out")
+      .outputMode("complete").start()
+    events.grouped(math.max(events.length / 3, 1))
+      .foreach { chunk => mem.addData(chunk.toSeq: _*); q.processAllAvailable() }
+    val streamed = spark.table("upsert_equiv_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = graft.operators.Merge.snapshotUpsert(spark, dir)
+      .select("user_id", "v_e6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed state diverges from x08 on ${streamed.size}/${batch.size} users")
+  }
+
+  test("streamed count-min cells on real documents equal the batch fill") {
+    // micro-batched fill over the actual sf0.001 corpus must build the
+    // identical sketch table the gated t15 probes
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.engine.Tables.t(spark, dir, "documents")
+      .select("text").as[String].collect()
+    val mem = MemoryStream[String]
+    val q = StreamSketch.countMinStream(mem.toDF().toDF("text")).writeStream
+      .format("memory").queryName("cm_equiv_out").outputMode("complete").start()
+    texts.grouped(math.max(texts.length / 3, 1))
+      .foreach { chunk => mem.addData(chunk.toSeq: _*); q.processAllAvailable() }
+    val streamed = spark.table("cm_equiv_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = StreamSketch.countMinStream(texts.toSeq.toDF("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming latest-value upsert emits per-batch change feeds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -66,12 +66,16 @@ object Dedup {
     // the corpus (no exchange reuse across differing projections). At
     // 100 TB this is the "materialize signatures" pipeline stage.
     val sh = shingleHashes(docs(s, dir)).persist()
-    val exAll = sh.select(col("doc_id"), explode(col("hv")).as("h")).distinct()
     val ex = maxShingleDf match {
-      case None => exAll
+      case None =>
+        sh.select(col("doc_id"), explode(col("hv")).as("h")).distinct()
       case Some(cap) =>
-        // one partial-aggregated df count + a broadcast-able join
-        // against the (tiny) stop-shingle list
+        // the exploded postings feed three consumers here (df count +
+        // both self-join sides); persist them so the cap costs one
+        // partial-aggregated count + a broadcast anti-join against the
+        // (tiny) stop-shingle list, not a re-explode per branch
+        val exAll = sh.select(col("doc_id"), explode(col("hv")).as("h"))
+          .distinct().persist()
         val stop = exAll.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("h")
         exAll.join(broadcast(stop), Seq("h"), "left_anti")

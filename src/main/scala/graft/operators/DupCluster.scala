@@ -36,10 +36,12 @@ object DupCluster {
   @volatile private var lastLabels: Option[(SparkSession, String, DataFrame)] =
     None
 
-  /** Hash-Min fixpoint over the near-dup pair graph: (id, cluster_id)
-    * with cluster_id = min doc_id reachable through near-dup pairs. */
-  private def computeLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(s, dir).select(col("ida"), col("idb"))
+  /** Hash-Min fixpoint over an arbitrary (ida, idb) pair graph:
+    * (id, cluster_id) with cluster_id = min id reachable through
+    * pairs. Shared by the text (d06, MinHash pairs) and embedding
+    * (d09, LSH-bucketed cosine pairs) cluster operators. */
+  private[operators] def fixpointLabels(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("ida"), col("idb"))
     val edges = pairs.union(pairs.select(col("idb"), col("ida")))
       .toDF("src", "dst").persist()
     // seed with the 1-hop minimum (id vs. smallest neighbor) instead
@@ -62,22 +64,41 @@ object DupCluster {
       labels = next
     }
     edges.unpersist()
+    labels
+  }
+
+  /** MinHash-pair labels for (session, dir), memoized for [[keepBest]]. */
+  private def computeLabels(s: SparkSession, dir: String): DataFrame = {
+    val labels =
+      fixpointLabels(Dedup.minhashLshPairs(s, dir).select("ida", "idb"))
     lastLabels = Some((s, dir, labels))
     labels
   }
 
-  private def clustersOf(labels: DataFrame): DataFrame = {
+  private def clustersOf(labels: DataFrame, idName: String): DataFrame = {
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_sz"))
     labels.join(sizes, "cluster_id")
-      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_sz"))
-      .orderBy("doc_id")
+      .select(col("id").as(idName), col("cluster_id"), col("cluster_sz"))
+      .orderBy(idName)
   }
 
   /** d06: (doc_id, cluster_id, cluster_sz) for every document that has
     * at least one near-duplicate; cluster_id = min doc_id reachable
     * through near-dup pairs. */
   def clusters(s: SparkSession, dir: String): DataFrame =
-    clustersOf(computeLabels(s, dir))
+    clustersOf(computeLabels(s, dir), "doc_id")
+
+  /** d09: duplicate clusters over the EMBEDDING near-dup graph — the
+    * same Hash-Min fixpoint as d06 run on [[Similarity
+    * .embeddingNearDupsBucketed]]'s pairs, so the embedding-dedup
+    * pipeline has the same pairs → clusters stage the text pipeline
+    * has (semantic dup groups spanning more than one pair collapse to
+    * one canonical id). */
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(
+      fixpointLabels(Similarity.embeddingNearDupsBucketed(s, dir)
+        .select("ida", "idb")),
+      "vec_id")
 
   /** d07: canonical-document selection — keep exactly one document per
     * near-dup cluster, the one with the most tokens (ties to the
@@ -95,7 +116,7 @@ object DupCluster {
       case Some((`s`, `dir`, l)) => l
       case _ => computeLabels(s, dir)
     }
-    val cl = clustersOf(labels)
+    val cl = clustersOf(labels, "doc_id")
     val ntoks = graft.operators.TextHash
       .fanOut(graft.engine.Tables.t(s, dir, "documents"))
       .select(col("doc_id"),

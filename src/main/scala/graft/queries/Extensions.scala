@@ -28,6 +28,7 @@ object Extensions {
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     "d05_embedding_neardup" -> (Similarity.embeddingNearDups _),
     "d08_neardup_bucketed" -> (Similarity.embeddingNearDupsBucketed _),
+    "d09_embedding_clusters" -> (DupCluster.embeddingClusters _),
     "d06_dup_clusters" -> (DupCluster.clusters _),
     "d07_keep_best" -> (DupCluster.keepBest _),
     "i01_inverted_index" -> (TextAnalysis.invertedIndex _),
@@ -158,15 +159,39 @@ object Extensions {
     * ending in `lab(id, cluster_id)` — shared by d06 and d07 so the
     * cluster definition cannot drift between label assignment and
     * canonical selection. Callers must open with WITH RECURSIVE. */
-  private val ccCtes = s"""$minhashPairCtes,
-      edges AS (SELECT ida AS src, idb AS dst FROM pairs
-                UNION SELECT idb, ida FROM pairs),
+  /** Recursive connected-components over a `pairs(ida, idb)` CTE that
+    * must already be in scope — ends in lab(id, cluster_id). */
+  private def ccOverPairs(pairsName: String): String = s"""
+      edges AS (SELECT ida AS src, idb AS dst FROM $pairsName
+                UNION SELECT idb, ida FROM $pairsName),
       reach AS (SELECT src, dst FROM edges
                 UNION
                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
                 WHERE e.dst <> r.src),
       lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
               FROM reach GROUP BY src)"""
+
+  private val ccCtes = s"""$minhashPairCtes,${ccOverPairs("pairs")}"""
+
+  /** CTE chain ending in `escored(ida, idb, cs)` — the LSH-banded
+    * embedding candidate pairs with exact cosine, shared by d08 (pair
+    * output) and d09 (connected components over the cs>=0.4 pairs). */
+  private val embScoredCtes = s"""
+      sigs AS (SELECT vec_id, embedding,
+        CAST(list_sum([CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+          [(embedding[d]::DOUBLE) * (((1103515245::BIGINT * (j*64 + d) + 12345) % 2147483648)
+            / 2147483648.0 - 0.5) for d in generate_series(1, 64)]),
+          (x, y) -> x + y) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
+          for j in generate_series(0, 15)]) AS BIGINT) AS sig
+        FROM embeddings),
+      ebands AS (SELECT vec_id, b AS band_idx, (sig >> (b*4)) & 15 AS band_key
+                 FROM sigs, generate_series(0, 3) t(b)),
+      ecand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+                FROM ebands a JOIN ebands b ON a.band_idx = b.band_idx
+                 AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+      escored AS (SELECT ida, idb, ${cos("sa.embedding", "sb.embedding")} AS cs
+                  FROM ecand JOIN sigs sa ON ida = sa.vec_id
+                             JOIN sigs sb ON idb = sb.vec_id)"""
 
   /** x07/x08/x09 oracle bodies, extracted so the x10 composition
     * embeds the exact same SQL (no drift between the standalone
@@ -300,23 +325,15 @@ object Extensions {
     // bits) generates candidates, exact sequential-fold cosine
     // reranks — identical LCG hyperplane math on both sides
     "d08_neardup_bucketed" -> s"""
-      WITH sigs AS (SELECT vec_id, embedding,
-        CAST(list_sum([CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-          [(embedding[d]::DOUBLE) * (((1103515245::BIGINT * (j*64 + d) + 12345) % 2147483648)
-            / 2147483648.0 - 0.5) for d in generate_series(1, 64)]),
-          (x, y) -> x + y) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
-          for j in generate_series(0, 15)]) AS BIGINT) AS sig
-        FROM embeddings),
-      bands AS (SELECT vec_id, b AS band_idx, (sig >> (b*4)) & 15 AS band_key
-                FROM sigs, generate_series(0, 3) t(b)),
-      cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-               FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-                AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
-      scored AS (SELECT ida, idb, ${cos("sa.embedding", "sb.embedding")} AS cs
-                 FROM cand JOIN sigs sa ON ida = sa.vec_id
-                           JOIN sigs sb ON idb = sb.vec_id)
+      WITH $embScoredCtes
       SELECT ida, idb, CAST(floor(cs * 1000000) AS BIGINT) AS cs_e6
-      FROM scored WHERE cs >= 0.4 ORDER BY ida, idb""",
+      FROM escored WHERE cs >= 0.4 ORDER BY ida, idb""",
+    "d09_embedding_clusters" -> s"""
+      WITH RECURSIVE $embScoredCtes,
+      epairs AS (SELECT ida, idb FROM escored WHERE cs >= 0.4),${ccOverPairs("epairs")}
+      SELECT id AS vec_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+      FROM lab ORDER BY vec_id""",
     "s01_ann_topk" -> s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                  FROM embeddings WHERE vec_id < 10),

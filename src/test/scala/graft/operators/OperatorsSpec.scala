@@ -65,6 +65,22 @@ class OperatorsSpec extends AnyFunSuite {
       "bucketing may lose pairs (LSH recall trade) but must never invent them")
   }
 
+  test("embedding clusters cover exactly the bucketed pair endpoints") {
+    val pairs = Similarity.embeddingNearDupsBucketed(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byId = DupCluster.embeddingClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(byId.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet,
+      "every paired vector (and only those) must receive a cluster label")
+    pairs.foreach { case (a, b) =>
+      assert(byId(a) == byId(b), s"pair ($a,$b) split across clusters")
+    }
+    byId.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min,
+        s"cluster id $cid is not the minimum member id")
+    }
+  }
+
   test("minhash LSH recalls the exact-jaccard near-dup pairs") {
     val exact = Dedup.jaccardPairs(spark, dir)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

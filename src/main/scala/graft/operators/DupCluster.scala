@@ -88,6 +88,18 @@ object DupCluster {
   def clusters(s: SparkSession, dir: String): DataFrame =
     clustersOf(computeLabels(s, dir), "doc_id")
 
+  /** Embedding-pair labels for (session, dir), memoized for
+    * [[keepBestEmbedding]] the same way [[lastLabels]] serves d07. */
+  @volatile private var lastEmbLabels
+      : Option[(SparkSession, String, DataFrame)] = None
+
+  private def computeEmbLabels(s: SparkSession, dir: String): DataFrame = {
+    val labels = fixpointLabels(
+      Similarity.embeddingNearDupsBucketed(s, dir).select("ida", "idb"))
+    lastEmbLabels = Some((s, dir, labels))
+    labels
+  }
+
   /** d09: duplicate clusters over the EMBEDDING near-dup graph — the
     * same Hash-Min fixpoint as d06 run on [[Similarity
     * .embeddingNearDupsBucketed]]'s pairs, so the embedding-dedup
@@ -95,10 +107,33 @@ object DupCluster {
     * has (semantic dup groups spanning more than one pair collapse to
     * one canonical id). */
   def embeddingClusters(s: SparkSession, dir: String): DataFrame =
-    clustersOf(
-      fixpointLabels(Similarity.embeddingNearDupsBucketed(s, dir)
-        .select("ida", "idb")),
-      "vec_id")
+    clustersOf(computeEmbLabels(s, dir), "vec_id")
+
+  /** d10: canonical-vector selection per embedding cluster — keep the
+    * member with the largest L2 norm (ties to the smallest vec_id),
+    * the embedding analog of d07's most-tokens rule (a larger norm is
+    * the stronger signal under cosine geometry; any per-vector quality
+    * score slots into the same window). Norm is exposed e6-floored so
+    * the DuckDB oracle matches bit-for-bit (the same sequential-fold
+    * sqrt both sides). */
+  def keepBestEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val labels = lastEmbLabels match {
+      case Some((`s`, `dir`, l)) => l
+      case _ => computeEmbLabels(s, dir)
+    }
+    val cl = clustersOf(labels, "vec_id")
+    val nr = Similarity.vecNorms(s, dir)
+      .select(col("vec_id"),
+        floor(col("nrm") * 1000000).cast("long").as("norm_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("norm_e6").desc, col("vec_id"))
+    cl.join(nr, "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("vec_id").as("rep_vec_id"),
+        col("cluster_sz"), col("norm_e6").as("rep_norm_e6"))
+      .orderBy("cluster_id")
+  }
 
   /** d07: canonical-document selection — keep exactly one document per
     * near-dup cluster, the one with the most tokens (ties to the

@@ -40,6 +40,12 @@ object Similarity {
   private def cosExpr(a: String, b: String): String =
     s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
 
+  /** (vec_id, nrm) for every corpus vector — the quality signal
+    * [[graft.operators.DupCluster.keepBestEmbedding]] ranks cluster
+    * members by. */
+  def vecNorms(s: SparkSession, dir: String): DataFrame =
+    withNorm(emb(s, dir)).select(col("vec_id"), col("nrm"))
+
   /** Corpus with a precomputed L2 norm column — one norm per vector
     * instead of one per pair (bitwise-identical result: same sqrt on
     * the same fold). */

@@ -29,6 +29,7 @@ object Extensions {
     "d05_embedding_neardup" -> (Similarity.embeddingNearDups _),
     "d08_neardup_bucketed" -> (Similarity.embeddingNearDupsBucketed _),
     "d09_embedding_clusters" -> (DupCluster.embeddingClusters _),
+    "d10_keep_best_embedding" -> (DupCluster.keepBestEmbedding _),
     "d06_dup_clusters" -> (DupCluster.clusters _),
     "d07_keep_best" -> (DupCluster.keepBest _),
     "i01_inverted_index" -> (TextAnalysis.invertedIndex _),
@@ -334,6 +335,21 @@ object Extensions {
       SELECT id AS vec_id, cluster_id,
         count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
       FROM lab ORDER BY vec_id""",
+    "d10_keep_best_embedding" -> s"""
+      WITH RECURSIVE $embScoredCtes,
+      epairs AS (SELECT ida, idb FROM escored WHERE cs >= 0.4),${ccOverPairs("epairs")}
+      , sz AS (SELECT id AS vec_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+               FROM lab),
+      nr AS (SELECT vec_id,
+               CAST(floor(sqrt(${dot("embedding", "embedding")}) * 1000000)
+                 AS BIGINT) AS norm_e6
+             FROM embeddings)
+      SELECT cluster_id, vec_id AS rep_vec_id, cluster_sz, norm_e6 AS rep_norm_e6
+      FROM (SELECT sz.*, nr.norm_e6, row_number() OVER
+              (PARTITION BY cluster_id ORDER BY nr.norm_e6 DESC, sz.vec_id) AS rn
+            FROM sz JOIN nr USING (vec_id)) z
+      WHERE rn = 1 ORDER BY cluster_id""",
     "s01_ann_topk" -> s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                  FROM embeddings WHERE vec_id < 10),

@@ -81,6 +81,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding keep-best picks the largest-norm member per cluster") {
+    val members = DupCluster.embeddingClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id"))
+    val norms = Similarity.vecNorms(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        math.floor(r.getAs[Double]("nrm") * 1000000).toLong).toMap
+    val byCluster = members.groupBy(_._2)
+    val reps = DupCluster.keepBestEmbedding(spark, dir).collect()
+    assert(reps.map(_.getAs[Long]("cluster_id")).toSet == byCluster.keySet)
+    reps.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val rep = r.getAs[Long]("rep_vec_id")
+      val ms = byCluster(cid).map(_._1)
+      assert(ms.contains(rep), s"rep $rep not a member of cluster $cid")
+      assert(ms.forall(m => norms(m) < norms(rep) ||
+        (norms(m) == norms(rep) && m >= rep)),
+        s"rep $rep is not the largest-norm (ties-to-min-id) member of $cid")
+      assert(r.getAs[Long]("rep_norm_e6") == norms(rep))
+    }
+  }
+
   test("minhash LSH recalls the exact-jaccard near-dup pairs") {
     val exact = Dedup.jaccardPairs(spark, dir)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -92,12 +92,49 @@ object Sessionize {
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n: Long)
 
+  /** The per-batch merge fold shared by both stateful sessionizers:
+    * absorbs this batch's (seconds-truncated, sorted) event times into
+    * the open session, emitting every session a gap-exceeding event
+    * closes. Leaves the updated open session in `state`. */
+  private def mergeBatch(uid: Long, sorted: Seq[Long],
+      state: GroupState[SessionState], gapMs: Long): Iterator[SessionOut] = {
+    var cur = state.getOption
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { t =>
+      cur match {
+        case Some(s) if t < s.start - gapMs =>
+          // beyond any merge horizon: batch semantics would put
+          // this event in a SEPARATE earlier session, which this
+          // state machine can no longer emit in order — drop it,
+          // exactly what an event-time watermark of one gap
+          // would have done upstream
+          ()
+        case Some(s) if t - s.last < gapMs =>
+          // a LATE event (t < s.last, possible across micro-
+          // batches — sorting is per-batch only) must not move
+          // the session's frontier backwards: a rolled-back
+          // `last` would mis-close the session on the next event;
+          // backward extension is allowed only within one gap of
+          // the session start (the guard above)
+          cur = Some(SessionState(math.min(s.start, t),
+            math.max(s.last, t), s.n + 1))
+        case Some(s) =>
+          closed += SessionOut(uid, s.start, s.last, s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur.foreach(state.update)
+    closed.result().iterator
+  }
+
   /** Custom state logic via flatMapGroupsWithState: a session closes
     * when a later event arrives past the inactivity gap (the open
     * session stays in state until then). This is the escape hatch for
     * semantics `session_window` can't express (per-session caps,
-    * custom merge rules); production code would add an
-    * EventTimeTimeout + watermark to flush idle sessions. */
+    * custom merge rules); [[sessionizeStatefulTimeout]] is the
+    * production variant that also flushes idle sessions by watermark. */
   def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = GapMinutes * 60 * 1000L
@@ -108,35 +145,43 @@ object Sessionize {
           // seconds truncation as everywhere else (file doc above):
           // batch, session_window and this state machine must agree
           val sorted = rows.toSeq.map(e => e.ts.getTime / 1000L * 1000L).sorted
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { t =>
-            cur match {
-              case Some(s) if t < s.start - gapMs =>
-                // beyond any merge horizon: batch semantics would put
-                // this event in a SEPARATE earlier session, which this
-                // state machine can no longer emit in order — drop it,
-                // exactly what an event-time watermark of one gap
-                // would have done upstream
-                ()
-              case Some(s) if t - s.last < gapMs =>
-                // a LATE event (t < s.last, possible across micro-
-                // batches — sorting is per-batch only) must not move
-                // the session's frontier backwards: a rolled-back
-                // `last` would mis-close the session on the next event;
-                // backward extension is allowed only within one gap of
-                // the session start (the guard above)
-                cur = Some(SessionState(math.min(s.start, t),
-                  math.max(s.last, t), s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(uid, s.start, s.last, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          mergeBatch(uid, sorted, state, gapMs)
+        })
+  }
+
+  /** [[sessionizeStateful]] + idle-session flush: an event-time
+    * watermark bounds state lifetime, and a per-key
+    * EventTimeTimeout at `last + gap` emits the open session once the
+    * watermark passes it — without this, a user who never returns
+    * leaks one state row forever (THE failure mode of unbounded
+    * streaming state). State is therefore bounded by the number of
+    * users active inside one watermark horizon, not all users ever
+    * seen. */
+  def sessionizeStatefulTimeout(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = GapMinutes * 60 * 1000L
+    events
+      .withWatermark("ts", s"$GapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.toSeq.map(e => e.ts.getTime / 1000L * 1000L)
+              .sorted
+            val out = mergeBatch(uid, sorted, state, gapMs)
+            // re-arm the timer at the open session's gap expiry; must
+            // stay ahead of the current watermark or Spark rejects it
+            state.getOption.foreach { s =>
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
             }
+            out
           }
-          cur.foreach(state.update)
-          closed.result().iterator
         })
   }
 }

@@ -213,6 +213,31 @@ class StreamingSpec extends AnyFunSuite {
       "session start must not be stretched backwards by a dropped event")
   }
 
+  test("timeout sessionizer flushes an idle session by watermark alone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStatefulTimeout(mem.toDS()).writeStream
+      .format("memory").queryName("state_timeout_out")
+      .outputMode("append").start()
+    mem.addData(Event(1L, ts("2024-01-01 10:00:00")),
+      Event(1L, ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    // no further user-1 events: another user's much-later event
+    // advances the watermark past 10:02 + gap, firing user 1's timer
+    mem.addData(Event(2L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    mem.addData(Event(2L, ts("2024-01-01 13:00:00"))) // extra batch to fire timers
+    q.processAllAvailable()
+    val rows = spark.table("state_timeout_out").as[SessionOut].collect()
+      .filter(_.user_id == 1L)
+    q.stop()
+    assert(rows.length == 1,
+      s"idle session must flush on watermark timeout, got ${rows.toSeq}")
+    assert(rows.head.n == 2L &&
+      rows.head.endMs - rows.head.startMs == 2 * 60 * 1000L)
+  }
+
   test("streamed upsert state on real events equals the gated x08 values") {
     // the streaming twin of the driver-gated x08 (Merge.snapshotUpsert):
     // feed the actual sf0.001 event log through the update-mode state

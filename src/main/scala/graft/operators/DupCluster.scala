@@ -32,7 +32,11 @@ object DupCluster {
     * to a table and read it twice. `clusters` always recomputes (so
     * its cost stays honestly benchmarked); only the derived consumer
     * [[keepBest]] reuses a same-session/same-dir frame. The frame is
-    * localCheckpoint-materialized, so reuse replays no lineage. */
+    * localCheckpoint-materialized, so reuse replays no lineage.
+    * Assumes the parquet under `dir` is immutable for the session
+    * (true of the driver harness; a mutable-input deployment would
+    * key the memo on a data fingerprint) and a single-threaded
+    * driver, like every Spark query builder in this repo. */
   @volatile private var lastLabels: Option[(SparkSession, String, DataFrame)] =
     None
 

@@ -79,8 +79,9 @@ object Similarity {
     * DuckDB oracle applies the identical banding rule (same pattern
     * as d04's SimHash bands) and the gate checks the full
     * candidates+rerank semantics exactly. Recall vs the exact
-    * baseline is the documented LSH trade (BucketedNearDupSpec pins
-    * containment: every emitted pair is a brute-force pair). */
+    * baseline is the documented LSH trade (OperatorsSpec's
+    * "bucketed embedding near-dups are a non-empty subset of brute
+    * force" pins containment: no invented pairs). */
   def embeddingNearDupsBucketed(s: SparkSession, dir: String): DataFrame = {
     // persisted: band explosion + both rerank sides share one
     // norm+signature pass

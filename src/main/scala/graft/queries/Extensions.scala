@@ -253,16 +253,17 @@ object Extensions {
     "d01_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""",
-    // mirrors the gated Spark path: stop-shingle df cap (64) drops
-    // high-df shingle hashes from candidate generation only; union
-    // sizes stay uncapped (graft.operators.Dedup.JaccardDfCap)
+    // mirrors the gated Spark path: the stop-shingle df cap
+    // (Dedup.JaccardDfCap, interpolated so both sides can never
+    // drift) drops high-df shingle hashes from candidate generation
+    // only; union sizes stay uncapped
     "d02_dedup_jaccard" -> s"""
       WITH $tkCte, $shCte,
       hv AS (SELECT doc_id, list_distinct([${rh("s", 1000000007L)} for s in shs]) AS hv,
              len(shs) AS n_sh FROM sh),
       ex0 AS (SELECT doc_id, unnest(hv) AS h FROM hv),
       ex AS (SELECT doc_id, h FROM ex0
-             QUALIFY count(*) OVER (PARTITION BY h) <= 64),
+             QUALIFY count(*) OVER (PARTITION BY h) <= ${Dedup.JaccardDfCap}),
       common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)

@@ -102,12 +102,13 @@ object Sessionize {
     val closed = Seq.newBuilder[SessionOut]
     sorted.foreach { t =>
       cur match {
-        case Some(s) if t < s.start - gapMs =>
-          // beyond any merge horizon: batch semantics would put
-          // this event in a SEPARATE earlier session, which this
-          // state machine can no longer emit in order — drop it,
-          // exactly what an event-time watermark of one gap
-          // would have done upstream
+        case Some(s) if t <= s.start - gapMs =>
+          // beyond any merge horizon (<= matches the batch rule: a
+          // gap of EXACTLY the threshold splits): batch semantics
+          // would put this event in a SEPARATE earlier session, which
+          // this state machine can no longer emit in order — drop it,
+          // exactly what an event-time watermark of one gap would
+          // have done upstream
           ()
         case Some(s) if t - s.last < gapMs =>
           // a LATE event (t < s.last, possible across micro-

@@ -6,15 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkEntry
 
-/** Driver-contract invariants over the whole gated surface.
-  *
-  * The driver compares Spark vs DuckDB through pandas (sort by every
-  * column + hash of stringified cells), which makes non-scalar cells
-  * a gate crash and type-rendering drift a silent hash mismatch —
-  * see README "Gated-output conventions". These assertions keep a new
-  * query from re-learning round 5's i01/q48/x04 failures.
+/** The gated-output schema convention (README "Gated-output
+  * conventions"): the driver compares Spark vs DuckDB through pandas
+  * (sort by every column + hash of stringified cells), so non-scalar
+  * cells crash the gate outright — this assertion keeps a new query
+  * from re-learning round 5's i01 failure. (The queries↔oracle key
+  * coverage lives in graft.ContractSpec, which needs no session.)
   */
-class ContractSpec extends AnyFunSuite {
+class GatedOutputSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -24,13 +23,6 @@ class ContractSpec extends AnyFunSuite {
     .getOrCreate()
 
   val dir = "/root/testdata/sf0.001"
-
-  test("every gated query has an oracle, and vice versa") {
-    val q = SparkEntry.queries.keySet
-    val o = SparkEntry.oracleSql.keySet
-    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
-    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
-  }
 
   test("every gated output schema is scalar-only (no array/struct/map)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -203,6 +203,11 @@ class StreamingSpec extends AnyFunSuite {
     // silently stretch session_start back to 05:00)
     mem.addData(Event(1L, ts("2024-01-01 05:00:00")))
     q.processAllAvailable()
+    // boundary: EXACTLY one gap before the session start must also
+    // drop — the batch rule splits on gap >= threshold, so 09:55:00
+    // against start 10:00:00 (gap 5 min) is a separate session
+    mem.addData(Event(1L, ts("2024-01-01 09:55:00")))
+    q.processAllAvailable()
     mem.addData(Event(1L, ts("2024-01-01 11:00:00"))) // closes the session
     q.processAllAvailable()
     val rows = spark.table("state_drop_out").as[SessionOut].collect()

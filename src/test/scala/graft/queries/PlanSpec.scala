@@ -65,6 +65,24 @@ class PlanSpec extends AnyFunSuite {
     assert(maxPos <= 10, s"recursion walked $maxPos levels; bound lost")
   }
 
+  test("KMV top-k plans as TakeOrdered, never a full global sort") {
+    // orderBy(h).limit(K) must compile to per-partition local top-K +
+    // a driver merge of P·K longs; a global Sort before the limit
+    // would shuffle every distinct shingle hash at 100 TB
+    val p = plan(graft.operators.Sketches.kmvDistinctShingles(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"KMV kth-hash selection lost its TakeOrdered shape:\n$p")
+  }
+
+  test("capped jaccard applies the stop-shingle list as a broadcast anti-join") {
+    val p = plan(graft.operators.Dedup.jaccardPairs(spark, dir,
+      maxShingleDf = Some(graft.operators.Dedup.JaccardDfCap)))
+    assert(p.contains("LeftAnti"),
+      s"df cap must subtract stop-shingles via an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "capped jaccard must keep equi-join candidate generation")
+  }
+
   test("bucketed near-dup candidates come from an equi-join, not a cross join") {
     val p = plan(graft.operators.Similarity.embeddingNearDupsBucketed(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -73,7 +73,12 @@ object Dedup {
         // the exploded postings feed three consumers here (df count +
         // both self-join sides); persist them so the cap costs one
         // partial-aggregated count + a broadcast anti-join against the
-        // (tiny) stop-shingle list, not a re-explode per branch
+        // (tiny) stop-shingle list, not a re-explode per branch.
+        // Lifetime caveat (all persists in these builders): the frame
+        // is returned lazily, so there is no in-function action to
+        // unpersist after — blocks live until spark.catalog.clearCache()
+        // (Verify clears between queries) or session end; long-lived
+        // sessions calling operators repeatedly should clearCache.
         val exAll = sh.select(col("doc_id"), explode(col("hv")).as("h"))
           .distinct().persist()
         val stop = exAll.groupBy("h").agg(count(lit(1)).as("df"))

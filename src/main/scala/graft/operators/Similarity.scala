@@ -53,12 +53,32 @@ object Similarity {
     graft.operators.TextHash.fanOut(df)
       .withColumn("nrm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
 
+  /** Hard corpus-size bound for [[embeddingNearDups]]'s all-pairs
+    * baseline. 20k vectors ≈ 2·10⁸ candidate pairs — minutes on one
+    * node, and the largest size at which an exact baseline is still a
+    * useful oracle. Above it the O(n²) plan is refused outright: the
+    * scale paths ([[embeddingNearDupsBucketed]], [[annLshTopK]],
+    * [[annIvfTopK]]) exist precisely so nobody points a quadratic
+    * join at a real corpus by accident. */
+  val MaxBruteForceVectors = 20000L
+
   /** Embedding-cosine near-duplicate pairs (cs ≥ 0.4) — brute-force
     * exact baseline. The n² pair space only exists pre-aggregation
-    * inside a single stage; at scale use [[annLshTopK]]'s bucketing. */
-  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    * inside a single stage; at scale use [[embeddingNearDupsBucketed]]
+    * (same output contract, equi-join candidates). Guarded: corpora
+    * above [[MaxBruteForceVectors]] are refused with a clear error
+    * (the one cheap count against the parquet footer is the price of
+    * making the quadratic plan impossible to launch by accident). */
+  def embeddingNearDups(s: SparkSession, dir: String,
+      maxVectors: Long = MaxBruteForceVectors): DataFrame = {
+    val corpus = emb(s, dir)
+    val n = corpus.count() // parquet metadata count — no column read
+    require(n <= maxVectors,
+      s"embeddingNearDups is the O(n²) exact baseline and is capped at " +
+        s"$maxVectors vectors (corpus has $n); use " +
+        "embeddingNearDupsBucketed / annLshTopK / annIvfTopK at scale")
     // persisted: both pair sides share one norm-computation pass
-    val e = withNorm(emb(s, dir)).persist()
+    val e = withNorm(corpus).persist()
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
         (expr(dotExpr("a.embedding", "b.embedding")) /
@@ -84,7 +104,8 @@ object Similarity {
     * force" pins containment: no invented pairs). */
   def embeddingNearDupsBucketed(s: SparkSession, dir: String): DataFrame = {
     // persisted: band explosion + both rerank sides share one
-    // norm+signature pass
+    // norm+signature pass (lifetime: until clearCache/session end —
+    // see the caveat in Dedup.jaccardPairs)
     val e = withNorm(emb(s, dir))
       .withColumn("sig", expr(sigExpr("embedding")))
       .persist()

@@ -26,7 +26,9 @@ object Extensions {
       Dedup.jaccardPairs(s, d, maxShingleDf = Some(Dedup.JaccardDfCap))),
     "d03_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
-    "d05_embedding_neardup" -> (Similarity.embeddingNearDups _),
+    // gated at the default MaxBruteForceVectors guard
+    "d05_embedding_neardup" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingNearDups(s, d)),
     "d08_neardup_bucketed" -> (Similarity.embeddingNearDupsBucketed _),
     "d09_embedding_clusters" -> (DupCluster.embeddingClusters _),
     "d10_keep_best_embedding" -> (DupCluster.keepBestEmbedding _),

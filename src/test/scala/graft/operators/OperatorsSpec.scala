@@ -55,6 +55,18 @@ class OperatorsSpec extends AnyFunSuite {
       "JaccardDfCap binds at a checked SF; raise the cap")
   }
 
+  test("brute-force near-dup baseline refuses an over-bound corpus") {
+    // the O(n²) exact baseline must be impossible to launch by
+    // accident at scale: the guard throws before any job beyond the
+    // footer count runs (sf0.001 has 500 vectors > the test bound)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDups(spark, dir, maxVectors = 100L)
+    }
+    assert(e.getMessage.contains("O(n²)") &&
+      e.getMessage.contains("embeddingNearDupsBucketed"),
+      s"guard error must name the scale-safe alternatives: ${e.getMessage}")
+  }
+
   test("bucketed embedding near-dups are a non-empty subset of brute force") {
     val brute = Similarity.embeddingNearDups(spark, dir)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

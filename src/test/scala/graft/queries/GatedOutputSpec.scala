@@ -25,6 +25,12 @@ class GatedOutputSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   test("every gated output schema is scalar-only (no array/struct/map)") {
+    // NOTE: "schema-only" is not free for every query — the cluster
+    // queries (d06/d07/d09/d10) run DupCluster's driver-side fixpoint
+    // loop during DataFrame *construction*, so building their frames
+    // executes real jobs (and warms the label memo). Accepted cost:
+    // the memoized fixpoint makes the second pair of queries cheap,
+    // and sf0.001 converges in a couple of rounds.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         fn(spark, dir).schema.fields.collect {

@@ -218,6 +218,38 @@ class PlanSpec extends AnyFunSuite {
         s"(win=${winNum.get}, aggs=$aggNums):\n$p")
   }
 
+  test("nested-loop inventory: d05 is the only corpus-scale non-equi join") {
+    // Sweep EVERY gated query's physical plan. A BroadcastNestedLoopJoin
+    // is only ever acceptable when one side is provably tiny:
+    //   - a 1-row data-derived scalar (crossJoin(broadcast(aggRow)))
+    //   - the broadcast ≤10-row ANN query side (s01/s06 =!= joins)
+    //   - d05's documented O(n²) exact baseline, now guarded by
+    //     Similarity.MaxBruteForceVectors
+    // Anything outside this allowlist is a corpus-scale nested loop —
+    // a 100 TB regression this inventory exists to catch. A raw
+    // CartesianProduct is never acceptable.
+    val nljAllowed = Set(
+      "d05_embedding_neardup", // guarded exact baseline (corpus²)
+      "s01_ann_topk", "s06_pq_adc", // broadcast ≤10-row query side
+      "t05_kmv_distinct", // 1-row exact-count scalar crossJoin
+      "x08_upsert", "x09_scd2", // 1-row watermark-cutoff scalar
+      "z01_zorder", // 1-row min-hour scalar
+      "q20_scalar_subquery", "q43_cte", // 1-row aggregate scalar compare
+      "q40_range_join", // broadcast static band dim, range condition
+      "x10_serving_card" // 1-row card-stats scalar
+    )
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — never acceptable:\n$p")
+      if (p.contains("BroadcastNestedLoopJoin") && !nljAllowed(name))
+        offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop joins in: ${offenders.mkString(", ")}")
+  }
+
   test("contamination join shuffles shingle hashes, not document text") {
     val p = plan(graft.operators.Curation.contamination(spark, dir))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

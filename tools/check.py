@@ -38,16 +38,28 @@ def canon(df):
     df = df[cols]
     for c in cols:
         if df[c].dtype == object:
-            for v in df[c].dropna().head(20):
-                if isinstance(v, (list, tuple, dict, set, np.ndarray)):
-                    raise TypeError(
-                        f"column '{c}' holds non-scalar cells "
-                        f"({type(v).__name__}); gated outputs must be "
-                        "scalar-only")
+            # probe the WHOLE column (not a head sample): a late
+            # non-scalar cell must fail with this message, not a
+            # generic sort/hash error
+            bad = df[c].dropna().map(
+                lambda v: type(v).__name__
+                if isinstance(v, (list, tuple, dict, set, np.ndarray))
+                else None).dropna()
+            if len(bad):
+                raise TypeError(
+                    f"column '{c}' holds non-scalar cells "
+                    f"({bad.iloc[0]}); gated outputs must be scalar-only")
     df = df.sort_values(cols).reset_index(drop=True)
     h = hashlib.md5()
     for row in df.itertuples(index=False):
-        h.update(("|".join(str(v) for v in row) + "\n").encode())
+        # length-prefix each cell so a '|' or newline inside a string
+        # cell can't shift boundaries and hash two different frames
+        # equal (false-PASS channel)
+        for v in row:
+            s = str(v)
+            h.update(f"{len(s)}:".encode())
+            h.update(s.encode())
+        h.update(b"\n")
     return cols, len(df), h.hexdigest()
 
 

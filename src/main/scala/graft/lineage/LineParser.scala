@@ -38,6 +38,7 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
   private val inputTables = mutable.LinkedHashSet.empty[String]
   private val outputTables = mutable.LinkedHashSet.empty[String]
   private val colLines = mutable.ArrayBuffer.empty[ColLine]
+  private val errors = mutable.ArrayBuffer.empty[(String, String)]
   // per-statement tagged conditions (reference: `conditions`, README.md:119)
   private var conditions = mutable.LinkedHashSet.empty[String]
   // per-statement CTE name → its walked scope (WITH is a post-2015
@@ -48,17 +49,32 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
   def getColLines: List[ColLine] = colLines.toList
   def getInputTables: Set[String] = inputTables.toSet
   def getOutputTables: Set[String] = outputTables.toSet
+  /** Statements this parse call could not analyze, as
+    * (statement, error) pairs — see [[parse]]'s degradation contract. */
+  def getErrors: List[(String, String)] = errors.toList
 
   /** Parse a whole script (statements split on non-escaped `;`,
     * README.md:744-746). State resets per call; `USE db` carries
-    * across statements within the call. */
+    * across statements within the call.
+    *
+    * Degradation contract (the reference threw mid-script on any
+    * unexpected statement shape, README.md:550, losing the lineage of
+    * every later statement): a statement that fails to parse or walk
+    * is recorded in [[getErrors]] and skipped; the remaining
+    * statements still contribute lineage. LineageCorpusSpec fuzzes
+    * this over the engine's full oracle-SQL corpus. */
   def parse(sqlAll: String, validate: Boolean = false): LineParser = {
     currentDb = "default"
     inputTables.clear(); outputTables.clear(); colLines.clear()
+    errors.clear()
     sqlAll.split("(?<!\\\\);").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
       conditions = mutable.LinkedHashSet.empty[String]
       cteScopes.clear()
-      parseStatement(stmt)
+      try parseStatement(stmt)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          errors += ((stmt, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
     }
     if (validate) runValidate()
     this
@@ -152,7 +168,8 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
 
   private def isQueryShape(p: LogicalPlan): Boolean = p match {
     case _: Project | _: Aggregate | _: Union | _: Distinct | _: Sort |
-        _: GlobalLimit | _: LocalLimit | _: Filter | _: SubqueryAlias => true
+        _: GlobalLimit | _: LocalLimit | _: Filter | _: SubqueryAlias |
+        _: SetOperation => true
     case _ => false
   }
 
@@ -259,6 +276,15 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
       // resolved per-name later via `&`), no positional merge here.
       val scopes = children.map(walkQuery(_, stmt))
       Scope(scopes.flatMap(_.tables), scopes.flatMap(_.cols))
+    case s: SetOperation =>
+      // INTERSECT / EXCEPT (post-reference extension, U3): output
+      // columns take the left branch's names positionally (SQL set-op
+      // semantics) while provenance unions both branches — the right
+      // side decides membership, so it IS lineage, exactly like a
+      // UNION branch. mergeUnionCols already implements the positional
+      // name-preference + provenance concat.
+      val scopes = Seq(walkQuery(s.left, stmt), walkQuery(s.right, stmt))
+      Scope(scopes.flatMap(_.tables), mergeUnionCols(scopes.map(_.cols)))
     case Distinct(child) => walkQuery(child, stmt)
     case Sort(_, _, child, _) => walkQuery(child, stmt)
     case GlobalLimit(_, child) => walkQuery(child, stmt)

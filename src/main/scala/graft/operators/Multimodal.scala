@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, and run batch decode/feature-extract
   * over them with `mapPartitions`.
   *
-  * The container has no image/audio codecs, so [[FakeCodec]] is a
-  * clearly-marked deterministic STUB standing in for e.g. a JPEG
-  * decoder; everything around it — binary schema, batched
-  * per-partition execution, fixed-shape feature output, partition
-  * preservation — is the real Spark plumbing a production decode
-  * (native lib via JNI, or `mapInPandas`+PIL on PySpark) would use.
+  * Two codecs share one plumbing path: [[ImageCodec]] is a REAL
+  * PNG/JPEG decode via the JDK's `javax.imageio` (exercised by
+  * MultimodalSpec over generated PNG fixtures), and [[FakeCodec]] is
+  * the deterministic stand-in the driver gate runs — the DuckDB
+  * oracle can't decode PNG, so the gated queries need byte-math both
+  * engines can compute. Everything around the codec — binary schema,
+  * batched per-partition execution, fixed-shape feature output,
+  * partition preservation — is identical between the two, which is
+  * the point: swapping in a production codec (JNI native lib, or
+  * `mapInPandas`+PIL on PySpark) changes one function value.
   *
   * Scale: decode is per-row CPU-bound work with no shuffle;
   * `mapPartitions` amortizes codec init once per partition (the same
@@ -37,6 +41,41 @@ object Multimodal {
       }
       val n = math.max(payload.length, 1)
       Array(s0.toDouble / n, s1.toDouble / n, mn.toDouble, mx.toDouble)
+    }
+  }
+
+  /** Real image decode via `javax.imageio` — PNG/JPEG codecs ship
+    * with the JDK, no external library. Identical signature to
+    * [[FakeCodec.decodeFeatures]], so the same mapPartitions plumbing
+    * runs either codec; MultimodalSpec drives THIS path over real PNG
+    * fixture payloads, while the driver gate keeps the deterministic
+    * stand-in (the DuckDB oracle cannot decode PNG).
+    *
+    * Features: width, height, per-channel means, Rec.601 luma mean —
+    * pixel statistics a decode must get right (the encoded byte
+    * stream's statistics are unrelated to the pixel statistics, so a
+    * byte-histogram fake cannot fake these). */
+  object ImageCodec {
+    val FeatureDim = 6
+    def decodeFeatures(payload: Array[Byte]): Array[Double] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n,
+        (0.299 * sr + 0.587 * sg + 0.114 * sb) / n)
     }
   }
 
@@ -65,14 +104,18 @@ object Multimodal {
   }
 
   /** Batched decode: one codec init per partition, fixed-shape
-    * feature vectors out. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * feature vectors out. The codec is pluggable (default: the gated
+    * deterministic stand-in; pass [[ImageCodec.decodeFeatures]] for a
+    * real JDK image decode over the identical plumbing). */
+  def extractFeatures(media: Dataset[MediaRow],
+      codec: Array[Byte] => Array[Double] = FakeCodec.decodeFeatures)
+      : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // codec/session init would happen here, once per partition
       rows.map { r =>
         MediaFeatures(r.doc_id, r.media_type, r.byte_len,
-          FakeCodec.decodeFeatures(r.payload))
+          codec(r.payload))
       }
     }
   }

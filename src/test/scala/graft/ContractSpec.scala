@@ -32,6 +32,14 @@ class ContractSpec extends AnyFunSuite {
     val estimate = names.map(_.takeWhile(_ != '_').length + 10).sum + 200
     assert(estimate < 1900,
       s"estimated bench line $estimate chars — trim or re-shorten keys")
+    // fail one round EARLY: ten more queries at the current mean key
+    // width must also fit, so the overflow is caught while there is
+    // still a round to fix it in
+    val meanPerQuery = (estimate - 200).toDouble / names.size
+    val projected = estimate + (10 * meanPerQuery).ceil.toInt
+    assert(projected < 1900,
+      s"projected bench line at N+10 queries is $projected chars — " +
+        "re-shorten keys now, before the next batch of queries lands")
   }
 
 }

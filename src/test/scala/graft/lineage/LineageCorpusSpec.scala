@@ -1,0 +1,66 @@
+package graft.lineage
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Robustness fuzz over the engine's own SQL corpus: every DuckDB
+  * oracle statement in `SparkEntry.oracleSql` runs through
+  * [[LineParser.parse]]. The reference analyzer threw on unexpected
+  * statement shapes (/root/reference/README.md:550), losing the rest
+  * of the script; this spec pins our degradation contract on 101
+  * real-world-shaped queries — CTEs, QUALIFY, lambdas, windows,
+  * set-ops, recursive CTEs — far beyond the golden scripts' grammar:
+  *
+  *  - `parse` NEVER throws;
+  *  - a statement either yields lineage with ≥1 input table, or is
+  *    recorded in `getErrors` with a Catalyst *parse* error (DuckDB
+  *    dialect Spark's grammar doesn't have: `[...]` list literals,
+  *    `//` int division, QUALIFY, 'day' datetime units). A walk-phase
+  *    crash (MatchError & co) on a statement Catalyst CAN parse is
+  *    always a bug and fails here;
+  *  - the Spark-parseable majority of the corpus must actually be
+  *    analyzed (≥ half), so graceful skipping can't silently eat
+  *    everything.
+  */
+class LineageCorpusSpec extends AnyFunSuite {
+
+  test("LineParser degrades gracefully over every oracle SQL statement") {
+    var analyzed = 0
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val p = new LineParser().parse(sql) // must not throw — contract
+        (p.getErrors, p.getInputTables.isEmpty) match {
+          case (Nil, false) => analyzed += 1; None
+          case (Nil, true) => Some(s"$name: parsed but no input tables")
+          case (errs, _) if errs.exists(!_._2.startsWith("ParseException")) =>
+            Some(s"$name: non-parse crash: " +
+              errs.map(_._2.linesIterator.next()).mkString("; "))
+          case _ => None // DuckDB-only syntax: recorded + skipped, fine
+        }
+    }
+    assert(bad.isEmpty, s"${bad.size} lineage defects:\n${bad.mkString("\n")}")
+    assert(analyzed >= SparkEntry.oracleSql.size / 2,
+      s"only $analyzed/${SparkEntry.oracleSql.size} statements analyzed — " +
+        "the graceful-skip path is eating Spark-parseable SQL")
+  }
+
+  test("one unparseable statement does not lose the rest of a script") {
+    val p = new LineParser().parse(
+      "SELECT a FROM t1; SELECT [1,2,3] FROM broken; SELECT b FROM t2")
+    assert(p.getInputTables == Set("default.t1", "default.t2"))
+    assert(p.getErrors.size == 1 &&
+      p.getErrors.head._2.startsWith("ParseException"))
+  }
+
+  test("INTERSECT/EXCEPT record both branches as lineage inputs") {
+    val p = new LineParser().parse(
+      "INSERT INTO db.out SELECT ck FROM db.a INTERSECT SELECT ck FROM db.b")
+    assert(p.getInputTables == Set("db.a", "db.b"))
+    assert(p.getOutputTables == Set("db.out"))
+    val line = p.getColLines.head
+    assert(line.toNameParse == "ck")
+    assert(line.fromName.contains("db.a.ck") && line.fromName.contains("db.b.ck"),
+      s"set-op provenance must union both branches: ${line.fromName}")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal.{ImageCodec, FakeCodec, MediaRow}
+
+/** Real-decode proof for the multimodal plumbing: deterministic PNGs
+  * are generated in-memory (LCG pixels), pushed through the SAME
+  * `mapPartitions` boundary the gated m01 query uses, but with the
+  * JDK `javax.imageio` codec — and the extracted features must equal
+  * the pixel statistics of the ORIGINAL pixel arrays. PNG is a
+  * compressed container, so encoded-byte statistics are unrelated to
+  * pixel statistics: matching them is only possible via an actual
+  * decode (the byte-histogram FakeCodec provably differs on the same
+  * payloads).
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Deterministic LCG pixel for (img, x, y) — same generator on the
+    * fixture side and the expectation side. */
+  private def px(id: Long, x: Int, y: Int): Int = {
+    val seed = id * 1000003L + y * 131L + x
+    val m = seed * 6364136223846793005L + 1442695040888963407L
+    (((m >>> 33) & 0xffffff)).toInt // 24-bit RGB
+  }
+
+  private val W = 8
+  private val H = 6
+
+  /** (png bytes, expected [w, h, meanR, meanG, meanB, meanLuma]). */
+  private def fixture(id: Long): (Array[Byte], Array[Double]) = {
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until H; x <- 0 until W) {
+      val rgb = px(id, x, y)
+      img.setRGB(x, y, rgb)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val n = (W * H).toDouble
+    (bos.toByteArray,
+      Array(W.toDouble, H.toDouble, sr / n, sg / n, sb / n,
+        (0.299 * sr + 0.587 * sg + 0.114 * sb) / n))
+  }
+
+  test("javax.imageio codec recovers exact pixel statistics from PNG payloads") {
+    import spark.implicits._
+    val fixtures = (0L until 20L).map(i => i -> fixture(i)).toMap
+    val media = spark.createDataset(fixtures.toSeq.map {
+      case (id, (png, _)) => MediaRow(id, png, "image/png", png.length.toLong)
+    }).repartition(3) // decode must be partition-independent
+    val out = Multimodal.extractFeatures(media, ImageCodec.decodeFeatures)
+      .collect().map(f => f.doc_id -> f.features).toMap
+    assert(out.keySet == fixtures.keySet)
+    for ((id, (_, exp)) <- fixtures) {
+      val got = out(id)
+      assert(got.length == ImageCodec.FeatureDim)
+      // PNG is lossless and the sums are exact integers: the only
+      // float op is one final division, identical on both sides
+      assert(got.sameElements(exp),
+        s"img $id decoded features ${got.toSeq} != pixel truth ${exp.toSeq}")
+    }
+  }
+
+  test("the byte-histogram stand-in cannot reproduce pixel statistics") {
+    // guards the spec itself: if PNG bytes ever *were* the pixels,
+    // the previous test would pass without any decode happening
+    val (png, exp) = fixture(7L)
+    val fake = FakeCodec.decodeFeatures(png)
+    assert(!(math.abs(fake(0) - exp(2)) < 1e-9 &&
+        math.abs(fake(1) - exp(3)) < 1e-9),
+      "encoded-byte stats unexpectedly equal pixel stats")
+  }
+
+  test("real-codec decode is deterministic across repeated runs") {
+    import spark.implicits._
+    val media = spark.createDataset((0L until 10L).map { i =>
+      val (png, _) = fixture(i)
+      MediaRow(i, png, "image/png", png.length.toLong)
+    }).repartition(2)
+    def run() = Multimodal.extractFeatures(media, ImageCodec.decodeFeatures)
+      .collect().map(f => f.doc_id -> f.features.toSeq).sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+}

@@ -293,6 +293,129 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streamed attribution join on real events equals the batch join") {
+    // batch-equivalence for StreamJoin: the same clickAttribution code
+    // runs the sf0.001 event log both as a 3-micro-batch stream and as
+    // a batch frame (EventTimeWatermark is a no-op in batch). Chunks
+    // are ts-ordered so the inter-batch watermark cannot drop rows —
+    // the one semantic difference watermarking is ALLOWED to introduce.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.engine.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy("ts")
+      .as[(Long, Long, String, Timestamp)].collect()
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = StreamJoin.clickAttribution(df, df).writeStream
+      .format("memory").queryName("attr_equiv_out").outputMode("append").start()
+    ev.grouped(math.max(ev.length / 3, 1))
+      .foreach { chunk => mem.addData(chunk.toSeq: _*); q.processAllAvailable() }
+    val streamed = spark.table("attr_equiv_out")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val evDf = ev.toSeq.toDF("event_id", "user_id", "event_type", "ts")
+    val batch = StreamJoin.clickAttribution(evDf, evDf)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} pairs, batch ${batch.size}")
+  }
+
+  test("streamed dedup on real documents finds the gated d01 classes") {
+    // batch-equivalence for StreamDedup vs d01 (Dedup.exact): the
+    // surviving digest set and class count must match. Survivor
+    // IDENTITY within a class legitimately differs (stream keeps
+    // first-arrival, batch keeps min doc_id) — the class partition is
+    // the semantics; which member represents it is arrival order.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), lit(ts("2024-01-01 10:00:00")).as("ts"),
+        col("text"))
+      .as[(Long, Timestamp, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamDedup.dedupStream(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream
+      .format("memory").queryName("dedup_equiv_out").outputMode("append").start()
+    docs.grouped(math.max(docs.length / 3, 1))
+      .foreach { chunk => mem.addData(chunk.toSeq: _*); q.processAllAvailable() }
+    val streamedDigests = spark.table("dedup_equiv_out").select("text_md5")
+      .collect().map(_.getString(0)).toSeq
+    q.stop()
+    val batchDigests = graft.engine.Tables.t(spark, dir, "documents")
+      .select(md5(lower(col("text"))).as("d")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val d01Rows = graft.operators.Dedup.exact(spark, dir).count()
+    assert(streamedDigests.size == streamedDigests.toSet.size,
+      "a digest class must survive exactly once")
+    assert(streamedDigests.toSet == batchDigests)
+    assert(streamedDigests.size.toLong == d01Rows)
+  }
+
+  test("stream-static enrichment on real events equals the batch broadcast join") {
+    // batch-equivalence for Enrich vs the q09 MAPJOIN shape: the same
+    // enrichStream code over the sf0.001 event log, streamed in 3
+    // micro-batches vs run as one batch broadcast join — stateless, so
+    // the multisets must be identical, no caveats
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val dim = Seq(("click", "engagement"), ("view", "impression"),
+      ("purchase", "conversion")).toDF("event_type", "category")
+    val ev = graft.engine.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"))
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Enrich.enrichStream(mem.toDF().toDF("event_id", "event_type"), dim)
+      .writeStream
+      .format("memory").queryName("enrich_equiv_out").outputMode("append").start()
+    ev.grouped(math.max(ev.length / 3, 1))
+      .foreach { chunk => mem.addData(chunk.toSeq: _*); q.processAllAvailable() }
+    val streamed = spark.table("enrich_equiv_out")
+      .select("event_id", "category")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    q.stop()
+    val batch = Enrich.enrichStream(ev.toSeq.toDF("event_id", "event_type"), dim)
+      .select("event_id", "category")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("probing the streamed sketch reproduces the gated t15 estimates") {
+    // closes the loop t15-wards: fill the sketch from the stream, then
+    // answer t15's top-term probes from the STREAMED cell table — the
+    // estimates must equal the gated batch operator's cm_est column
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.engine.Tables.t(spark, dir, "documents")
+      .select("text").as[String].collect()
+    val mem = MemoryStream[String]
+    val q = StreamSketch.countMinStream(mem.toDF().toDF("text")).writeStream
+      .format("memory").queryName("cm_probe_out").outputMode("complete").start()
+    texts.grouped(math.max(texts.length / 3, 1))
+      .foreach { chunk => mem.addData(chunk.toSeq: _*); q.processAllAvailable() }
+    val streamedCells = spark.table("cm_probe_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    val t15 = graft.operators.Sketches.countMinTopTerms(spark, dir)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("cm_est"))
+    assert(t15.nonEmpty)
+    val termCells = t15.map(_._1).toSeq.toDF("term")
+      .select(col("term"), expr(graft.operators.Sketches.cmCellsExpr(
+        s"rolling_hash_str(term, ${graft.operators.TextHash.P}L)")).as("cells"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    t15.foreach { case (term, est) =>
+      val streamedEst = termCells(term).map(streamedCells.getOrElse(_, 0L)).min
+      assert(streamedEst == est,
+        s"'$term': streamed-cell probe $streamedEst != gated t15 $est")
+    }
+  }
+
   test("streaming latest-value upsert emits per-batch change feeds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -221,6 +221,71 @@ object LshSig16 {
   }
 }
 
+/** Width-parameterized banded random-hyperplane LSH keys of an
+  * array<float> vector: `array(key_0 .. key_3)` where band b's key
+  * packs `nbits` sign bits, bit j = sign of dot(v, r_{b·nbits+j}) on
+  * the same LCG hyperplane family as [[LshSig16]] (`lsh_bands(v, 4)`
+  * reproduces its four 4-bit bands exactly). The point of the width
+  * parameter: candidate generation over band buckets costs
+  * Θ(n²/2^nbits) per band, so `nbits` must grow with log₂(n) for the
+  * bucket join to stay linear — see
+  * [[graft.operators.Similarity.lshBandBits]] for the sizing rule. */
+case class LshBands(child: Expression, nbitsExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = nbitsExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(arr: Any, nb: Any): Any =
+    LshBands.bandsOf(arr.asInstanceOf[ArrayData], nb.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, n) => s"graft.functions.LshBands.bandsOf($a, $n)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LshBands = copy(l, r)
+}
+
+object LshBands {
+  val Bands = 4
+
+  /** Hyperplane tables per requested width, built once per JVM (the
+    * nbits=4 table is LshSig16.planes verbatim). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def planes(nHyper: Int): Array[Double] =
+    planeCache.computeIfAbsent(nHyper,
+      n => Array.tabulate(n * 64)(i => Lcg.plane(i + 1, 12345L)))
+
+  def bandsOf(arr: ArrayData, nbits: Int): GenericArrayData = {
+    require(nbits >= 1 && nbits <= 62,
+      s"lsh_bands nbits must be in [1, 62], got $nbits")
+    val v = arr.toFloatArray()
+    val r = planes(Bands * nbits)
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var key = 0L
+      var j = 0
+      while (j < nbits) {
+        val h = b * nbits + j
+        var acc = 0.0
+        var d = 1
+        while (d <= 64 && d <= v.length) {
+          acc += v(d - 1).toDouble * r(h * 64 + d - 1)
+          d += 1
+        }
+        if (acc > 0) key |= (1L << j)
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** IVF coarse quantizer: the `nprobe` nearest of 16 fixed centroids
   * (by dot product, ties → lower id), in rank order. Centroid d-th
   * component = LCG(k·64+d, addend 54321)/2^31 − 0.5 — deterministic and
@@ -287,6 +352,8 @@ object TextHashExprs {
       es => SimHash32(es(0)), "built-in")
     reg.createOrReplaceTempFunction("lsh_sig16",
       es => LshSig16(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("lsh_bands",
+      es => LshBands(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("pq_encode",
       es => PqEncode(es(0)), "built-in")
     reg.createOrReplaceTempFunction("pq_adc_e6",

@@ -44,6 +44,13 @@ object DupCluster {
     * (id, cluster_id) with cluster_id = min id reachable through
     * pairs. Shared by the text (d06, MinHash pairs) and embedding
     * (d09, LSH-bucketed cosine pairs) cluster operators. */
+  /** Rounds the most recent [[fixpointLabels]] call took to converge
+    * (including the final no-change check round) — scale telemetry:
+    * round count is bounded by component diameter, so BASELINE.md's
+    * sf1 section records it to prove components stay shallow as the
+    * corpus grows. */
+  @volatile var lastFixpointRounds: Int = 0
+
   private[operators] def fixpointLabels(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.select(col("ida"), col("idb"))
     val edges = pairs.union(pairs.select(col("idb"), col("ida")))
@@ -57,6 +64,7 @@ object DupCluster {
       .select(col("id"), least(col("id"), col("mn")).as("cluster_id"))
       .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("cluster_id"))
@@ -66,7 +74,9 @@ object DupCluster {
       changed = next.as("n").join(labels.as("o"), "id")
         .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
       labels = next
+      rounds += 1
     }
+    lastFixpointRounds = rounds
     edges.unpersist()
     labels
   }

@@ -89,30 +89,74 @@ object Similarity {
       .orderBy("ida", "idb")
   }
 
+  /** Bits per LSH band for a corpus of `n` vectors: the smallest
+    * width ≥ 4 that keeps expected bucket size ≤ [[LshTargetBucket]]
+    * (band buckets are balanced — random hyperplanes — so expected ≈
+    * actual). Candidate generation costs Θ(n²/2^nbits) per band;
+    * growing nbits with log₂(n) is what makes the bucket join's
+    * output near-LINEAR in corpus size instead of quadratic — the sf1
+    * telemetry caught the fixed-4-bit version growing candidates ×98
+    * on a ×10 corpus (BASELINE.md sf1 section). At the driver gate
+    * scales (n ≤ 2 000) the rule resolves to 4, i.e. exactly the
+    * original 16-bit signature. The 1e-9 nudge keeps the Scala and
+    * DuckDB `ceil(log2(…))` evaluations from straddling an integer
+    * boundary when n/64 is an exact power of two. The recall cost of
+    * wider bands is the documented LSH trade: P(pair survives) =
+    * 1−(1−p^nbits)⁴ with p = 1−θ/π — at this corpus's planted-dup
+    * similarity (cs 0.4–0.6) recall decays as the corpus grows, which
+    * is the information-theoretic price of sub-quadratic candidate
+    * generation at low thresholds (Indyk–Motwani ρ exponent); true
+    * near-dup regimes (cs ≥ 0.9, p ≥ 0.86) hold recall far longer. */
+  def lshBandBits(n: Long): Int = {
+    val m = (n + LshTargetBucket - 1) / LshTargetBucket
+    math.max(4,
+      math.ceil(math.log(m.toDouble) / math.log(2.0) - 1e-9).toInt)
+  }
+
+  /** Target expected bucket width for [[lshBandBits]]. */
+  val LshTargetBucket = 64L
+
+  /** Dense-band-bucket cap for d08 — same production rule (and same
+    * oracle QUALIFY mirror) as d04's SimHash cap: a bucket holding
+    * more vectors than this is a degenerate mass-duplication cell
+    * whose pairs are recoverable via their other bands; pairing
+    * inside it is quadratic. Never binds at the correctness-gate
+    * scales (max bucket ≈ 117 at sf0.1). */
+  val LshBucketCap = 500
+
   /** d08: LSH-bucketed embedding near-dup pairs — the 100 TB route
     * that replaces [[embeddingNearDups]]'s all-pairs baseline.
-    * Candidates are vector pairs sharing ≥ 1 of four 4-bit bands of
-    * the 16-bit random-hyperplane signature (`lsh_sig16`, an
-    * equi-join on (band_idx, band_key) — never a corpus cross join);
-    * exact sequential-fold cosine then reranks candidates only and
-    * keeps cs ≥ 0.4. The signature is deterministic LCG math, so the
-    * DuckDB oracle applies the identical banding rule (same pattern
-    * as d04's SimHash bands) and the gate checks the full
-    * candidates+rerank semantics exactly. Recall vs the exact
+    * Candidates are vector pairs sharing ≥ 1 of four `nbits`-bit bands
+    * of the random-hyperplane signature (`lsh_bands`, an equi-join on
+    * (band_idx, band_key) — never a corpus cross join), with
+    * [[lshBandBits]] scaling the band width so candidate volume stays
+    * near-linear in corpus size and [[LshBucketCap]] skipping
+    * degenerate mass-dup buckets; exact sequential-fold cosine then
+    * reranks candidates only and keeps cs ≥ 0.4. Everything is
+    * deterministic LCG math driven off the corpus row count, so the
+    * DuckDB oracle applies the identical width rule, banding and cap
+    * (same pattern as d04's SimHash bands) and the gate checks the
+    * full candidates+rerank semantics exactly. Recall vs the exact
     * baseline is the documented LSH trade (OperatorsSpec's
     * "bucketed embedding near-dups are a non-empty subset of brute
     * force" pins containment: no invented pairs). */
   def embeddingNearDupsBucketed(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+    val nbits = lshBandBits(corpus.count()) // parquet metadata count
     // persisted: band explosion + both rerank sides share one
     // norm+signature pass (lifetime: until clearCache/session end —
     // see the caveat in Dedup.jaccardPairs)
-    val e = withNorm(emb(s, dir))
-      .withColumn("sig", expr(sigExpr("embedding")))
-      .persist()
+    val e = withNorm(corpus).persist()
     val bands = e.select(col("vec_id"),
-        posexplode(expr(
-          "transform(sequence(0, 3), b -> shiftright(sig, b * 4) & 15)")))
+        posexplode(expr(s"lsh_bands(embedding, $nbits)")))
       .toDF("vec_id", "band_idx", "band_key")
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bucket_n") <= LshBucketCap)
+      .drop("bucket_n")
+      // persisted: the self-join would otherwise pay the bucket-count
+      // window shuffle twice (same idiom + lifetime as d04's bands)
+      .persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

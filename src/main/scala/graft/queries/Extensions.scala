@@ -178,23 +178,30 @@ object Extensions {
 
   /** CTE chain ending in `escored(ida, idb, cs)` — the LSH-banded
     * embedding candidate pairs with exact cosine, shared by d08 (pair
-    * output) and d09 (connected components over the cs>=0.4 pairs). */
+    * output) and d09 (connected components over the cs>=0.4 pairs).
+    * Mirrors Similarity.embeddingNearDupsBucketed exactly: band width
+    * `nbits` = Similarity.lshBandBits (adaptive in corpus size, = 4 at
+    * the gate scales), hyperplane j of band b is LCG plane (b·nbits+j)
+    * — identical indices to the Spark LshBands expression — and the
+    * 500-cap QUALIFY is d04's dense-bucket rule. */
   private val embScoredCtes = s"""
-      sigs AS (SELECT vec_id, embedding,
+      nb AS (SELECT GREATEST(4, CAST(ceil(
+               log2(ceil(count(*) / 64.0)) - 1e-9) AS INT)) AS nbits
+             FROM embeddings),
+      ebands AS (SELECT vec_id, b AS band_idx,
         CAST(list_sum([CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-          [(embedding[d]::DOUBLE) * (((1103515245::BIGINT * (j*64 + d) + 12345) % 2147483648)
+          [(embedding[d]::DOUBLE) * (((1103515245::BIGINT * ((b*nbits + j)*64 + d) + 12345) % 2147483648)
             / 2147483648.0 - 0.5) for d in generate_series(1, 64)]),
           (x, y) -> x + y) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
-          for j in generate_series(0, 15)]) AS BIGINT) AS sig
-        FROM embeddings),
-      ebands AS (SELECT vec_id, b AS band_idx, (sig >> (b*4)) & 15 AS band_key
-                 FROM sigs, generate_series(0, 3) t(b)),
+          for j in generate_series(0, nbits - 1)]) AS BIGINT) AS band_key
+        FROM embeddings, nb, generate_series(0, 3) t(b)
+        QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 500),
       ecand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
                 FROM ebands a JOIN ebands b ON a.band_idx = b.band_idx
                  AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
       escored AS (SELECT ida, idb, ${cos("sa.embedding", "sb.embedding")} AS cs
-                  FROM ecand JOIN sigs sa ON ida = sa.vec_id
-                             JOIN sigs sb ON idb = sb.vec_id)"""
+                  FROM ecand JOIN embeddings sa ON ida = sa.vec_id
+                             JOIN embeddings sb ON idb = sb.vec_id)"""
 
   /** x07/x08/x09 oracle bodies, extracted so the x10 composition
     * embeds the exact same SQL (no drift between the standalone

@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.{Dedup, DupCluster, TextHash}
+
+/** Dev tool: scale telemetry for the dedup/cluster family — the
+  * numbers BASELINE.md's sf1 section records alongside Bench times.
+  *
+  * Prints one JSON line:
+  *  - `cand`: candidate-pair counts per bucketing scheme, computed
+  *    analytically as Σ n·(n−1)/2 over bucket sizes (the exact number
+  *    of join rows each operator's candidate self-join produces —
+  *    the quantity that must grow ~linearly for the equi-join
+  *    LSH designs to hold at 100 TB). Bucket definitions mirror the
+  *    operators: d02 Dedup.jaccardPairs' capped postings (cap 64),
+  *    d03 Dedup.minhashLshPairs' 8×4 minhash bands, d04
+  *    Dedup.simhashPairs' 4×8-bit bands under the 500 dense-bucket
+  *    cap, d08 Similarity.embeddingNearDupsBucketed's 4×4-bit
+  *    hyperplane bands.
+  *  - `cc_rounds`: Hash-Min fixpoint rounds to convergence for d06
+  *    (text) and d09 (embedding) cluster graphs — bounded by
+  *    component diameter, so it must stay flat as the corpus grows.
+  *  - `out_rows`: result cardinalities for the same queries.
+  *
+  * Usage: runMain graft.tools.ScaleStress [sfDir]
+  */
+object ScaleStress {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.t(spark, dir, "documents")
+
+    /** Σ C(n,2) over a frame of bucket sizes `n`. */
+    def pairSum(buckets: DataFrame): Long =
+      buckets.agg(sum(expr("n * (n - 1) / 2")).cast("long")).head.getLong(0)
+
+    // d02: distinct postings per shingle hash, stop-shingles (df > cap)
+    // removed — mirrors Dedup.jaccardPairs(maxShingleDf = Some(64))
+    val postings = TextHash.shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hv")).as("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    val d02 = pairSum(postings.filter(col("n") <= Dedup.JaccardDfCap))
+
+    // d03: minhash band buckets — mirrors Dedup.minhashLshPairs
+    val mhBands = TextHash.shingleHashes(docs)
+      .filter(col("n_sh") > 0)
+      .select(col("doc_id"),
+        expr(TextHash.minhashExpr("hv", Dedup.MinhashK)).as("sig"))
+      .select(posexplode(expr(
+        s"transform(sequence(0, ${Dedup.MinhashBands - 1}), " +
+          "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
+      .toDF("band_idx", "band_key")
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("n"))
+    val d03 = pairSum(mhBands)
+
+    // d04: simhash band buckets under the dense-bucket cap — mirrors
+    // Dedup.simhashPairs
+    val shBands = TextHash.fanOut(docs)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tk"))
+      .select(expr(TextHash.hashArrayExpr("tk", 4294967296L)).as("hv"))
+      .select(expr(TextHash.simhashExpr("hv")).as("simhash"))
+      .select(posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)")))
+      .toDF("band_idx", "band_key")
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("n"))
+    val d04 = pairSum(shBands.filter(col("n") <= Dedup.SimhashBucketCap))
+
+    // d08: adaptive-width hyperplane bands under the 500 dense-bucket
+    // cap — mirrors Similarity.embeddingNearDupsBucketed
+    graft.functions.TextHashExprs.register(spark)
+    val embT = Tables.t(spark, dir, "embeddings")
+    val nbits = graft.operators.Similarity.lshBandBits(embT.count())
+    val lshBands = embT
+      .select(posexplode(expr(s"lsh_bands(embedding, $nbits)")))
+      .toDF("band_idx", "band_key")
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("n"))
+    val d08 = pairSum(
+      lshBands.filter(col("n") <= graft.operators.Similarity.LshBucketCap))
+
+    // CC rounds + output cardinalities (clusters runs the fixpoint)
+    val d06Rows = DupCluster.clusters(spark, dir).count()
+    val d06Rounds = DupCluster.lastFixpointRounds
+    val d09Rows = DupCluster.embeddingClusters(spark, dir).count()
+    val d09Rounds = DupCluster.lastFixpointRounds
+
+    val d02Rows = Dedup.jaccardPairs(spark, dir,
+      maxShingleDf = Some(Dedup.JaccardDfCap)).count()
+    val d03Rows = Dedup.minhashLshPairs(spark, dir).count()
+    val d08Rows =
+      graft.operators.Similarity.embeddingNearDupsBucketed(spark, dir).count()
+
+    println(
+      s"""{"dir":"$dir","cand":{"d02":$d02,"d03":$d03,"d04":$d04,"d08":$d08},""" +
+        s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds},""" +
+        s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +
+        s""""d08":$d08Rows,"d09":$d09Rows}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Dev tool: build an sf1-equivalent dataset by replicating the big
+  * sf0.1 tables `factor`× with re-keyed ids (BASELINE.md's sf1
+  * scale-stress section is measured on its output).
+  *
+  * Replication is structure-preserving WITHIN a replica and
+  * decorrelating ACROSS replicas — the realistic way a 10× corpus
+  * grows (10× more duplicate clusters of the same size, not 10×
+  * bigger clusters):
+  *  - documents: every token is salted with a per-replica suffix, an
+  *    injective per-replica rename — shingle/minhash/simhash structure
+  *    inside a replica is exactly the sf0.1 structure, while replicas
+  *    share no shingles at all (so near-dup pair counts grow ×factor,
+  *    not ×factor²  as naive text copies would);
+  *  - embeddings: per-replica deterministic sign flips (dim d of
+  *    replica r is negated iff an LCG of r·64+d says so). Both vectors
+  *    of a within-replica pair get the same flips, and float negation
+  *    is exact, so every within-replica dot product — and thus the
+  *    near-dup/ANN geometry — is bit-identical to sf0.1; cross-replica
+  *    dot products see independent ±1 factors per term and decorrelate.
+  *    (The first cut used a circular rotation of the dims instead; the
+  *    sf1 telemetry caught it NOT decorrelating — these embeddings are
+  *    smooth enough that a shift by 1..9 keeps cosine high, which
+  *    inflated cross-replica near-dup pairs ×10 and deepened the d09
+  *    component graph. Sign flips have no such failure mode.);
+  *  - events: user_id and event_id offsets — ×factor independent
+  *    users with sf0.1-shaped activity;
+  *  - orders/lineitem: o_custkey/o_orderkey offsets, keeping q51's
+  *    per-customer chains sf0.1-length (×factor more chains).
+  * Small dimension tables copy through unchanged.
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir destDir factor]
+  */
+object ScaleUp {
+
+  val EmbeddingDim = 64
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dest = args.lift(1).getOrElse("/tmp/scale/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = Tables.t(spark, src, name)
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      System.err.println(s"[scaleup] wrote $name")
+    }
+    /** Union of `factor` re-keyed copies of `df`. */
+    def replicate(df: DataFrame)(copy: (DataFrame, Int) => DataFrame)
+        : DataFrame =
+      (0 until factor).map(r => copy(df, r)).reduce(_ unionByName _)
+
+    def offset(df: DataFrame, idCol: String): Long =
+      df.agg(max(col(idCol))).head.getLong(0) + 1
+
+    val docs = t("documents")
+    val docOff = offset(docs, "doc_id")
+    write(replicate(docs) { (d, r) =>
+      val salted =
+        if (r == 0) d
+        else d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1x$r"))
+      salted
+        .withColumn("doc_id", col("doc_id") + lit(r * docOff))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+
+    val emb = t("embeddings")
+    val vecOff = offset(emb, "vec_id")
+    write(replicate(emb) { (e, r) =>
+      val flipped =
+        if (r == 0) e
+        else e.withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> CASE WHEN " +
+            s"pmod(1103515245 * cast($r * $EmbeddingDim + i + 1 as bigint) " +
+            s"+ 999331, 2147483648) >= 1073741824 THEN -x ELSE x END)"))
+      flipped.withColumn("vec_id", col("vec_id") + lit(r * vecOff))
+    }, "embeddings")
+
+    val ev = t("events")
+    val evOff = offset(ev, "event_id")
+    val userOff = offset(ev, "user_id")
+    write(replicate(ev) { (e, r) =>
+      e.withColumn("event_id", col("event_id") + lit(r * evOff))
+        .withColumn("user_id", col("user_id") + lit(r * userOff))
+    }, "events")
+
+    val ord = t("orders")
+    val okOff = offset(ord, "o_orderkey")
+    val ckOff = offset(ord, "o_custkey")
+    write(replicate(ord) { (o, r) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(r * okOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * ckOff))
+    }, "orders")
+
+    write(replicate(t("lineitem")) { (l, r) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(r * okOff))
+    }, "lineitem")
+
+    for (name <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(t(name), name)
+
+    spark.stop()
+  }
+}

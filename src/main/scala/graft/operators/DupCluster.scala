@@ -9,16 +9,24 @@ import org.apache.spark.sql.functions._
   * (pairs alone over-delete: a~b and b~c must not delete both b and c
   * independently of a).
   *
-  * Algorithm: iterative min-label propagation — each vertex takes the
-  * minimum cluster id among itself and its neighbors until a fixpoint.
-  * This is the standard distributed CC pattern (Hash-Min, cf. the
-  * GraphX/Pregel formulation): per iteration one equi-join edges⋈labels
-  * plus one groupBy-min, i.e. two key shuffles, converging in
-  * O(component diameter) rounds — and near-dup components are
-  * shallow (stars/cliques around a source document), so 2–4 rounds in
-  * practice. `localCheckpoint` truncates the growing plan lineage each
-  * round, which is what keeps the iteration viable on a real cluster.
-  * The driver-side convergence `count()` is the loop condition every
+  * Algorithm: alternating large-star / small-star edge contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  * converging in O(log n) rounds regardless of component shape. The
+  * round bound matters: sf1 telemetry caught the previous Hash-Min
+  * label-propagation loop needing 30 rounds — at a weak similarity
+  * threshold (cs ≥ 0.4) the pair graph PERCOLATES as the corpus grows
+  * (sf1's embedding graph has a 9,370-node giant component), so
+  * diameter-bound rounds are a real 100 TB liability, not a
+  * theoretical one. Label-map pointer doubling only reached 18 rounds
+  * on the same graph (the bottleneck is min-id spread through the
+  * graph, not pointer-chain depth — measured, see BASELINE.md sf1
+  * section); star contraction reaches 7, and its edge set *shrinks*
+  * every round as stars collapse. Each round is two phases of
+  * (groupBy-min + re-key join), ~4 key shuffles total, on an edge
+  * frame that only gets smaller. `localCheckpoint` truncates the plan
+  * lineage each round, which is what keeps the iteration viable on a
+  * real cluster. The driver-side convergence check (edge count, then
+  * an anti-join only when counts tie) is the loop condition every
   * iterative graph algorithm needs — it moves one long per round, not
   * data.
   */
@@ -44,41 +52,73 @@ object DupCluster {
     * (id, cluster_id) with cluster_id = min id reachable through
     * pairs. Shared by the text (d06, MinHash pairs) and embedding
     * (d09, LSH-bucketed cosine pairs) cluster operators. */
-  /** Rounds the most recent [[fixpointLabels]] call took to converge
-    * (including the final no-change check round) — scale telemetry:
-    * round count is bounded by component diameter, so BASELINE.md's
-    * sf1 section records it to prove components stay shallow as the
-    * corpus grows. */
+  /** Rounds (large-star + small-star passes) the most recent
+    * [[fixpointLabels]] call took to converge, including the final
+    * no-change round — scale telemetry: star contraction makes this
+    * O(log n), so BASELINE.md's sf1 section records the count to
+    * prove convergence stays flat as the corpus grows. */
   @volatile var lastFixpointRounds: Int = 0
+
+  /** One large-star pass: every node u hooks its LARGER neighbors to
+    * m(u) = min(N(u) ∪ {u}). Edges to smaller neighbors are carried
+    * by the smaller endpoint's own pass (the edge frame is kept
+    * symmetric), so nothing is lost. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    // m ≤ src < dst, so (dst, m) is never a self-loop
+    val half = e.join(m, "src").filter(col("dst") > col("src"))
+      .select(col("dst").as("a"), col("m").as("b"))
+    half.select(col("a").as("src"), col("b").as("dst"))
+      .union(half.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+  }
+
+  /** One small-star pass: every node u hooks its SMALLER-or-self
+    * neighborhood (itself plus each v < u) to the minimum of that
+    * set. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val le = e.filter(col("dst") < col("src"))
+    val m = le.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    val withM = le.join(m, "src")
+    val half = withM.filter(col("dst") =!= col("m"))
+      .select(col("dst").as("a"), col("m").as("b"))
+      .union(withM.select(col("src").as("a"), col("m").as("b")).distinct())
+    half.select(col("a").as("src"), col("b").as("dst"))
+      .union(half.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+  }
 
   private[operators] def fixpointLabels(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.select(col("ida"), col("idb"))
-    val edges = pairs.union(pairs.select(col("idb"), col("ida")))
-      .toDF("src", "dst").persist()
-    // seed with the 1-hop minimum (id vs. smallest neighbor) instead
-    // of the identity label: the first propagation round is folded
-    // into the same groupBy that deduplicates vertices, saving one
-    // full join+agg+count iteration on shallow components
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("cluster_id"))
-      .localCheckpoint()
-    var changed = 1L
+      .filter(col("ida") =!= col("idb"))
+    var edges = pairs
+      .union(pairs.select(col("idb"), col("ida")))
+      .toDF("src", "dst").distinct().localCheckpoint()
+    var edgeCount = edges.count()
+    var changed = true
     var rounds = 0
-    while (changed > 0) {
-      val prop = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("cluster_id"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
+    while (changed) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCount = next.count()
+      // set equality: both frames are distinct, so equal counts plus
+      // an empty one-way anti-join ⇒ identical edge sets. The count
+      // is free (frames are checkpoint-materialized); the anti-join
+      // runs only when the counts tie.
+      changed = nextCount != edgeCount || next.except(edges).count() > 0
+      edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     lastFixpointRounds = rounds
-    edges.unpersist()
-    labels
+    // converged: disjoint stars with the component-minimum id at the
+    // center. A member's only neighbor is its center; a center's
+    // neighbors are all larger, so least(src, min(dst)) labels both.
+    edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("cluster_id"))
+      .localCheckpoint()
   }
 
   /** MinHash-pair labels for (session, dir), memoized for [[keepBest]]. */

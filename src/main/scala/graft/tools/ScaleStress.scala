@@ -100,11 +100,20 @@ object ScaleStress {
     val d08Rows =
       graft.operators.Similarity.embeddingNearDupsBucketed(spark, dir).count()
 
+    // With "exact": also run the O(n²) brute-force baseline (works up
+    // to its 20k-vector guard) — d08 ⊆ exact (the rerank keeps only
+    // cs ≥ 0.4), so recall = d08_rows / exact_rows.
+    val exactRows =
+      if (args.contains("exact"))
+        Some(graft.operators.Similarity.embeddingNearDups(spark, dir).count())
+      else None
+    val exactJson = exactRows.map(n => s""","exact_rows":$n""").getOrElse("")
+
     println(
       s"""{"dir":"$dir","cand":{"d02":$d02,"d03":$d03,"d04":$d04,"d08":$d08},""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +
-        s""""d08":$d08Rows,"d09":$d09Rows}}""")
+        s""""d08":$d08Rows,"d09":$d09Rows}$exactJson}""")
     spark.stop()
   }
 }

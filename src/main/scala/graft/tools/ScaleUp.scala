@@ -19,16 +19,29 @@ import graft.engine.Tables
   *    share no shingles at all (so near-dup pair counts grow ×factor,
   *    not ×factor²  as naive text copies would);
   *  - embeddings: per-replica deterministic sign flips (dim d of
-  *    replica r is negated iff an LCG of r·64+d says so). Both vectors
-  *    of a within-replica pair get the same flips, and float negation
-  *    is exact, so every within-replica dot product — and thus the
-  *    near-dup/ANN geometry — is bit-identical to sf0.1; cross-replica
-  *    dot products see independent ±1 factors per term and decorrelate.
-  *    (The first cut used a circular rotation of the dims instead; the
-  *    sf1 telemetry caught it NOT decorrelating — these embeddings are
-  *    smooth enough that a shift by 1..9 keeps cosine high, which
-  *    inflated cross-replica near-dup pairs ×10 and deepened the d09
-  *    component graph. Sign flips have no such failure mode.);
+  *    replica r is negated iff a Murmur3 bit of (r, d) says so). Both
+  *    vectors of a within-replica pair get the same flips, and float
+  *    negation is exact, so every within-replica dot product — and
+  *    thus the near-dup/ANN geometry — is bit-identical to sf0.1;
+  *    cross-replica dot products see independent ±1 factors per term
+  *    and decorrelate. Two earlier cuts failed measurably: a circular
+  *    dim rotation (these embeddings are smooth enough that a shift by
+  *    1..9 keeps cosine high) and LCG-derived flip bits (the flip
+  *    sequences of two replicas are the same LCG lattice offset by a
+  *    constant, so they agree far above 50% and same-base
+  *    cross-replica pairs kept cs ≥ 0.4). Murmur3 has neither failure
+  *    mode — measured on the built sf1: 0 of 2000 same-base r0↔r1
+  *    pairs reach cs 0.4 (max 0.348), and the cross-replica
+  *    different-base tail rate equals the base corpus's own chance
+  *    rate (4.6e-4 at cs ≥ 0.4), i.e. replicas behave like
+  *    independent draws from the sf0.1 distribution. NOTE the honest
+  *    consequence (recorded in BASELINE.md): this table has NO
+  *    planted near-dups (zero pairs at cs ≥ 0.8 even at sf0.1), so
+  *    its cs ≥ 0.4 "near-dup" population is pure distribution tail
+  *    and grows ~C(n,2) quadratically with corpus size — ×107
+  *    measured at factor 10 — under ANY faithful scale-up; only the
+  *    text tables, whose duplicate pairs are planted and injectively
+  *    renamed per replica, grow their pair counts ×factor;
   *  - events: user_id and event_id offsets — ×factor independent
   *    users with sf0.1-shaped activity;
   *  - orders/lineitem: o_custkey/o_orderkey offsets, keeping q51's
@@ -85,8 +98,7 @@ object ScaleUp {
         if (r == 0) e
         else e.withColumn("embedding", expr(
           s"transform(embedding, (x, i) -> CASE WHEN " +
-            s"pmod(1103515245 * cast($r * $EmbeddingDim + i + 1 as bigint) " +
-            s"+ 999331, 2147483648) >= 1073741824 THEN -x ELSE x END)"))
+            s"(hash($r, i) & 1) = 1 THEN -x ELSE x END)"))
       flipped.withColumn("vec_id", col("vec_id") + lit(r * vecOff))
     }, "embeddings")
 

@@ -284,6 +284,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction fixpoint equals union-find on adversarial graphs") {
+    // The percolation regime the sf1 telemetry exposed (long chains,
+    // giant components) is exactly where label propagation and star
+    // contraction could diverge if mis-implemented, so pin the
+    // algebra against driver-side union-find ground truth on shapes
+    // the sf fixtures don't contain: a long path with shuffled ids
+    // (worst case for min-spread), a star whose center is NOT the min
+    // id, cliques, isolated pairs, and a deterministic random graph.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle((0L until 64L).toVector)
+    val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "path" -> shuffled.sliding(2).map(p => (p(0), p(1))).toSeq,
+      "off-center star" -> (0L until 20L).filter(_ != 7L).map(i => (7L, i)),
+      "two cliques" -> (for {
+        base <- Seq(100L, 200L); i <- 0 until 6; j <- (i + 1) until 6
+      } yield (base + i, base + j)),
+      "pairs + dupes + reversed" ->
+        Seq((1L, 2L), (2L, 1L), (1L, 2L), (5L, 9L), (9L, 5L)),
+      "random" -> Seq.fill(120)((rnd.nextLong(48L), rnd.nextLong(48L)))
+        .filter(p => p._1 != p._2)
+    )
+    for ((name, pairs) <- graphs) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- pairs) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = DupCluster.fixpointLabels(pairs.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"$name: star labels diverge from union-find")
+    }
+  }
+
   test("KMV estimate tracks the exact distinct count") {
     val r = Sketches.kmvDistinctShingles(spark, dir).head
     val (kActual, est, exact) = (r.getAs[Long]("k_actual"),

@@ -786,6 +786,15 @@ object Relational {
   // recursion against ordered aggregation.
   def q51_recursive(s: SparkSession, dir: String): DataFrame = {
     Tables.ensure(s, dir)
+    // The engine's accumulated-row safety valve defaults to 1e6, which
+    // a bounded-depth recursion outgrows linearly with data (sf1
+    // telemetry: ~1.5M chain rows → RECURSION_ROW_LIMIT_EXCEEDED).
+    // The real guard here is the explicit pos < 10 depth bound — total
+    // rows are ≤ 10×|orders| by construction — so lift the row valve
+    // out of the way. Set, not restored: the conf is read when the
+    // returned frame EXECUTES, so restoring it on exit would silently
+    // re-arm the 1e6 limit before the caller's action runs.
+    s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
     // materialize the successor-edge table once: a recursive CTE's
     // body re-executes per level, so an uncached `o` would redo the
     // scan + lead() window 10 times (measured 9 s vs ~3 s at sf0.1)

@@ -63,6 +63,13 @@ class PlanSpec extends AnyFunSuite {
     val maxPos = Relational.q51_recursive(spark, dir)
       .agg(max("pos")).collect()(0).getInt(0)
     assert(maxPos <= 10, s"recursion walked $maxPos levels; bound lost")
+    // ...and with depth as the real guard, the engine's accumulated-row
+    // valve must be lifted: its 1e6 default killed q51 at sf1 (rows
+    // grow linearly with |orders| even at fixed depth). Building the
+    // frame must leave the session limit high for the caller's action.
+    val rowLimit = spark.conf.get("spark.sql.cteRecursionRowLimit").toLong
+    assert(rowLimit >= Int.MaxValue.toLong,
+      s"cteRecursionRowLimit=$rowLimit; q51 re-armed the 1e6-row valve")
   }
 
   test("KMV top-k plans as TakeOrdered, never a full global sort") {

@@ -19,14 +19,22 @@ object Skew {
 
   /** Inner equi-join `large.key = small.key`, salted.
     *
-    * The salt is `pmod(hash(all large columns), salt)` — deterministic
-    * (re-runnable, no `rand()` nondeterminism under task retry, which
-    * loses rows in shuffle-replay) while still spreading rows of one
-    * hot key, whose non-key columns differ. */
+    * The salt is `pmod(hash(all large columns, partition id), salt)` —
+    * deterministic (re-runnable, no `rand()` nondeterminism under task
+    * retry, which loses rows in shuffle-replay: a retried task re-reads
+    * the same input split, so both terms replay identically) while
+    * still spreading rows of one hot key. Mixing in
+    * `spark_partition_id()` matters for dedup-shaped workloads where a
+    * hot key's rows are LITERALLY identical: a pure content hash would
+    * send them all to one salt bucket, re-creating the skew the salt
+    * exists to break. Residual: identical rows inside one input
+    * partition still share a bucket — bounded by the hot key's share
+    * of a single split, not its global count. */
   def saltedJoin(large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String, salt: Int): DataFrame = {
     val saltedL = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col): _*), lit(salt)))
+      pmod(hash(large.columns.map(col) :+ spark_partition_id(): _*),
+        lit(salt)))
     val expandedS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedL.join(expandedS,

@@ -210,6 +210,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salt spreads a hot key of literally identical rows") {
+    // dedup-shaped skew: one key, every row byte-identical. A pure
+    // content hash collapses them into ONE salt bucket (the exact
+    // skew the salt exists to break); mixing in the partition id must
+    // spread them across buckets. Mirror the implementation's salt
+    // expression over a multi-partition frame of identical rows.
+    import spark.implicits._
+    val hot = Seq.fill(512)((42L, "payload")).toDF("k", "v").repartition(8)
+    val buckets = hot.select(
+        pmod(hash(hot.columns.map(col) :+ spark_partition_id(): _*), lit(8))
+          .as("salt"))
+      .groupBy("salt").count().collect()
+    assert(buckets.length > 1,
+      s"identical-row hot key landed in ${buckets.length} salt bucket(s)")
+    // and the end-to-end join over that frame stays exact
+    val dim = Seq((42L, "d")).toDF("dk", "dv")
+    assert(Skew.saltedJoin(hot, dim, "k", "dk", 8).count() == 512)
+  }
+
   test("quality keep-flag and langid produce full coverage") {
     assert(TextAnalysis.quality(spark, dir).count() == 500)
     val preds = TextAnalysis.langId(spark, dir)

@@ -72,6 +72,20 @@ class PlanSpec extends AnyFunSuite {
       s"cteRecursionRowLimit=$rowLimit; q51 re-armed the 1e6-row valve")
   }
 
+  test("x06 grid is an explode + equi-join, never a calendar cross join") {
+    // sf1 telemetry: x06 is the one genuinely data-bound x-family
+    // query (1.05M grid rows at sf0.1 → 10.5M at sf1, ×7.2 wall on
+    // ×10 rows). That stays sub-linear only while the grid comes from
+    // per-user explode(sequence(mn, mx)) joined back by (user, hr)
+    // hash equi-join — a refactor to a calendar-table cross join or a
+    // nested-loop fallback would be quadratic at 100 TB.
+    val p = plan(graft.operators.TimeSeries.resampleFfill(spark, dir))
+    assert(p.contains("Generate"), s"grid lost its explode shape:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"x06 grid join fell back to a non-equi physical join:\n$p")
+  }
+
   test("KMV top-k plans as TakeOrdered, never a full global sort") {
     // orderBy(h).limit(K) must compile to per-partition local top-K +
     // a driver merge of P·K longs; a global Sort before the limit

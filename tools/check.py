@@ -19,6 +19,7 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import hashlib
 import json
+import os
 import sys
 
 import duckdb
@@ -66,8 +67,13 @@ def canon(df):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; Spark-written datasets
+        # (e.g. the ScaleUp sf1-equivalent) are directories of parts
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):

@@ -135,6 +135,49 @@ object Dedup {
       .orderBy("ida", "idb")
   }
 
+  /** d11: incremental ingest dedup — the steady-state production shape
+    * at 100 TB, where a small new batch arrives against a large
+    * existing corpus and re-mining the whole corpus (d03's self-join)
+    * would redo work proportional to the INDEX, not the increment.
+    *
+    * The batch here is the deterministic split `doc_id % 5 = 0` (so
+    * the DuckDB oracle can reproduce it); in production it is the
+    * day's ingest. Same signature algebra as [[minhashLshPairs]]
+    * (MinHash k=32, 8×4 bands, ≥50 % signature agreement), but the
+    * candidate join is batch-bands ⨝ index-bands with the BATCH side
+    * broadcast (pinned in PlanSpec): the index's band table — at
+    * production scale a materialized, bucketed table that amortizes
+    * across ingests — is probed in place and never shuffles; per
+    * ingest only |batch| band rows move. The signature-verify joins
+    * touch candidate ids only, which AQE broadcasts at batch scale.
+    * Output: (new_id, index_id, n_match) — which index doc each new
+    * doc duplicates. */
+  def incrementalNearDups(s: SparkSession, dir: String): DataFrame = {
+    val sigs = shingleHashes(docs(s, dir))
+      .filter(col("n_sh") > 0)
+      .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
+      .persist()
+    def bandsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
+          "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
+      .toDF("doc_id", "band_idx", "band_key")
+    val isBatch = pmod(col("doc_id"), lit(5)) === 0
+    val cand = broadcast(bandsOf(sigs.filter(isBatch))).as("a")
+      .join(bandsOf(sigs.filter(!isBatch)).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"))
+      .distinct()
+    cand
+      .join(sigs.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("index_id") === col("sb.doc_id"))
+      .select(col("new_id"), col("index_id"),
+        expr("size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))")
+          .as("n_match"))
+      .filter(col("n_match") * 2 >= MinhashK)
+      .orderBy("new_id", "index_id")
+  }
+
   val SimhashBucketCap = 500
 
   /** SimHash(32-bit, token-level, tf-weighted) near-dup pairs: bucket

@@ -25,6 +25,7 @@ object Extensions {
     "d02_dedup_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.jaccardPairs(s, d, maxShingleDf = Some(Dedup.JaccardDfCap))),
     "d03_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "d11_dedup_incremental" -> (Dedup.incrementalNearDups _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     // gated at the default MaxBruteForceVectors guard
     "d05_embedding_neardup" -> ((s: SparkSession, d: String) =>
@@ -121,10 +122,10 @@ object Extensions {
                 (PARTITION BY vec_id, s ORDER BY dist, k) AS rn FROM pqd) z
         WHERE rn = 1)"""
 
-  /** CTE chain ending in `pairs(ida, idb, n_match)` — the MinHash-LSH
-    * near-dup pairs of d03, shared by the d06 connected-components
-    * oracle. */
-  private val minhashPairCtes = s"""$tkCte, $shCte,
+  /** CTE chain ending in `bands(doc_id, band_idx, band_key)` — the
+    * MinHash signature + LSH band construction shared by the d03/d06
+    * pair chain and the d11 incremental (batch ⨝ index) variant. */
+  private val minhashBandCtes = s"""$tkCte, $shCte,
       hv AS (SELECT doc_id, [${rh("s", 1000000007L)} for s in shs] AS hv,
              len(shs) AS n_sh FROM sh),
       sigs AS (SELECT doc_id, [list_min([((2*i+1)*h + 7919*(i+1)) % 1000000007
@@ -132,7 +133,12 @@ object Extensions {
                FROM hv WHERE n_sh > 0),
       bands AS (SELECT doc_id, b AS band_idx,
                 array_to_string(sig[b*4+1 : b*4+4], '-') AS band_key
-                FROM sigs, generate_series(0, 7) t(b)),
+                FROM sigs, generate_series(0, 7) t(b))"""
+
+  /** CTE chain ending in `pairs(ida, idb, n_match)` — the MinHash-LSH
+    * near-dup pairs of d03, shared by the d06 connected-components
+    * oracle. */
+  private val minhashPairCtes = s"""$minhashBandCtes,
       cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                FROM bands a JOIN bands b ON a.band_idx = b.band_idx
                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -283,6 +289,22 @@ object Extensions {
     "d03_dedup_minhash_lsh" -> s"""
       WITH $minhashPairCtes
       SELECT ida, idb, n_match FROM pairs ORDER BY ida, idb""",
+    // incremental ingest: batch = doc_id % 5 = 0, index = the rest;
+    // cross-side band candidates, same >= 50% signature agreement
+    "d11_dedup_incremental" -> s"""
+      WITH $minhashBandCtes,
+      xcand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+               FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                AND a.band_key = b.band_key
+                AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+      SELECT new_id, index_id,
+        CAST(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+          for i in generate_series(1, 32)]) AS INTEGER) AS n_match
+      FROM xcand JOIN sigs sa ON new_id = sa.doc_id
+                 JOIN sigs sb ON index_id = sb.doc_id
+      WHERE list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+          for i in generate_series(1, 32)]) * 2 >= 32
+      ORDER BY new_id, index_id""",
     "d06_dup_clusters" -> s"""
       WITH RECURSIVE $ccCtes
       SELECT id AS doc_id, cluster_id,

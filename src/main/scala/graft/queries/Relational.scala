@@ -718,16 +718,27 @@ object Relational {
   // from them in one deterministic double expression per group.
   def q48_moments(s: SparkSession, dir: String): DataFrame = {
     Tables.ensure(s, dir)
+    // The quadratic moment sums accumulate as DECIMAL(38,0), not
+    // BIGINT: Σ cents² is ~2e18 at sf0.1 and overflowed long at the
+    // sf1 stress (ARITHMETIC_OVERFLOW) — decimal summation is equally
+    // exact and order-free with 1e38 of headroom (sf1000+). The
+    // per-row product stays in BIGINT (≤ ~1e14); DuckDB needs no
+    // change (its BIGINT sum is already an exact 128-bit HUGEINT).
+    // Both engines then convert the same exact integer to double once,
+    // so the derived statistics stay bit-identical.
     s.sql("""
       WITH m AS (
         SELECT l_returnflag AS flag, count(*) AS n,
           sum(CAST(l_quantity AS BIGINT)) AS sx,
-          sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+          sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+            AS DECIMAL(38,0))) AS sxx,
           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
-          sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
-          sum(CAST(l_quantity AS BIGINT)
-            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+          sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            AS DECIMAL(38,0))) AS syy,
+          sum(CAST(CAST(l_quantity AS BIGINT)
+            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            AS DECIMAL(38,0))) AS sxy
         FROM lineitem GROUP BY l_returnflag)
       SELECT flag, n, sx, sy,
         CAST(floor(1000000 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)

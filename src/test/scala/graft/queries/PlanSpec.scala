@@ -72,6 +72,16 @@ class PlanSpec extends AnyFunSuite {
       s"cteRecursionRowLimit=$rowLimit; q51 re-armed the 1e6-row valve")
   }
 
+  test("d11 probes the index with a broadcast of the batch bands") {
+    // the incremental-dedup contract: per ingest, only the (small) new
+    // batch's band rows move — the corpus index is probed in place. A
+    // refactor that lets the band join shuffle BOTH sides re-creates
+    // d03's full-corpus cost on every ingest.
+    val p = plan(graft.operators.Dedup.incrementalNearDups(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch↔index band join is not broadcast:\n$p")
+  }
+
   test("x06 grid is an explode + equi-join, never a calendar cross join") {
     // sf1 telemetry: x06 is the one genuinely data-bound x-family
     // query (1.05M grid rows at sf0.1 → 10.5M at sf1, ×7.2 wall on

@@ -52,17 +52,24 @@ object ScaleStress {
       .groupBy("h").agg(count(lit(1)).as("n"))
     val d02 = pairSum(postings.filter(col("n") <= Dedup.JaccardDfCap))
 
-    // d03: minhash band buckets — mirrors Dedup.minhashLshPairs
+    // d03: minhash band buckets — mirrors Dedup.minhashLshPairs.
+    // d11: the incremental batch ⨝ index variant — per bucket the
+    // cross-side candidate count is n_batch·n_index, the join rows the
+    // broadcast probe produces (must ALSO stay ~linear: it is bounded
+    // by the d03 count, since nb·ni ≤ C(nb+ni, 2)).
     val mhBands = TextHash.shingleHashes(docs)
       .filter(col("n_sh") > 0)
       .select(col("doc_id"),
         expr(TextHash.minhashExpr("hv", Dedup.MinhashK)).as("sig"))
-      .select(posexplode(expr(
+      .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${Dedup.MinhashBands - 1}), " +
           "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
-      .toDF("band_idx", "band_key")
-      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("n"))
+      .toDF("doc_id", "band_idx", "band_key")
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("n"),
+        count(when(pmod(col("doc_id"), lit(5)) === 0, 1)).as("nb"))
     val d03 = pairSum(mhBands)
+    val d11 = mhBands.agg(sum(col("nb") * (col("n") - col("nb")))
+      .cast("long")).head.getLong(0)
 
     // d04: simhash band buckets under the dense-bucket cap — mirrors
     // Dedup.simhashPairs
@@ -110,7 +117,8 @@ object ScaleStress {
     val exactJson = exactRows.map(n => s""","exact_rows":$n""").getOrElse("")
 
     println(
-      s"""{"dir":"$dir","cand":{"d02":$d02,"d03":$d03,"d04":$d04,"d08":$d08},""" +
+      s"""{"dir":"$dir","cand":{"d02":$d02,"d03":$d03,"d04":$d04,""" +
+        s""""d08":$d08,"d11":$d11},""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +
         s""""d08":$d08Rows,"d09":$d09Rows}$exactJson}""")

@@ -147,6 +147,40 @@ object Curation {
         sum(col("sampled")).as("n_sampled"))
       .orderBy("lang")
 
+  /** x11: mixture balancing — compose a training mix with an EQUAL
+    * per-domain quota (the "flatten the source distribution" curation
+    * move: crawl dumps are power-law by domain, training mixes are
+    * not). Target size is half the corpus, split evenly across
+    * sources: quota = (N div 2) div n_sources; each source
+    * contributes its `quota` docs with the smallest decorrelated
+    * content hash (P2 — independent of the t07 split decision on the
+    * same text), so the selection is deterministic, content-addressed
+    * (stable under re-crawls reordering rows), and reproducible by
+    * the oracle.
+    *
+    * Scale shape: the data-derived quota travels as a 1-row broadcast
+    * scalar (the x-family convention); selection is a per-source
+    * window rank. At 100 TB the rank-within-source becomes the
+    * per-source q-th-smallest-hash threshold (one approx-quantile
+    * pass, then a narrow filter) — same selection, no full sort; the
+    * window form is the small-corpus shortcut with identical
+    * semantics. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        expr(rollingHashExpr("t", P2)).as("h2"))
+    val quota = d.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("source")).as("n_src"))
+      .select(expr("(n_total div 2L) div n_src").as("quota"))
+    val w = Window.partitionBy("source").orderBy(col("h2"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(quota))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   /** x04: sequence packing — GPT-style concat-and-cut: within each
     * source shard, documents are concatenated in doc_id order and cut
     * every `budget` tokens; a document owns the token span

@@ -59,12 +59,17 @@ object Dedup {
     * boilerplate-heavy corpus. */
   val JaccardDfCap = 64L
 
-  def jaccardPairs(s: SparkSession, dir: String,
-      maxShingleDf: Option[Long] = None): DataFrame = {
-    // The signature frame feeds 4 plan branches (both join sides, both
-    // size lookups); without persist each branch re-reads + re-hashes
-    // the corpus (no exchange reuse across differing projections). At
-    // 100 TB this is the "materialize signatures" pipeline stage.
+  /** Distinct (doc_id, shingle-hash) postings + per-doc sizes, shared
+    * by the symmetric (d02) and asymmetric (d12) shingle-overlap
+    * dedups so the df-cap rule cannot drift between them.
+    *
+    * The signature frame feeds 4 plan branches (both join sides, both
+    * size lookups); without persist each branch re-reads + re-hashes
+    * the corpus (no exchange reuse across differing projections). At
+    * 100 TB this is the "materialize signatures" pipeline stage.
+    * Returns (postings, sizes). */
+  private def shinglePostings(s: SparkSession, dir: String,
+      maxShingleDf: Option[Long]): (DataFrame, DataFrame) = {
     val sh = shingleHashes(docs(s, dir)).persist()
     val ex = maxShingleDf match {
       case None =>
@@ -85,19 +90,62 @@ object Dedup {
           .filter(col("df") > cap).select("h")
         exAll.join(broadcast(stop), Seq("h"), "left_anti")
     }
-    val sizes = sh.select(col("doc_id"), col("n_sh"))
-    val common = ex.as("a")
+    (ex, sh.select(col("doc_id"), col("n_sh")))
+  }
+
+  /** Pairwise shared-shingle counts from a postings frame: (ida < idb,
+    * common). The equi-join on the 8-byte shingle hash is the only
+    * corpus-scale shuffle in both overlap dedups. */
+  private def commonCounts(ex: DataFrame): DataFrame =
+    ex.as("a")
       .join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("common"))
-    common
+
+  def jaccardPairs(s: SparkSession, dir: String,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val (ex, sizes) = shinglePostings(s, dir, maxShingleDf)
+    commonCounts(ex)
       .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("idb") === col("sb.doc_id"))
       .select(col("ida"), col("idb"), col("common"),
         (col("sa.n_sh") + col("sb.n_sh") - col("common")).as("union_sz"))
       .filter(col("common") * 2 >= col("union_sz"))
       .orderBy("ida", "idb")
+  }
+
+  /** d12: asymmetric containment dedup — the near-dup class symmetric
+    * Jaccard structurally misses: a document whose shingle set is
+    * ≥ 80 % contained in a LONGER document (an excerpt page, a quoted
+    * core wrapped in boilerplate, a chapter inside the full book).
+    * J(A,B) = |A∩B|/|A∪B| is dragged down by the big doc's size, so a
+    * perfect 10-shingle excerpt of a 1000-shingle book scores J ≈ 0.01
+    * and survives d02/d03; containment(A→B) = |A∩B|/|A| scores 1.0.
+    *
+    * Same capped postings + one hash equi-join as [[jaccardPairs]]
+    * (the `maxShingleDf` guard carries over unchanged — candidate
+    * generation is identical), then the 0.8 threshold is tested per
+    * DIRECTION in exact integer math (5·common ≥ 4·|A|). A pair of
+    * mutual 80 % containments (i.e. a high-Jaccard dup) emits both
+    * directions — containment subsumes, never contradicts, d02.
+    * Output: (contained_id, container_id, common, n_contained). */
+  def containmentPairs(s: SparkSession, dir: String,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val (ex, sizes) = shinglePostings(s, dir, maxShingleDf)
+    val sized = commonCounts(ex)
+      .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("idb") === col("sb.doc_id"))
+      .select(col("ida"), col("idb"), col("common"),
+        col("sa.n_sh").cast("long").as("n_a"),
+        col("sb.n_sh").cast("long").as("n_b"))
+    val aInB = sized.filter(col("common") * 5 >= col("n_a") * 4)
+      .select(col("ida").as("contained_id"), col("idb").as("container_id"),
+        col("common"), col("n_a").as("n_contained"))
+    val bInA = sized.filter(col("common") * 5 >= col("n_b") * 4)
+      .select(col("idb").as("contained_id"), col("ida").as("container_id"),
+        col("common"), col("n_b").as("n_contained"))
+    aInB.union(bInA).orderBy("contained_id", "container_id")
   }
 
   val MinhashK = 32

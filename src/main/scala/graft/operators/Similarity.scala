@@ -354,4 +354,67 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
       .orderBy("query_id", "rank")
   }
+
+  /** Keyword side of the s08 hybrid query (terms present in the
+    * synthetic vocabulary, standing in for a tokenized user query). */
+  val HybridQueryTerms: Seq[String] = Seq("hash", "join", "table", "scan")
+
+  /** Shortlist length per retrieval side for s08. */
+  val HybridShortlist = 100
+
+  /** s08: hybrid retrieval — the RAG-serving workhorse: a keyword
+    * ranking and a vector ranking of the same corpus (documents and
+    * embeddings share ids), fused with Reciprocal Rank Fusion
+    * (Cormack et al.: score = Σ 1/(60+rank), here in exact integer
+    * math `1e6 div (60+rank)` so the oracle compare cannot drift).
+    *
+    * Scale design — two-phase, the part that matters at 100 TB: each
+    * side first reduces the corpus to a top-[[HybridShortlist]]
+    * shortlist via `orderBy().limit()`, which Spark plans as
+    * TakeOrderedAndProject (per-partition top-N, driver merges P·N
+    * rows — NO global sort, pinned in PlanSpec); rank assignment and
+    * fusion then run on the two 100-row shortlists, which is
+    * driver-sized by construction. Docs outside a side's shortlist
+    * contribute rank 0 = no score from that side (standard RRF
+    * shortlist semantics). The keyword score is exact integer
+    * (distinct query terms matched, then query-term occurrences as
+    * tiebreak); the vector side is the s01 broadcast-query cosine. */
+  def hybridTopK(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.operators.TextHash.{fanOut, tokens}
+    val terms = HybridQueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val txt = fanOut(Tables.t(s, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        expr(s"size(array_distinct(filter(tk, x -> x IN $terms)))")
+          .as("n_matched"),
+        expr(s"size(filter(tk, x -> x IN $terms))").as("tf_q"))
+    val topText = txt
+      .orderBy(col("n_matched").desc, col("tf_q").desc, col("doc_id"))
+      .limit(HybridShortlist) // TakeOrderedAndProject: distributed top-N
+      .withColumn("rank_text", row_number().over(
+        Window.orderBy(col("n_matched").desc, col("tf_q").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_text"))
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val topVec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (expr(dotExpr("qv", "embedding")) / (col("qnrm") * col("nrm")))
+          .as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(HybridShortlist) // TakeOrderedAndProject again
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("cs").desc, col("vec_id"))))
+      .select(col("vec_id"), col("rank_vec"))
+    topText.join(topVec, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        coalesce(col("rank_text"), lit(0)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0)).as("rank_vec"))
+      .withColumn("rrf_e6",
+        expr("CASE WHEN rank_text > 0 THEN 1000000 div (60 + rank_text) ELSE 0 END") +
+          expr("CASE WHEN rank_vec > 0 THEN 1000000 div (60 + rank_vec) ELSE 0 END"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+      .limit(k)
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+  }
 }

@@ -203,6 +203,39 @@ object TextAnalysis {
     * array: gated outputs must be scalar-only (the driver's pandas
     * compare cannot sort/hash array cells). Sort happens on the
     * numeric array BEFORE the string cast so '10' sorts after '2'. */
+  /** t19: shingle-novelty scoring — the dedup-aware quality signal:
+    * what fraction of a document's word-5-gram shingles appear in NO
+    * other document. Boilerplate-heavy and template-generated docs
+    * score near 0, original prose near 1; pipelines use it to rank
+    * within duplicate clusters and to downsample low-novelty strata
+    * before training.
+    *
+    * Cost class: one shingle-hash projection (narrow) + a df groupBy
+    * on 8-byte hashes + a join back on the same hash — the
+    * inverted-index cost class, linear in corpus token count; no
+    * pairwise step anywhere. The ratio is exact integer math
+    * (1e6·novel div distinct-hashes) so the oracle compare cannot
+    * drift. Denominator is the doc's DISTINCT hash count (hash
+    * collisions inside a doc merge shingles on both engines
+    * identically). */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    // persisted: feeds the corpus-wide df count and the per-doc join
+    // back (lifetime: clearCache — see TextHash's cache note)
+    val ex = shingleHashes(docs(s, dir))
+      .filter(col("n_sh") > 0)
+      .select(col("doc_id"), explode(col("hv")).as("h"))
+      .distinct()
+      .persist()
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hashes"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_hashes"), col("n_novel"),
+        expr("n_novel * 1000000L div n_hashes").as("novelty_e6"))
+      .orderBy("doc_id")
+  }
+
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"),

@@ -26,6 +26,9 @@ object Extensions {
       Dedup.jaccardPairs(s, d, maxShingleDf = Some(Dedup.JaccardDfCap))),
     "d03_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "d11_dedup_incremental" -> (Dedup.incrementalNearDups _),
+    // asymmetric containment (excerpt-in-book), same gated df cap as d02
+    "d12_dedup_containment" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(s, d, maxShingleDf = Some(Dedup.JaccardDfCap))),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     // gated at the default MaxBruteForceVectors guard
     "d05_embedding_neardup" -> ((s: SparkSession, d: String) =>
@@ -43,6 +46,7 @@ object Extensions {
     "s05_pq_codes" -> (Similarity.pqCodes _),
     "s06_pq_adc" -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
     "s07_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.annIvfPqTopK(s, d)),
+    "s08_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridTopK(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -61,6 +65,7 @@ object Extensions {
     "t16_profile" -> (Profile.columnStats _),
     "t17_bigram_lm" -> (TextAnalysis.bigramLm _),
     "t18_lm_score" -> (TextAnalysis.lmScore _),
+    "t19_novelty" -> (TextAnalysis.novelty _),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
@@ -73,6 +78,7 @@ object Extensions {
     "x08_upsert" -> (Merge.snapshotUpsert _),
     "x09_scd2" -> (Merge.scd2Intervals _),
     "x10_serving_card" -> (Merge.servingCard _),
+    "x11_mixture_sample" -> (Curation.mixtureSample _),
     "z01_zorder" -> (Layout.zorderKeys _),
   )
 
@@ -286,6 +292,27 @@ object Extensions {
       FROM common JOIN hv sa ON ida = sa.doc_id JOIN hv sb ON idb = sb.doc_id
       WHERE common * 2 >= sa.n_sh + sb.n_sh - common
       ORDER BY ida, idb""",
+    // same capped postings + pair counts as d02, but the 0.8 threshold
+    // tests each DIRECTION against the contained doc's own size
+    "d12_dedup_containment" -> s"""
+      WITH $tkCte, $shCte,
+      hv AS (SELECT doc_id, list_distinct([${rh("s", 1000000007L)} for s in shs]) AS hv,
+             len(shs) AS n_sh FROM sh),
+      ex0 AS (SELECT doc_id, unnest(hv) AS h FROM hv),
+      ex AS (SELECT doc_id, h FROM ex0
+             QUALIFY count(*) OVER (PARTITION BY h) <= ${Dedup.JaccardDfCap}),
+      common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                 FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      sized AS (SELECT ida, idb, common, sa.n_sh AS n_a, sb.n_sh AS n_b
+                FROM common JOIN hv sa ON ida = sa.doc_id
+                            JOIN hv sb ON idb = sb.doc_id)
+      SELECT ida AS contained_id, idb AS container_id, common,
+        n_a AS n_contained
+      FROM sized WHERE common * 5 >= n_a * 4
+      UNION ALL
+      SELECT idb, ida, common, n_b FROM sized WHERE common * 5 >= n_b * 4
+      ORDER BY contained_id, container_id""",
     "d03_dedup_minhash_lsh" -> s"""
       WITH $minhashPairCtes
       SELECT ida, idb, n_match FROM pairs ORDER BY ida, idb""",
@@ -530,6 +557,38 @@ object Extensions {
               (PARTITION BY query_id ORDER BY adc_e6, neighbor_id) AS rnk
             FROM adc) z
       WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // keyword shortlist + vector shortlist (both top-100), RRF-fused;
+    // rank 0 = absent from that side's shortlist
+    "s08_hybrid_rrf" -> s"""
+      WITH $tkCte,
+      txt AS (SELECT doc_id,
+          len(list_distinct([x for x in tk
+            if list_contains(['hash','join','table','scan'], x)])) AS n_matched,
+          len([x for x in tk
+            if list_contains(['hash','join','table','scan'], x)]) AS tf_q
+        FROM tk),
+      tt AS (SELECT * FROM txt
+             ORDER BY n_matched DESC, tf_q DESC, doc_id LIMIT 100),
+      rt AS (SELECT doc_id, row_number() OVER
+              (ORDER BY n_matched DESC, tf_q DESC, doc_id) AS rank_text FROM tt),
+      vs AS (SELECT e.vec_id, ${cos("e.embedding", "q.embedding")} AS cs
+             FROM embeddings e,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             WHERE e.vec_id <> 0),
+      tv AS (SELECT * FROM vs ORDER BY cs DESC, vec_id LIMIT 100),
+      rv AS (SELECT vec_id, row_number() OVER
+              (ORDER BY cs DESC, vec_id) AS rank_vec FROM tv),
+      f AS (SELECT coalesce(rt.doc_id, rv.vec_id) AS doc_id,
+              coalesce(rank_text, 0) AS rank_text,
+              coalesce(rank_vec, 0) AS rank_vec
+            FROM rt FULL OUTER JOIN rv ON rt.doc_id = rv.vec_id)
+      SELECT doc_id, CAST(rank_text AS INTEGER) AS rank_text,
+        CAST(rank_vec AS INTEGER) AS rank_vec,
+        CAST((CASE WHEN rank_text > 0
+                THEN 1000000 // (60 + rank_text) ELSE 0 END) +
+             (CASE WHEN rank_vec > 0
+                THEN 1000000 // (60 + rank_vec) ELSE 0 END) AS BIGINT) AS rrf_e6
+      FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 20""",
     "t01_langid" -> raw"""
       WITH f AS (SELECT doc_id, lang AS lang_label, lower(text) AS t FROM documents),
       g AS (SELECT doc_id, lang_label, length(t) AS n_chars_seen,
@@ -724,6 +783,21 @@ object Extensions {
         CAST(sum(p_e6) // count(*) AS BIGINT) AS mean_p_e6
       FROM dp JOIN model USING (w1, w2)
       GROUP BY doc_id ORDER BY doc_id""",
+    // corpus-unique shingle share per doc; denominator is the doc's
+    // distinct-hash count (within-doc collisions merge identically in
+    // both engines via list_distinct / .distinct)
+    "t19_novelty" -> s"""
+      WITH $tkCte, $shCte,
+      hv AS (SELECT doc_id, list_distinct([${rh("s", 1000000007L)} for s in shs]) AS hv
+             FROM sh WHERE len(shs) > 0),
+      ex AS (SELECT doc_id, unnest(hv) AS h FROM hv),
+      df AS (SELECT h, count(*) AS df FROM ex GROUP BY h)
+      SELECT e.doc_id, count(*) AS n_hashes,
+        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        (CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+          // count(*) AS novelty_e6
+      FROM ex e JOIN df ON e.h = df.h
+      GROUP BY e.doc_id ORDER BY doc_id""",
     // ANALYZE-style column stats; same integer-coded projections as
     // the Spark melt (prices in cents so the long encoding is lossless)
     "t16_profile" -> """
@@ -954,5 +1028,15 @@ object Extensions {
               (hr - (SELECT min(hr) FROM h)) % 1024 AS tb, vb FROM h)
       SELECT event_id, tb, vb, ${Layout.zkeyExpr("tb", "vb")} AS zkey
       FROM b ORDER BY event_id""",
+    // equal per-source quota = (N div 2) div n_sources; smallest
+    // decorrelated content hash (P2) wins within each source
+    "x11_mixture_sample" -> s"""
+      WITH d AS (SELECT doc_id, source,
+              ${rh("lower(text)", 998244353L)} AS h2 FROM documents),
+      q AS (SELECT (count(*) // 2) // count(DISTINCT source) AS quota FROM d),
+      r AS (SELECT doc_id, source, row_number() OVER
+              (PARTITION BY source ORDER BY h2, doc_id) AS rk FROM d)
+      SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM r, q
+      WHERE rk <= quota ORDER BY source, rk""",
   )
 }

@@ -114,6 +114,97 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment subsumes high-Jaccard pairs in both directions") {
+    // J(A,B) ≥ 0.8 ⟹ common ≥ 0.8·|A∪B| ≥ 0.8·max(|A|,|B|) ⟹ BOTH
+    // containments ≥ 0.8 — so every J ≥ 0.8 pair of d02 must appear
+    // in d12 twice, once per direction. The sf0.001 planted near-dups
+    // are all J ≥ 0.8 (28 pairs), so this anchor is live, not vacuous.
+    val highJ = Dedup.jaccardPairs(spark, dir)
+      .filter(col("common") * 5 >= col("union_sz") * 4)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(highJ.length >= 10, "fixture should plant J >= 0.8 near-dups")
+    val contained = Dedup.containmentPairs(spark, dir)
+      .select("contained_id", "container_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    highJ.foreach { case (a, b) =>
+      assert(contained((a, b)) && contained((b, a)),
+        s"J>=0.8 pair ($a,$b) must be mutually contained in d12")
+    }
+    // every row respects the threshold arithmetic
+    Dedup.containmentPairs(spark, dir).collect().foreach { r =>
+      val (c, n) = (r.getAs[Long]("common"), r.getAs[Long]("n_contained"))
+      assert(c <= n && c * 5 >= n * 4, s"containment row violates 0.8: $r")
+    }
+  }
+
+  test("novelty bounds follow the shared-shingle counts of near-dups") {
+    val nov = TextAnalysis.novelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hashes"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_e6"))).toMap
+    assert(nov.nonEmpty)
+    nov.values.foreach { case (nh, nn, e6) =>
+      assert(nn >= 0 && nn <= nh && e6 >= 0 && e6 <= 1000000)
+      assert(e6 == nn * 1000000 / nh, "e6 must be the exact integer ratio")
+    }
+    // a shingle shared by a near-dup pair has df >= 2, so each member's
+    // novel count is bounded by its total minus the pair's common count
+    val pairs = Dedup.jaccardPairs(spark, dir)
+      .select("ida", "idb", "common").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val c = r.getAs[Long]("common")
+      Seq(r.getAs[Long]("ida"), r.getAs[Long]("idb")).foreach { id =>
+        val (nh, nn, _) = nov(id)
+        assert(nn <= nh - c,
+          s"doc $id shares $c shingles but claims $nn of $nh novel")
+      }
+    }
+  }
+
+  test("mixture sample fills each source quota deterministically") {
+    val sel = Curation.mixtureSample(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("rk")))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = bySource.values.sum
+    val quota = (n / 2) / bySource.size
+    sel.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length == math.min(quota, bySource(src)).toInt,
+        s"source $src quota not honored")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq,
+        s"ranks not contiguous for $src")
+    }
+    val again = Curation.mixtureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(sel.toSet == again.toSet, "selection must be deterministic")
+  }
+
+  test("hybrid RRF fuses both retrieval sides consistently") {
+    val rows = Similarity.hybridTopK(spark, dir).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Long]("rrf_e6"))
+    assert(scores.sameElements(scores.sorted.reverse), "not score-descending")
+    rows.foreach { r =>
+      val (rt, rv) = (r.getAs[Int]("rank_text"), r.getAs[Int]("rank_vec"))
+      assert(rt >= 0 && rt <= Similarity.HybridShortlist)
+      assert(rv >= 0 && rv <= Similarity.HybridShortlist)
+      assert(rt > 0 || rv > 0, "fused doc absent from both shortlists")
+      val expected =
+        (if (rt > 0) 1000000 / (60 + rt) else 0) +
+          (if (rv > 0) 1000000 / (60 + rv) else 0)
+      assert(r.getAs[Long]("rrf_e6") == expected, s"rrf arithmetic drift: $r")
+    }
+    // a doc present in both shortlists must outrank a same-rank
+    // single-side doc: spot the property via the top fused row
+    val top = rows.head
+    assert(top.getAs[Long]("rrf_e6") >= 1000000 / 61,
+      "top fused score below a rank-1 single-side score is impossible")
+  }
+
   test("minhash LSH recalls the exact-jaccard near-dup pairs") {
     val exact = Dedup.jaccardPairs(spark, dir)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -262,6 +262,8 @@ class PlanSpec extends AnyFunSuite {
     val nljAllowed = Set(
       "d05_embedding_neardup", // guarded exact baseline (corpus²)
       "s01_ann_topk", "s06_pq_adc", // broadcast ≤10-row query side
+      "s08_hybrid_rrf", // broadcast 1-row query-vector crossJoin
+      "x11_mixture_sample", // 1-row data-derived quota scalar
       "t05_kmv_distinct", // 1-row exact-count scalar crossJoin
       "x08_upsert", "x09_scd2", // 1-row watermark-cutoff scalar
       "z01_zorder", // 1-row min-hour scalar

@@ -249,6 +249,19 @@ class PlanSpec extends AnyFunSuite {
         s"(win=${winNum.get}, aggs=$aggNums):\n$p")
   }
 
+  test("s08 shortlists are distributed TakeOrdered, not global sorts") {
+    // the hybrid fusion's scale contract: each retrieval side reduces
+    // the corpus via per-partition top-N (TakeOrderedAndProject, P·N
+    // rows to the driver-side merge) — a global Sort before the limit
+    // would serialize the corpus at 100 TB. Window rank assignment is
+    // allowed only AFTER the shortlist cut (over ≤100 rows).
+    val p = plan(graft.operators.Similarity.hybridTopK(spark, dir))
+    val takeOrdered = p.linesIterator
+      .count(l => l.contains("TakeOrderedAndProject"))
+    assert(takeOrdered >= 2,
+      s"expected both shortlist cuts as TakeOrderedAndProject:\n$p")
+  }
+
   test("nested-loop inventory: d05 is the only corpus-scale non-equi join") {
     // Sweep EVERY gated query's physical plan. A BroadcastNestedLoopJoin
     // is only ever acceptable when one side is provably tiny:

@@ -181,6 +181,42 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** x12 chunk geometry: 64-token windows advancing by 48 (16-token
+    * overlap) — the RAG convention that no retrievable statement is
+    * split across a chunk boundary without also appearing whole in a
+    * neighbor. */
+  val ChunkToks = 64
+  val ChunkStride = 48
+
+  /** x12: RAG chunking — split every document into overlapping
+    * [[ChunkToks]]-token windows every [[ChunkStride]] tokens, the
+    * corpus→chunk-table transform that retrieval embedding (s01–s08
+    * operate per-vector) and context assembly consume. Chunk count is
+    * the exact integer 1 + ceil(max(n−W, 0)/S), so the final window
+    * always reaches the last token and a short document yields exactly
+    * one chunk.
+    *
+    * Scale shape: pure per-row expansion (transform + posexplode) with
+    * no join or aggregation — the output is ~W/S × the input token
+    * mass and partitions wherever the input does; the presentation
+    * sort is the only exchange. Each chunk carries its provenance span
+    * (start_tok, n_toks) and content md5 — the identity downstream
+    * chunk-level dedup/embedding keys on. */
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CASE WHEN n > $ChunkToks THEN " +
+          s"(n - $ChunkToks + $ChunkStride - 1) div $ChunkStride ELSE 0 END), " +
+          s"k -> slice(tk, k * $ChunkStride + 1, $ChunkToks))"))
+        .as(Seq("chunk_idx", "ck")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("start_tok"),
+        size(col("ck")).as("n_toks"),
+        md5(array_join(col("ck"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** x04: sequence packing — GPT-style concat-and-cut: within each
     * source shard, documents are concatenated in doc_id order and cut
     * every `budget` tokens; a document owns the token span

@@ -226,6 +226,64 @@ object Dedup {
       .orderBy("new_id", "index_id")
   }
 
+  /** d13 block width: 8 whitespace tokens per block. */
+  val BlockToks = 8
+
+  /** d13: block-level dedup — the C4/RefinedWeb "remove any line that
+    * occurs in more than one document" rewrite, the span-granular
+    * class that document-level dedup (d01–d04) structurally misses: a
+    * license header or navigation chrome repeated across thousands of
+    * otherwise-distinct pages never pushes whole-document similarity
+    * over any threshold, yet is exactly what corpus curation must
+    * strip. Production line-dedup splits on newline/sentence
+    * boundaries; this corpus has no punctuation, so the splitting rule
+    * is fixed-width [[BlockToks]]-token blocks — the rule is a
+    * parameter, the rewrite algebra is the operator. (Fixed-width
+    * blocks make recall alignment-sensitive: an insertion shifts all
+    * later blocks. Sentence-boundary splitting has the same property
+    * against mid-sentence edits; d02/d03 cover the shifted class.)
+    *
+    * Shape: per-row block split (narrow) → block-hash df groupBy
+    * (8-byte longs only) → the df≥2 "boilerplate set" (tiny: the
+    * DISTINCT repeated spans, 153 of 3.4k blocks at sf0.01)
+    * broadcast-joined back → one groupBy(doc_id) reassembles the kept
+    * text in block order. That reassembly is the only shuffle carrying
+    * text, and it carries ≤ the operator's own output (the rewritten
+    * corpus) — the irreducible cost of a rewrite, not an analysis
+    * overhead. If a pathological corpus outgrows the broadcast, the
+    * mark join degrades to a shuffle hash join on the same key —
+    * semantics unchanged.
+    *
+    * Output per doc: block counts and the md5 of the kept
+    * (boilerplate-stripped, order-preserved) text — integers + a
+    * 32-char hex string, so the oracle compares bit-for-bit. */
+  def blockDedup(s: SparkSession, dir: String,
+      blockToks: Int = BlockToks): DataFrame = {
+    // persisted: feeds the df count and the mark join (re-splitting
+    // the corpus per branch would double the dominant narrow stage);
+    // lifetime: clearCache — see TextHash's cache note
+    val bl = fanOut(docs(s, dir))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(tk) - 1) div $blockToks), " +
+          s"i -> array_join(slice(tk, i * $blockToks + 1, $blockToks), ' '))"))
+        .as(Seq("bi", "b")))
+      .withColumn("h", expr(rollingHashExpr("b", P)))
+      .persist()
+    val boiler = bl.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") >= 2)
+      .select(col("h"), lit(1).as("is_boiler"))
+    bl.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("is_boiler") === 1, 1L).otherwise(0L)).as("n_shared"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN is_boiler IS NULL " +
+            "THEN struct(bi, b) END)), x -> x.b)"), " ")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   val SimhashBucketCap = 500
 
   /** SimHash(32-bit, token-level, tf-weighted) near-dup pairs: bucket

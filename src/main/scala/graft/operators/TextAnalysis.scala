@@ -236,6 +236,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** i02: phrase search — the retrieval primitive an inverted index
+    * (i01) exists to serve: find every document containing an exact
+    * two-word phrase, with per-document occurrence counts. The phrase
+    * is data-derived (the corpus's most frequent bigram, tie-broken
+    * deterministically by count desc, then words asc) so the oracle
+    * reproduces the selection; a serving system would bind it from the
+    * user query instead.
+    *
+    * Plan shape is the positional-postings intersection, not a
+    * substring scan: the corpus explodes once into (doc_id, pos, term)
+    * postings; the 1-row phrase broadcast filters them down to the two
+    * query terms' postings; an equi-join on (doc_id, pos == pos−1)
+    * finds adjacencies. Only the two terms' postings — narrow
+    * (long, long) rows — reach the join, which is how a phrase query
+    * touches an index shard instead of the corpus at 100 TB (there the
+    * postings are a materialized term-bucketed table and the filter is
+    * a partition prune; the join algebra is identical). The phrase
+    * pick itself is a vocab²-bound partial-agg + TakeOrdered(1). */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val top = docs(s, dir)
+      .select(tokens(col("text")).as("tk"))
+      .select(explode(expr(bigramsExpr("tk"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(1)
+      .select("w1", "w2")
+    // persisted: the postings feed both sides of the adjacency join
+    val pos = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "term")
+      .crossJoin(broadcast(top))
+      .persist()
+    val pa = pos.filter(col("term") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+    val pb = pos.filter(col("term") === col("w2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    pa.join(pb, Seq("doc_id", "pos"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy("doc_id")
+  }
+
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"),

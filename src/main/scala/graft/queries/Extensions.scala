@@ -29,6 +29,9 @@ object Extensions {
     // asymmetric containment (excerpt-in-book), same gated df cap as d02
     "d12_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d, maxShingleDf = Some(Dedup.JaccardDfCap))),
+    // span-granular rewrite: strip blocks repeated across documents
+    "d13_block_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.blockDedup(s, d)),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     // gated at the default MaxBruteForceVectors guard
     "d05_embedding_neardup" -> ((s: SparkSession, d: String) =>
@@ -39,6 +42,7 @@ object Extensions {
     "d06_dup_clusters" -> (DupCluster.clusters _),
     "d07_keep_best" -> (DupCluster.keepBest _),
     "i01_inverted_index" -> (TextAnalysis.invertedIndex _),
+    "i02_phrase_search" -> (TextAnalysis.phraseSearch _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -79,6 +83,7 @@ object Extensions {
     "x09_scd2" -> (Merge.scd2Intervals _),
     "x10_serving_card" -> (Merge.servingCard _),
     "x11_mixture_sample" -> (Curation.mixtureSample _),
+    "x12_chunking" -> (Curation.chunks _),
     "z01_zorder" -> (Layout.zorderKeys _),
   )
 
@@ -313,6 +318,24 @@ object Extensions {
       UNION ALL
       SELECT idb, ida, common, n_b FROM sized WHERE common * 5 >= n_b * 4
       ORDER BY contained_id, container_id""",
+    // fixed-width token blocks; boilerplate = block hash seen in >= 2
+    // distinct docs; kept_md5 = md5 of the stripped text in block order
+    "d13_block_dedup" -> s"""
+      WITH $tkCte,
+      bl AS (SELECT doc_id, [array_to_string(
+               tk[(i*${Dedup.BlockToks})+1:(i*${Dedup.BlockToks})+${Dedup.BlockToks}], ' ')
+             for i in generate_series(0, (len(tk)-1)//${Dedup.BlockToks})] AS bls FROM tk),
+      eb AS (SELECT doc_id, unnest([{'bi': i, 'b': bls[i]}
+             for i in generate_series(1, len(bls))]) AS u FROM bl),
+      e2 AS (SELECT doc_id, u.bi AS bi, u.b AS b FROM eb),
+      hb AS (SELECT doc_id, bi, b, ${rh("b", 1000000007L)} AS h FROM e2),
+      dfq AS (SELECT h, count(DISTINCT doc_id) AS bdf FROM hb GROUP BY h)
+      SELECT doc_id, count(*) AS n_blocks,
+        CAST(sum(CASE WHEN bdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        md5(coalesce(array_to_string(
+          list(b ORDER BY bi) FILTER (WHERE bdf < 2), ' '), '')) AS kept_md5
+      FROM hb JOIN dfq USING (h)
+      GROUP BY doc_id ORDER BY doc_id""",
     "d03_dedup_minhash_lsh" -> s"""
       WITH $minhashPairCtes
       SELECT ida, idb, n_match FROM pairs ORDER BY ida, idb""",
@@ -358,6 +381,15 @@ object Extensions {
       SELECT term, count(*) AS df,
         array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS first_docs
       FROM tt GROUP BY term ORDER BY term""",
+    // phrase = most frequent corpus bigram (count desc, words asc);
+    // per-occurrence bigram rows ARE the positional adjacencies the
+    // Spark postings join finds, so counting them is equivalent
+    "i02_phrase_search" -> s"""
+      WITH $bigramCtes,
+      top AS (SELECT w1, w2 FROM pair ORDER BY c12 DESC, w1, w2 LIMIT 1)
+      SELECT doc_id, w1, w2, count(*) AS n_occ
+      FROM dp JOIN top USING (w1, w2)
+      GROUP BY doc_id, w1, w2 ORDER BY doc_id""",
     "d04_dedup_simhash" -> s"""
       WITH $tkCte,
       hs AS (SELECT doc_id, [${rh("t", 4294967296L)} for t in tk] AS hv FROM tk),
@@ -1038,5 +1070,19 @@ object Extensions {
               (PARTITION BY source ORDER BY h2, doc_id) AS rk FROM d)
       SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM r, q
       WHERE rk <= quota ORDER BY source, rk""",
+    // overlapping 64-token windows every 48 tokens; n_chunks =
+    // 1 + ceil(max(n-64, 0)/48) so the last window reaches the end
+    "x12_chunking" -> s"""
+      WITH $tkCte,
+      nn AS (SELECT doc_id, tk, len(tk) AS n FROM tk),
+      ch0 AS (SELECT doc_id, unnest([{'ci': k,
+               'ck': tk[(k*${Curation.ChunkStride})+1:(k*${Curation.ChunkStride})+${Curation.ChunkToks}]}
+             for k in generate_series(0, CASE WHEN n > ${Curation.ChunkToks}
+               THEN (n - ${Curation.ChunkToks} + ${Curation.ChunkStride - 1})//${Curation.ChunkStride}
+               ELSE 0 END)]) AS u FROM nn),
+      ch AS (SELECT doc_id, u.ci AS chunk_idx, u.ck AS ck FROM ch0)
+      SELECT doc_id, chunk_idx, chunk_idx * ${Curation.ChunkStride} AS start_tok,
+        len(ck) AS n_toks, md5(array_to_string(ck, ' ')) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_idx""",
   )
 }

@@ -666,4 +666,78 @@ class OperatorsSpec extends AnyFunSuite {
       s"flag mismatch: spark-only=${(flagged -- expected).take(5)} " +
         s"brute-only=${(expected -- flagged).take(5)}")
   }
+
+  test("block dedup strips only cross-doc blocks and preserves clean text") {
+    val d = Dedup.blockDedup(spark, dir).collect()
+    assert(d.length == 500)
+    // corpus has planted near-dups → some docs must share blocks
+    assert(d.count(_.getAs[Long]("n_shared") > 0) >= 10,
+      "expected cross-document repeated blocks on this corpus")
+    // a doc with no shared blocks keeps everything: kept_md5 must be
+    // the md5 of its full normalized (lowercase, space-joined) text —
+    // block split + rejoin round-trips exactly
+    val cleanMd5 = graft.engine.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(array_join(TextHash.tokens(col("text")), " ")).as("full_md5"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    d.filter(_.getAs[Long]("n_shared") == 0L).foreach { r =>
+      assert(r.getAs[String]("kept_md5") == cleanMd5(r.getAs[Long]("doc_id")),
+        s"doc ${r.getLong(0)}: clean doc must round-trip unchanged")
+    }
+    // shared blocks change the text → a different md5
+    d.filter(_.getAs[Long]("n_shared") > 0L).foreach { r =>
+      assert(r.getAs[String]("kept_md5") != cleanMd5(r.getAs[Long]("doc_id")),
+        s"doc ${r.getLong(0)}: stripping blocks must change the text")
+    }
+  }
+
+  test("phrase search finds exactly the documents containing the top bigram") {
+    val hits = TextAnalysis.phraseSearch(spark, dir).collect()
+    assert(hits.nonEmpty)
+    val w1 = hits.head.getAs[String]("w1")
+    val w2 = hits.head.getAs[String]("w2")
+    // independent recount: substring occurrences of " w1 w2 " over the
+    // padded normalized text equal the postings-join counts, and no
+    // matching document is missing
+    val expected = graft.engine.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), concat(lit(" "),
+        array_join(TextHash.tokens(col("text")), " "), lit(" ")).as("t"))
+      .collect()
+      .map { r =>
+        val t = r.getString(1); val needle = s" $w1 $w2 "
+        // overlapping occurrences: advance by one token, not by match
+        val occ = Iterator.iterate(t.indexOf(needle))(i =>
+          t.indexOf(needle, i + w1.length + 1)).takeWhile(_ >= 0).size
+        r.getLong(0) -> occ
+      }.filter(_._2 > 0).toMap
+    val got = hits.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ").toInt).toMap
+    assert(got == expected,
+      s"phrase-count mismatch for ($w1,$w2): got=${got.size} expected=${expected.size}")
+  }
+
+  test("chunking covers every token with the declared overlap geometry") {
+    val byDoc = Curation.chunks(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nToks = graft.engine.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), size(TextHash.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byDoc.size == 500)
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Int]("chunk_idx"))
+      // contiguous ids from 0, stride-48 starts
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("chunk_idx") == i)
+        assert(c.getAs[Int]("start_tok") == i * Curation.ChunkStride)
+      }
+      // all but the last chunk are full windows; the last reaches the
+      // document's final token exactly
+      sorted.init.foreach(c =>
+        assert(c.getAs[Int]("n_toks") == Curation.ChunkToks))
+      val last = sorted.last
+      assert(last.getAs[Int]("start_tok") + last.getAs[Int]("n_toks") == nToks(doc),
+        s"doc $doc: chunks must cover the tail")
+      // a short doc is exactly one chunk
+      if (nToks(doc) <= Curation.ChunkToks) assert(sorted.length == 1)
+    }
+  }
 }

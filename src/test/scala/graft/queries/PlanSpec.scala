@@ -276,6 +276,7 @@ class PlanSpec extends AnyFunSuite {
       "d05_embedding_neardup", // guarded exact baseline (corpus²)
       "s01_ann_topk", "s06_pq_adc", // broadcast ≤10-row query side
       "s08_hybrid_rrf", // broadcast 1-row query-vector crossJoin
+      "i02_phrase_search", // broadcast 1-row phrase crossJoin
       "x11_mixture_sample", // 1-row data-derived quota scalar
       "t05_kmv_distinct", // 1-row exact-count scalar crossJoin
       "x08_upsert", "x09_scd2", // 1-row watermark-cutoff scalar

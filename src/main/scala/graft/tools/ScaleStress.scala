@@ -95,6 +95,24 @@ object ScaleStress {
     val d08 = pairSum(
       lshBands.filter(col("n") <= graft.operators.Similarity.LshBucketCap))
 
+    // d13: boilerplate blocks (cross-doc df >= 2) and the (doc, block)
+    // hits they strip — the broadcast-set size and the rewrite
+    // workload; both must grow ~linearly (mirrors Dedup.blockDedup)
+    val blBoiler = TextHash.fanOut(docs)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(tk) - 1) div ${Dedup.BlockToks}), " +
+          s"i -> array_join(slice(tk, i * ${Dedup.BlockToks} + 1, " +
+          s"${Dedup.BlockToks}), ' '))")).as("b"))
+      .select(col("doc_id"),
+        expr(TextHash.rollingHashExpr("b", TextHash.P)).as("h"))
+      .distinct()
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .persist()
+    val d13Boiler = blBoiler.count()
+    val d13Hits = blBoiler.agg(sum("n").cast("long")).head.getLong(0)
+
     // CC rounds + output cardinalities (clusters runs the fixpoint)
     val d06Rows = DupCluster.clusters(spark, dir).count()
     val d06Rounds = DupCluster.lastFixpointRounds
@@ -119,6 +137,7 @@ object ScaleStress {
     println(
       s"""{"dir":"$dir","cand":{"d02":$d02,"d03":$d03,"d04":$d04,""" +
         s""""d08":$d08,"d11":$d11},""" +
+        s""""d13":{"boiler_blocks":$d13Boiler,"doc_hits":$d13Hits},""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +
         s""""d08":$d08Rows,"d09":$d09Rows}$exactJson}""")

@@ -140,7 +140,18 @@ object Similarity {
     * baseline is the documented LSH trade (OperatorsSpec's
     * "bucketed embedding near-dups are a non-empty subset of brute
     * force" pins containment: no invented pairs). */
-  def embeddingNearDupsBucketed(s: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDupsBucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedScoredPairs(s, dir)
+      .filter(col("cs") >= 0.4)
+      .select(col("ida"), col("idb"),
+        floor(col("cs") * 1000000).cast("long").as("cs_e6"))
+      .orderBy("ida", "idb")
+
+  /** Shared core of d08 and s09: exact cosine over the LSH-band
+    * candidate pairs (ida < idb, un-thresholded). ONE definition of
+    * the band-width rule + dense-bucket cap + rerank, so the two
+    * consumers cannot drift. */
+  private def bucketedScoredPairs(s: SparkSession, dir: String): DataFrame = {
     val corpus = emb(s, dir)
     val nbits = lshBandBits(corpus.count()) // parquet metadata count
     // persisted: band explosion + both rerank sides share one
@@ -170,10 +181,38 @@ object Similarity {
       .select(col("ida"), col("idb"),
         (expr(dotExpr("sa.embedding", "sb.embedding")) /
           (col("sa.nrm") * col("sb.nrm"))).as("cs"))
-      .filter(col("cs") >= 0.4)
-      .select(col("ida"), col("idb"),
+  }
+
+  /** s09: k-NN graph construction — every corpus vector's top-k
+    * nearest neighbors, the all-vectors sibling of the fixed-query-set
+    * ANN searches (s01–s03) and the substrate embedding clustering,
+    * label propagation, and UMAP-style layout consume. Candidates come
+    * from the same LSH band equi-join + exact-cosine rerank as d08
+    * ([[bucketedScoredPairs]] — one definition of the band rule);
+    * each undirected candidate pair feeds BOTH endpoints' neighbor
+    * lists, and a per-vector window rank keeps k. Approximation is
+    * the documented LSH recall trade: a vector's true k-th neighbor
+    * outside every shared band is missed — the price of candidate
+    * generation staying near-linear (BASELINE sf1 telemetry).
+    *
+    * Scale shape: the rank window partitions by vec_id over candidate
+    * edges only (≈ linear in corpus size by the band-width rule), so
+    * no stage ever holds the corpus: the same per-vector top-k would
+    * run as a per-shard partial top-k merge at 100 TB. Deterministic
+    * tie-break (cs desc, neighbor asc) keeps the oracle exact. */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val scored = bucketedScoredPairs(s, dir)
+    val edges = scored.select(
+        col("ida").as("vec_id"), col("idb").as("neighbor_id"), col("cs"))
+      .union(scored.select(
+        col("idb").as("vec_id"), col("ida").as("neighbor_id"), col("cs")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    edges.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
         floor(col("cs") * 1000000).cast("long").as("cs_e6"))
-      .orderBy("ida", "idb")
+      .orderBy("vec_id", "rank")
   }
 
   /** Brute-force cosine top-k: queries (vec_id < 10) against the whole

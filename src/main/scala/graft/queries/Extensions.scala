@@ -51,6 +51,7 @@ object Extensions {
     "s06_pq_adc" -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
     "s07_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.annIvfPqTopK(s, d)),
     "s08_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridTopK(s, d)),
+    "s09_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -420,6 +421,21 @@ object Extensions {
       WITH $embScoredCtes
       SELECT ida, idb, CAST(floor(cs * 1000000) AS BIGINT) AS cs_e6
       FROM escored WHERE cs >= 0.4 ORDER BY ida, idb""",
+    // every candidate pair feeds both endpoints' neighbor lists; per
+    // vector keep the top-3 by (cs desc, neighbor asc)
+    "s09_knn_graph" -> s"""
+      WITH $embScoredCtes,
+      edges AS (SELECT ida AS vec_id, idb AS neighbor_id, cs FROM escored
+                UNION ALL
+                SELECT idb AS vec_id, ida AS neighbor_id, cs FROM escored)
+      SELECT vec_id, neighbor_id,
+        CAST(row_number() OVER
+          (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS INTEGER)
+          AS rank,
+        CAST(floor(cs * 1000000) AS BIGINT) AS cs_e6
+      FROM edges
+      QUALIFY rank <= 3
+      ORDER BY vec_id, rank""",
     "d09_embedding_clusters" -> s"""
       WITH RECURSIVE $embScoredCtes,
       epairs AS (SELECT ida, idb FROM escored WHERE cs >= 0.4),${ccOverPairs("epairs")}

@@ -715,6 +715,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"phrase-count mismatch for ($w1,$w2): got=${got.size} expected=${expected.size}")
   }
 
+  test("knn graph ranks candidate neighbors correctly and consistently with d08") {
+    val g = Similarity.knnGraph(spark, dir).collect()
+    val byVec = g.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("rank") == i + 1, s"vec $v ranks not contiguous") }
+      val cs = sorted.map(_.getAs[Long]("cs_e6"))
+      assert(cs.zip(cs.drop(1)).forall { case (x, y) => x >= y },
+        s"vec $v neighbors not similarity-sorted")
+      assert(rows.length <= 3)
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == v),
+        s"vec $v lists itself as a neighbor")
+    }
+    // every d08 near-dup pair (same candidate base, cs >= 0.4) must
+    // surface in each endpoint's list unless that list is already full
+    // of equal-or-better neighbors
+    val d08 = Similarity.embeddingNearDupsBucketed(spark, dir).collect()
+    assert(d08.nonEmpty)
+    d08.foreach { r =>
+      val (a, b, cs) = (r.getAs[Long]("ida"), r.getAs[Long]("idb"),
+        r.getAs[Long]("cs_e6"))
+      Seq((a, b), (b, a)).foreach { case (v, n) =>
+        val list = byVec.getOrElse(v, Array.empty)
+        val present = list.exists(_.getAs[Long]("neighbor_id") == n)
+        val fullOfBetter =
+          list.length == 3 && list.forall(_.getAs[Long]("cs_e6") >= cs)
+        assert(present || fullOfBetter,
+          s"near-dup pair ($a, $b, $cs) missing from $v's neighbor list")
+      }
+    }
+  }
+
   test("chunking covers every token with the declared overlap geometry") {
     val byDoc = Curation.chunks(spark, dir).collect()
       .groupBy(_.getAs[Long]("doc_id"))

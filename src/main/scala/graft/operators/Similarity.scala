@@ -215,6 +215,33 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** s10: mutual-k-NN filter — the symmetrization step every
+    * kNN-graph consumer (agglomerative/community clustering, UMAP
+    * graph layout, diversity filters) runs before using the [[knnGraph]]
+    * output: keep edge (a,b) only when b is in a's top-k AND a is in
+    * b's top-k. Reciprocated edges are the high-precision core of the
+    * graph — a hub vector that appears in thousands of neighbor lists
+    * without reciprocating contributes no mutual edge, which is
+    * exactly the hubness suppression the filter exists for.
+    *
+    * Scale shape: one [[knnGraph]] pass (its persisted signature/band
+    * frames are shared by both sides of the plan), then an equi-self-
+    * join on the reversed (vec_id, neighbor_id) key — at most n·k
+    * rows per side, never corpus-quadratic. Output is one row per
+    * undirected mutual edge (ida < idb) carrying both directions'
+    * ranks, so downstream consumers keep the asymmetry information. */
+  def mutualKnn(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val g = knnGraph(s, dir, k)
+    g.as("f").join(g.as("r"),
+        col("f.vec_id") === col("r.neighbor_id") &&
+          col("f.neighbor_id") === col("r.vec_id"))
+      .filter(col("f.vec_id") < col("f.neighbor_id"))
+      .select(col("f.vec_id").as("ida"), col("f.neighbor_id").as("idb"),
+        col("f.rank").as("rank_ab"), col("r.rank").as("rank_ba"),
+        col("f.cs_e6"))
+      .orderBy("ida", "idb")
+  }
+
   /** Brute-force cosine top-k: queries (vec_id < 10) against the whole
     * corpus. The query side is tiny → broadcast; the corpus streams
     * through one narrow stage; ranking shuffles only (q, k) rows. */

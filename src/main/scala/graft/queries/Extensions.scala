@@ -52,6 +52,7 @@ object Extensions {
     "s07_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.annIvfPqTopK(s, d)),
     "s08_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridTopK(s, d)),
     "s09_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "s10_mutual_knn" -> ((s: SparkSession, d: String) => Similarity.mutualKnn(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -436,6 +437,25 @@ object Extensions {
       FROM edges
       QUALIFY rank <= 3
       ORDER BY vec_id, rank""",
+    // symmetrization of the s09 graph: keep (a,b) only when both
+    // directions survive the per-vector top-3 rank window
+    "s10_mutual_knn" -> s"""
+      WITH $embScoredCtes,
+      edges AS (SELECT ida AS vec_id, idb AS neighbor_id, cs FROM escored
+                UNION ALL
+                SELECT idb AS vec_id, ida AS neighbor_id, cs FROM escored),
+      g AS (SELECT vec_id, neighbor_id, cs,
+              row_number() OVER
+                (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rank
+            FROM edges QUALIFY rank <= 3)
+      SELECT f.vec_id AS ida, f.neighbor_id AS idb,
+        CAST(f.rank AS INTEGER) AS rank_ab,
+        CAST(r.rank AS INTEGER) AS rank_ba,
+        CAST(floor(f.cs * 1000000) AS BIGINT) AS cs_e6
+      FROM g f JOIN g r
+        ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+      WHERE f.vec_id < f.neighbor_id
+      ORDER BY ida, idb""",
     "d09_embedding_clusters" -> s"""
       WITH RECURSIVE $embScoredCtes,
       epairs AS (SELECT ida, idb FROM escored WHERE cs >= 0.4),${ccOverPairs("epairs")}

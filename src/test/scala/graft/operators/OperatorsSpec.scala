@@ -748,6 +748,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mutual-knn keeps exactly the reciprocated knn-graph edges") {
+    val g = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")) ->
+        (r.getAs[Int]("rank"), r.getAs[Long]("cs_e6"))).toMap
+    val m = Similarity.mutualKnn(spark, dir).collect()
+    assert(m.nonEmpty, "mutual-knn produced no edges")
+    // every mutual edge is a reciprocated pair of graph edges whose
+    // ranks and similarity it reports verbatim, ida < idb once
+    m.foreach { r =>
+      val (a, b) = (r.getAs[Long]("ida"), r.getAs[Long]("idb"))
+      assert(a < b, s"edge ($a, $b) not ordered")
+      val fwd = g.get((a, b)); val rev = g.get((b, a))
+      assert(fwd.isDefined && rev.isDefined,
+        s"mutual edge ($a, $b) not reciprocated in the knn graph")
+      assert(r.getAs[Int]("rank_ab") == fwd.get._1 &&
+        r.getAs[Int]("rank_ba") == rev.get._1, s"($a, $b) rank mismatch")
+      assert(r.getAs[Long]("cs_e6") == fwd.get._2, s"($a, $b) cs mismatch")
+    }
+    // and nothing reciprocated is dropped: recompute the filter naively
+    val expected = g.keySet.filter { case (v, n) => v < n && g.contains((n, v)) }
+    assert(m.map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+      == expected, "mutual edge set differs from the naive filter")
+  }
+
   test("chunking covers every token with the declared overlap geometry") {
     val byDoc = Curation.chunks(spark, dir).collect()
       .groupBy(_.getAs[Long]("doc_id"))

@@ -31,6 +31,15 @@ object Tables {
     graft.functions.TextHashExprs.register(spark)
     if (spark.conf.getOption(confKey).contains(dir)) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Driver refreshes of the testdata have alternated between
+    // TIMESTAMP(NANOS) and un-adjusted TIMESTAMP(MICROS) footers for
+    // `events.ts`. With NTZ inference on (the Spark 4 default) the
+    // latter reads as TIMESTAMP_NTZ, which `unix_micros` rejects.
+    // Disabling inference reads the stored int64 as a plain
+    // TimestampType holding those micros verbatim — exactly what the
+    // DuckDB oracle's `epoch_us(ts)` sees — independent of the
+    // session timezone.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     names.foreach { n =>
       var df = spark.read.parquet(s"$dir/$n.parquet")
       df.schema.fields.foreach { f =>

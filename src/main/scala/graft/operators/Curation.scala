@@ -63,6 +63,60 @@ object Curation {
       .withColumn("keep", (col("banned_ratio_e6") < 80000).cast("int"))
       .orderBy("doc_id")
 
+  /** Digit-run identifier pattern shared by the t20 scrub and its
+    * oracle: 4+ consecutive digits is the classic account/phone/SSN
+    * fragment shape (entity names here carry `#000000123`-style ids).
+    * Plain character-class regex, identical semantics in Java
+    * (Spark) and RE2 (DuckDB). */
+  val IdRunRegex = "[0-9]{4,}"
+
+  /** t20: PII scrub — redact identifier runs from entity names and
+    * replace the identity with a deterministic pseudonym, the
+    * pre-training-pipeline step that keeps cross-document linkage
+    * (same entity → same token) without shipping the raw identifier.
+    * md5 is the engine-portable stand-in for the keyed HMAC a
+    * production scrub would use (swap the expression, same plan).
+    *
+    * Scale shape: map-only over a union of narrow projections — no
+    * shuffle at all except the output sort; at 100 TB this is the
+    * cheapest stage in the pipeline and fuses into one
+    * WholeStageCodegen span per source. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.t(s, dir, "customer").select(
+      lit("customer").as("src"), col("c_custkey").as("entity_id"),
+      col("c_name").as("nm"))
+    val supp = Tables.t(s, dir, "supplier").select(
+      lit("supplier").as("src"), col("s_suppkey").as("entity_id"),
+      col("s_name").as("nm"))
+    cust.union(supp)
+      .select(col("src"), col("entity_id"),
+        regexp_count(col("nm"), lit(IdRunRegex)).cast("int").as("n_id_runs"),
+        regexp_replace(col("nm"), IdRunRegex, "<ID>").as("redacted"),
+        md5(col("nm")).as("pseudonym"))
+      .orderBy("src", "entity_id")
+  }
+
+  /** t21: k-anonymity audit — group every customer by its
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * decile) and report each equivalence class's size plus whether it
+    * meets k=5; rows in sub-k classes are re-identifiable and a
+    * release pipeline must suppress or generalize them. The decile is
+    * a fixed-width bucket (floor(bal/1000)), not a rank — rank-based
+    * deciles would make every class size data-dependent on the whole
+    * corpus and the audit non-reproducible across shards.
+    *
+    * Scale shape: one partial-agg groupBy on the quasi-identifier key
+    * (map-side combine collapses each partition to its distinct
+    * tuples); the flag is a projection over the aggregate. */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+      .agg(count(lit(1)).as("class_sz"))
+      .withColumn("k_anonymous", (col("class_sz") >= k).cast("int"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+
   /** t10: domain-mix report — per source (the stand-in for a crawl
     * domain): doc count, token mass, corpus share. One partial-agg
     * groupBy on a low-cardinality key; the share window runs over the

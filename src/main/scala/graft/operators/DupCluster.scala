@@ -163,6 +163,26 @@ object DupCluster {
   def embeddingClusters(s: SparkSession, dir: String): DataFrame =
     clustersOf(computeEmbLabels(s, dir), "vec_id")
 
+  /** s11: semantic clusters — connected components over the
+    * mutual-k-NN graph ([[Similarity.mutualKnn]]) instead of the
+    * thresholded near-dup graph d09 uses. This is the grouping stage
+    * of SemDeDup-style semantic curation: reciprocated top-k edges
+    * link vectors that are each other's nearest neighbors even when
+    * no pair clears an absolute cosine bar, so the components are
+    * "topics" rather than "duplicates" — the unit a pipeline
+    * downsamples (keep n per topic) rather than deletes.
+    *
+    * Scale shape: the edge set is at most n·k/2 rows by construction
+    * (mutual top-k), so the star-contraction fixpoint starts from a
+    * graph that is already linear in the corpus; every round shrinks
+    * it. Same O(log n) round bound as d06/d09 (see object scaladoc).
+    * Singleton vectors (no reciprocated edge) are deliberately absent,
+    * matching d06/d09's members-only convention. */
+  def knnComponents(s: SparkSession, dir: String): DataFrame =
+    clustersOf(
+      fixpointLabels(Similarity.mutualKnn(s, dir).select("ida", "idb")),
+      "vec_id")
+
   /** d10: canonical-vector selection per embedding cluster — keep the
     * member with the largest L2 norm (ties to the smallest vec_id),
     * the embedding analog of d07's most-tokens rule (a larger norm is

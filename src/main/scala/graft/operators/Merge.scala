@@ -26,6 +26,42 @@ object Merge {
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
         floor(col("value") * 1000000).cast("long").as("v_e6"))
 
+  /** x13: dataset-version diff — the audit step a data-versioning
+    * layer (lakehouse time travel, training-set releases) runs
+    * between two snapshots: which keys were added, removed, or
+    * changed, with both sides' values for the changed ones. The two
+    * snapshots are derived deterministically from `orders` (old =
+    * keys ≢ 3 (mod 10), new = keys ≢ 7 (mod 10), and every key ≡ 0
+    * (mod 5) gains 500 price-cents in the new version), so the diff
+    * exercises all three classes at every scale factor. Unchanged
+    * rows — the overwhelming bulk of any real diff — are excluded
+    * from the output by construction.
+    *
+    * Scale shape: one full-outer sort-merge join on the snapshot key
+    * with value comparison in the join projection; both sides shuffle
+    * once on the same key (at 100 TB the snapshots would be bucketed
+    * on it and the shuffle vanishes). Prices compare in integer
+    * cents — no float equality in the change predicate. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders").select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val old = o.filter(col("o_orderkey") % 10 =!= 3)
+    val nw = o.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("price_c",
+        when(col("o_orderkey") % 5 === 0, col("price_c") + 500)
+          .otherwise(col("price_c")))
+    old.as("o").join(nw.as("n"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        col("o.price_c").as("old_price_c"),
+        col("n.price_c").as("new_price_c"),
+        when(col("o.price_c").isNull, "added")
+          .when(col("n.price_c").isNull, "removed")
+          .when(col("o.price_c") =!= col("n.price_c"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("o_orderkey")
+  }
+
   /** x08: MERGE (SCD-1 upsert) of the last day of events into the
     * snapshot built from everything before: per user the latest value
     * on each side ((us, event_id)-latest — unique, so deterministic),

@@ -53,6 +53,7 @@ object Extensions {
     "s08_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridTopK(s, d)),
     "s09_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "s10_mutual_knn" -> ((s: SparkSession, d: String) => Similarity.mutualKnn(s, d)),
+    "s11_knn_components" -> (DupCluster.knnComponents _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -72,6 +73,9 @@ object Extensions {
     "t17_bigram_lm" -> (TextAnalysis.bigramLm _),
     "t18_lm_score" -> (TextAnalysis.lmScore _),
     "t19_novelty" -> (TextAnalysis.novelty _),
+    "t20_pii_scrub" -> (Curation.piiScrub _),
+    "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
+      Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
@@ -86,6 +90,7 @@ object Extensions {
     "x10_serving_card" -> (Merge.servingCard _),
     "x11_mixture_sample" -> (Curation.mixtureSample _),
     "x12_chunking" -> (Curation.chunks _),
+    "x13_snapshot_diff" -> (Merge.snapshotDiff _),
     "z01_zorder" -> (Layout.zorderKeys _),
   )
 
@@ -221,6 +226,25 @@ object Extensions {
       escored AS (SELECT ida, idb, ${cos("sa.embedding", "sb.embedding")} AS cs
                   FROM ecand JOIN embeddings sa ON ida = sa.vec_id
                              JOIN embeddings sb ON idb = sb.vec_id)"""
+
+  /** CTE chain ending in `mpairs(ida, idb, rank_ab, rank_ba, cs)` —
+    * the mutual-k-NN edges (both directions inside the per-vector
+    * top-3 of the s09 graph), shared by s10 (edge output) and s11
+    * (connected components over the edges) so the two oracles cannot
+    * drift. Mirrors [[graft.operators.Similarity.mutualKnn]]. */
+  private lazy val mutualKnnCtes = s"""$embScoredCtes,
+      kedges AS (SELECT ida AS vec_id, idb AS neighbor_id, cs FROM escored
+                 UNION ALL
+                 SELECT idb AS vec_id, ida AS neighbor_id, cs FROM escored),
+      g AS (SELECT vec_id, neighbor_id, cs,
+              row_number() OVER
+                (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rank
+            FROM kedges QUALIFY rank <= 3),
+      mpairs AS (SELECT f.vec_id AS ida, f.neighbor_id AS idb,
+                   f.rank AS rank_ab, r.rank AS rank_ba, f.cs
+                 FROM g f JOIN g r
+                   ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+                 WHERE f.vec_id < f.neighbor_id)"""
 
   /** x07/x08/x09 oracle bodies, extracted so the x10 composition
     * embeds the exact same SQL (no drift between the standalone
@@ -440,22 +464,21 @@ object Extensions {
     // symmetrization of the s09 graph: keep (a,b) only when both
     // directions survive the per-vector top-3 rank window
     "s10_mutual_knn" -> s"""
-      WITH $embScoredCtes,
-      edges AS (SELECT ida AS vec_id, idb AS neighbor_id, cs FROM escored
-                UNION ALL
-                SELECT idb AS vec_id, ida AS neighbor_id, cs FROM escored),
-      g AS (SELECT vec_id, neighbor_id, cs,
-              row_number() OVER
-                (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rank
-            FROM edges QUALIFY rank <= 3)
-      SELECT f.vec_id AS ida, f.neighbor_id AS idb,
-        CAST(f.rank AS INTEGER) AS rank_ab,
-        CAST(r.rank AS INTEGER) AS rank_ba,
-        CAST(floor(f.cs * 1000000) AS BIGINT) AS cs_e6
-      FROM g f JOIN g r
-        ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
-      WHERE f.vec_id < f.neighbor_id
+      WITH $mutualKnnCtes
+      SELECT ida, idb,
+        CAST(rank_ab AS INTEGER) AS rank_ab,
+        CAST(rank_ba AS INTEGER) AS rank_ba,
+        CAST(floor(cs * 1000000) AS BIGINT) AS cs_e6
+      FROM mpairs
       ORDER BY ida, idb""",
+    // s11: connected components over the s10 mutual edges — the
+    // "topic" grouping of SemDeDup-style curation (components of
+    // reciprocated top-k edges, no absolute cosine bar)
+    "s11_knn_components" -> s"""
+      WITH RECURSIVE $mutualKnnCtes,${ccOverPairs("mpairs")}
+      SELECT id AS vec_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+      FROM lab ORDER BY vec_id""",
     "d09_embedding_clusters" -> s"""
       WITH RECURSIVE $embScoredCtes,
       epairs AS (SELECT ida, idb FROM escored WHERE cs >= 0.4),${ccOverPairs("epairs")}
@@ -866,6 +889,31 @@ object Extensions {
           // count(*) AS novelty_e6
       FROM ex e JOIN df ON e.h = df.h
       GROUP BY e.doc_id ORDER BY doc_id""",
+    // identifier-run redaction + deterministic pseudonym; same
+    // char-class regex both engines (Curation.IdRunRegex), 'g' flag
+    // mirrors Spark regexp_replace's replace-all default
+    "t20_pii_scrub" -> s"""
+      SELECT src, entity_id,
+        CAST(len(regexp_extract_all(nm, '${Curation.IdRunRegex}'))
+          AS INTEGER) AS n_id_runs,
+        regexp_replace(nm, '${Curation.IdRunRegex}', '<ID>', 'g') AS redacted,
+        md5(nm) AS pseudonym
+      FROM (SELECT 'customer' AS src, c_custkey AS entity_id, c_name AS nm
+              FROM customer
+            UNION ALL
+            SELECT 'supplier', s_suppkey, s_name FROM supplier)
+      ORDER BY src, entity_id""",
+    // fixed-width balance buckets (not rank deciles) so class sizes
+    // are shard-reproducible; k = 5 mirrors Curation.kAnonymity
+    "t21_k_anonymity" -> """
+      SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        count(*) AS class_sz,
+        CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS INTEGER)
+          AS k_anonymous
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, bal_bucket
+      ORDER BY c_nationkey, c_mktsegment, bal_bucket""",
     // ANALYZE-style column stats; same integer-coded projections as
     // the Spark melt (prices in cents so the long encoding is lossless)
     "t16_profile" -> """
@@ -1120,5 +1168,25 @@ object Extensions {
       SELECT doc_id, chunk_idx, chunk_idx * ${Curation.ChunkStride} AS start_tok,
         len(ck) AS n_toks, md5(array_to_string(ck, ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_idx""",
+    // version diff over the deterministically-derived old/new order
+    // snapshots (drop ≡3, ≡7 (mod 10) resp.; ≡0 (mod 5) +500 cents);
+    // integer-cents comparison, unchanged rows excluded
+    "x13_snapshot_diff" -> """
+      WITH o AS (SELECT o_orderkey,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders),
+      old AS (SELECT * FROM o WHERE o_orderkey % 10 <> 3),
+      nw AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN price_c + 500
+                    ELSE price_c END AS price_c
+             FROM o WHERE o_orderkey % 10 <> 7),
+      d AS (SELECT COALESCE(old.o_orderkey, nw.o_orderkey) AS o_orderkey,
+              old.price_c AS old_price_c, nw.price_c AS new_price_c,
+              CASE WHEN old.price_c IS NULL THEN 'added'
+                   WHEN nw.price_c IS NULL THEN 'removed'
+                   WHEN old.price_c <> nw.price_c THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey)
+      SELECT * FROM d WHERE status <> 'unchanged' ORDER BY o_orderkey""",
   )
 }

@@ -185,6 +185,66 @@ class CurationSpec extends AnyFunSuite {
       s"z-order touched $zChunks chunks vs t-sort $tChunks / v-sort $vChunks")
   }
 
+  test("pii scrub removes every digit run and pseudonymizes injectively") {
+    val rows = Curation.piiScrub(spark, dir).collect()
+    val nCust = graft.engine.Tables.t(spark, dir, "customer").count()
+    val nSupp = graft.engine.Tables.t(spark, dir, "supplier").count()
+    assert(rows.length == nCust + nSupp)
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(!red.matches(s".*${Curation.IdRunRegex}.*"),
+        s"digit run survives redaction: $red")
+      assert(r.getAs[Int]("n_id_runs") >= 1,
+        "every fixture entity name carries an id run")
+    }
+    // distinct names → distinct pseudonyms (md5 collision-free here),
+    // and the pseudonym must not leak the redacted-away digits
+    val ps = rows.map(_.getAs[String]("pseudonym"))
+    assert(ps.distinct.length == ps.length)
+    assert(ps.forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("k-anonymity classes partition customers; flag matches k=5") {
+    val rows = Curation.kAnonymity(spark, dir).collect()
+    val nCust = graft.engine.Tables.t(spark, dir, "customer").count()
+    assert(rows.map(_.getAs[Long]("class_sz")).sum == nCust,
+      "equivalence classes must partition the table")
+    rows.foreach { r =>
+      assert((r.getAs[Long]("class_sz") >= 5) ==
+        (r.getAs[Int]("k_anonymous") == 1))
+    }
+    // the quasi-identifier tuple is unique per output row
+    val keys = rows.map(r => (r.getAs[Int]("c_nationkey"),
+      r.getAs[String]("c_mktsegment"), r.getAs[Long]("bal_bucket")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("snapshot diff classifies exactly the constructed deltas") {
+    val rows = graft.operators.Merge.snapshotDiff(spark, dir).collect()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      r.getAs[String]("status") match {
+        case "added" =>
+          assert(k % 10 == 3 && k % 10 != 7, s"added key $k not mod-3")
+          assert(r.isNullAt(r.fieldIndex("old_price_c")))
+        case "removed" =>
+          assert(k % 10 == 7, s"removed key $k not mod-7")
+          assert(r.isNullAt(r.fieldIndex("new_price_c")))
+        case "changed" =>
+          assert(k % 5 == 0 && k % 10 != 3 && k % 10 != 7)
+          assert(r.getAs[Long]("new_price_c") ==
+            r.getAs[Long]("old_price_c") + 500)
+        case other => fail(s"unexpected status $other")
+      }
+    }
+    // completeness: every key the construction perturbs is reported
+    val expect = graft.engine.Tables.t(spark, dir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+      .filter(k => k % 10 == 3 || k % 10 == 7 ||
+        (k % 5 == 0 && k % 10 != 3 && k % 10 != 7)).toSet
+    assert(rows.map(_.getAs[Long]("o_orderkey")).toSet == expect)
+  }
+
   test("q43 CTE threshold really is the mean (brute-force cross-check)") {
     val all = spark.sql("""
       SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev

@@ -772,6 +772,33 @@ class OperatorsSpec extends AnyFunSuite {
       == expected, "mutual edge set differs from the naive filter")
   }
 
+  test("knn components label exactly the mutual-graph components") {
+    val edges = Similarity.mutualKnn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")))
+    val got = DupCluster.knnComponents(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_sz")))
+    // naive union-find over the same edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expLabel = members.map(v => v -> find(v)).toMap
+    val expSize = expLabel.groupBy(_._2).map { case (c, m) => c -> m.size }
+    assert(got.map(_._1).toSet == members.toSet,
+      "component membership differs from the mutual-edge vertex set")
+    got.foreach { case (v, c, sz) =>
+      assert(c == expLabel(v), s"vec $v labeled $c, expected ${expLabel(v)}")
+      assert(sz == expSize(c), s"cluster $c size $sz, expected ${expSize(c)}")
+    }
+  }
+
   test("chunking covers every token with the declared overlap geometry") {
     val byDoc = Curation.chunks(spark, dir).collect()
       .groupBy(_.getAs[Long]("doc_id"))

@@ -279,6 +279,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** i03: BM25 ranked retrieval for the standing query-term set
+    * ([[Similarity.HybridQueryTerms]]) — the scoring function every
+    * lexical retrieval stack uses, in a log-free exact-integer form
+    * so the gate compares bit-for-bit with no transcendental-libm
+    * drift between engines. With k1 = 1.2, b = 0.75 the classic
+    * tf-saturation term clears to integers (multiply through by
+    * 10·L, with avgdl = L/N):
+    *
+    *   tfpart = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *          = 22·tf·L / (10·tf·L + 3·L + 9·dl·N)
+    *
+    * and the idf uses the Robertson–Sparck-Jones *ratio*
+    * (2(N−df)+1)/(2df+1) instead of its log — per-term this is a
+    * monotone transform of the log idf, so weighting still rises as
+    * df falls; the additive-combination semantics differ from the
+    * log form (documented trade for exact-integer gating — swapping
+    * in `ln` is a one-expression change the plan shape is agnostic
+    * to). Intermediates ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    * so the scaled products are exact far past sf1000 (q48's lesson).
+    *
+    * Scale shape: one token fan-out feeds both the corpus-stat
+    * aggregate (1-row broadcast) and the (doc, term) tf groupBy over
+    * QUERY-TERM hits only (the filter lands before the explode, so
+    * the shuffled volume is matches, not the corpus token stream);
+    * df is a broadcast-sized aggregate over the matched set; the
+    * top-100 is TakeOrderedAndProject — per-partition local top-k,
+    * never a full sort. */
+  def bm25(s: SparkSession, dir: String, shortlist: Int = 100): DataFrame = {
+    val termsIn = Similarity.HybridQueryTerms
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+    val base = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        expr(s"filter(tk, x -> x IN $termsIn)").as("qtk"))
+      .persist() // feeds the corpus stats AND the per-doc tf counts
+    val stats = base.agg(count(lit(1)).as("nn"), sum("dl").as("ll"))
+    val tf = base.filter(size(col("qtk")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("""cast((cast(22 as decimal(38,0)) * tf * ll * 1000000)
+             div (cast(10 as decimal(38,0)) * tf * ll
+                + cast(3 as decimal(38,0)) * ll
+                + cast(9 as decimal(38,0)) * dl * nn) as long)""")
+          .as("tfpart_e6"),
+        expr("""cast((cast(2 as decimal(38,0)) * (nn - df) + 1) * 1000000
+             div (2 * df + 1) as long)""").as("idf_e6"))
+      .select(col("doc_id"),
+        expr("""cast((cast(tfpart_e6 as decimal(38,0)) * idf_e6)
+             div 1000000 as long)""").as("contrib_e6"))
+    val sc = contrib.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_matched"),
+        sum("contrib_e6").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(shortlist)
+    sc.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e6").desc, col("doc_id"))))
+      .orderBy("rank")
+  }
+
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"),

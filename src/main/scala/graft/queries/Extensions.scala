@@ -43,6 +43,7 @@ object Extensions {
     "d07_keep_best" -> (DupCluster.keepBest _),
     "i01_inverted_index" -> (TextAnalysis.invertedIndex _),
     "i02_phrase_search" -> (TextAnalysis.phraseSearch _),
+    "i03_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -416,6 +417,35 @@ object Extensions {
       SELECT doc_id, w1, w2, count(*) AS n_occ
       FROM dp JOIN top USING (w1, w2)
       GROUP BY doc_id, w1, w2 ORDER BY doc_id""",
+    // log-free exact-integer BM25 (k1=1.2, b=0.75 cleared of
+    // denominators; RSJ ratio idf) — HUGEINT intermediates mirror the
+    // Spark side's DECIMAL(38,0)
+    "i03_bm25" -> s"""
+      WITH $tkCte,
+      base AS (SELECT doc_id, len(tk)::BIGINT AS dl,
+                 list_filter(tk, x -> list_contains(
+                   ['hash', 'join', 'table', 'scan'], x)) AS qtk
+               FROM tk),
+      stats AS (SELECT count(*) AS nn, sum(dl) AS ll FROM base),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(qtk) AS term FROM base
+                   WHERE len(qtk) > 0) u
+             GROUP BY doc_id, dl, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      contrib AS (SELECT doc_id,
+          ((22::HUGEINT * tf * ll * 1000000)
+            // (10::HUGEINT * tf * ll + 3::HUGEINT * ll
+               + 9::HUGEINT * dl * nn)
+           * ((2::HUGEINT * (nn - df) + 1) * 1000000 // (2 * df + 1)))
+            // 1000000 AS contrib_e6
+        FROM tf JOIN dfq USING (term), stats),
+      sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
+               CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+             FROM contrib GROUP BY doc_id)
+      SELECT doc_id, n_matched, score_e6,
+        CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS INTEGER)
+          AS rank
+      FROM sc QUALIFY rank <= 100 ORDER BY rank""",
     "d04_dedup_simhash" -> s"""
       WITH $tkCte,
       hs AS (SELECT doc_id, [${rh("t", 4294967296L)} for t in tk] AS hv FROM tk),

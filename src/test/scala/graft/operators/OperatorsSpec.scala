@@ -772,6 +772,39 @@ class OperatorsSpec extends AnyFunSuite {
       == expected, "mutual edge set differs from the naive filter")
   }
 
+  test("bm25 ranking matches a brute-force integer recomputation") {
+    val got = TextAnalysis.bm25(spark, dir).collect()
+    assert(got.nonEmpty)
+    // recompute from raw tokens with plain BigInt arithmetic
+    val docs = graft.engine.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val qset = Similarity.HybridQueryTerms.toSet
+    val nn = BigInt(docs.length)
+    val ll = BigInt(docs.map(_._2.length.toLong).sum)
+    val tf = docs.flatMap { case (id, tk) =>
+      tk.filter(qset).groupBy(identity).map { case (t, o) =>
+        (id, t, BigInt(o.size), BigInt(tk.length)) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, rows) => t -> BigInt(rows.length) }
+    val scores = tf.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map { case (_, t, f, dl) =>
+        val tfpart = (BigInt(22) * f * ll * 1000000) /
+          (BigInt(10) * f * ll + BigInt(3) * ll + BigInt(9) * dl * nn)
+        val idf = ((BigInt(2) * (nn - df(t)) + 1) * 1000000) /
+          (BigInt(2) * df(t) + 1)
+        tfpart * idf / 1000000
+      }.sum
+    }
+    val expTop = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      .take(100)
+    got.zip(expTop).foreach { case (r, (id, sc)) =>
+      assert(r.getAs[Long]("doc_id") == id && BigInt(r.getAs[Long]("score_e6")) == sc,
+        s"rank ${r.getAs[Int]("rank")}: got (${r.getAs[Long]("doc_id")}, " +
+          s"${r.getAs[Long]("score_e6")}), expected ($id, $sc)")
+    }
+  }
+
   test("knn components label exactly the mutual-graph components") {
     val edges = Similarity.mutualKnn(spark, dir).collect()
       .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")))

@@ -279,6 +279,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t22: collocation mining — bigrams whose observed frequency beats
+    * the independence expectation, scored by exact-integer *lift*:
+    * lift = P(w1 w2) / (P(w1 ·)·P(· w2)) = c12·T / (c1x·cx2), with T
+    * the corpus bigram total, c1x/cx2 the positional marginals. Lift
+    * is the exp of PMI, so ranking by it IS ranking by PMI — with the
+    * log dropped the gate needs no transcendentals (same trade as
+    * i03's idf; a consumer wanting the PMI value applies log2 to
+    * lift_e6/1e6 client-side). A min-support floor (c12 ≥ 5) drops
+    * the noise pairs every collocation extractor filters.
+    *
+    * Scale shape: one bigram explosion into a vocab²-bound partial
+    * agg; the marginals and total derive from the AGGREGATE (vocab-
+    * bound, broadcast back), never from the token stream — so however
+    * large the corpus, everything after the first groupBy is
+    * dictionary-sized. Output is vocab²-bound, not corpus-bound. */
+  def collocations(s: SparkSession, dir: String, minSupport: Long = 5)
+      : DataFrame = {
+    val pair = docs(s, dir)
+      .select(tokens(col("text")).as("tk"))
+      .select(explode(expr(bigramsExpr("tk"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist() // vocab²-bound; feeds the marginals AND the output
+    val first = pair.groupBy("w1").agg(sum("c12").as("c1x"))
+    val second = pair.groupBy("w2").agg(sum("c12").as("cx2"))
+    val tot = pair.agg(sum("c12").as("tt"))
+    pair.filter(col("c12") >= minSupport)
+      .join(broadcast(first), "w1")
+      .join(broadcast(second), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        // DECIMAL(38,0): c12·T·1e6 tops BIGINT past ~sf1 (q48's rule)
+        expr("""cast((cast(c12 as decimal(38,0)) * tt * 1000000)
+             div (cast(c1x as decimal(38,0)) * cx2) as long)""")
+          .as("lift_e6"))
+      .orderBy("w1", "w2")
+  }
+
   /** i03: BM25 ranked retrieval for the standing query-term set
     * ([[Similarity.HybridQueryTerms]]) — the scoring function every
     * lexical retrieval stack uses, in a log-free exact-integer form

@@ -75,6 +75,8 @@ object Extensions {
     "t18_lm_score" -> (TextAnalysis.lmScore _),
     "t19_novelty" -> (TextAnalysis.novelty _),
     "t20_pii_scrub" -> (Curation.piiScrub _),
+    "t22_collocations" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.collocations(s, d)),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
@@ -933,6 +935,19 @@ object Extensions {
             UNION ALL
             SELECT 'supplier', s_suppkey, s_name FROM supplier)
       ORDER BY src, entity_id""",
+    // exact-integer lift (exp of PMI) over the t17 bigram aggregate;
+    // positional marginals and total from the aggregate, support ≥ 5
+    "t22_collocations" -> s"""
+      WITH $bigramCtes,
+      fst AS (SELECT w1, sum(c12) AS c1x FROM pair GROUP BY 1),
+      snd AS (SELECT w2, sum(c12) AS cx2 FROM pair GROUP BY 1),
+      tot AS (SELECT sum(c12) AS tt FROM pair)
+      SELECT w1, w2, c12,
+        CAST((c12::HUGEINT * tt * 1000000) // (c1x::HUGEINT * cx2)
+          AS BIGINT) AS lift_e6
+      FROM pair JOIN fst USING (w1) JOIN snd USING (w2), tot
+      WHERE c12 >= 5
+      ORDER BY w1, w2""",
     // fixed-width balance buckets (not rank deciles) so class sizes
     // are shard-reproducible; k = 5 mirrors Curation.kAnonymity
     "t21_k_anonymity" -> """

@@ -772,6 +772,29 @@ class OperatorsSpec extends AnyFunSuite {
       == expected, "mutual edge set differs from the naive filter")
   }
 
+  test("collocation lift matches a brute-force integer recomputation") {
+    val got = TextAnalysis.collocations(spark, dir).collect()
+    assert(got.nonEmpty)
+    val bigrams = graft.engine.Tables.t(spark, dir, "documents")
+      .select(TextHash.tokens(col("text")).as("tk")).collect()
+      .flatMap(r => r.getSeq[String](0).sliding(2).filter(_.length == 2)
+        .map(p => (p.head, p(1))).toSeq)
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> BigInt(v.length) }
+    val c1x = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val cx2 = c12.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val tt = BigInt(bigrams.length)
+    val exp = c12.filter(_._2 >= 5).map { case ((w1, w2), c) =>
+      (w1, w2) -> (c, c * tt * 1000000 / (c1x(w1) * cx2(w2)))
+    }
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val (ec, el) = exp(k)
+      assert(BigInt(r.getAs[Long]("c12")) == ec &&
+        BigInt(r.getAs[Long]("lift_e6")) == el, s"mismatch at $k")
+    }
+  }
+
   test("bm25 ranking matches a brute-force integer recomputation") {
     val got = TextAnalysis.bm25(spark, dir).collect()
     assert(got.nonEmpty)

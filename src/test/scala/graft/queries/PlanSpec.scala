@@ -283,7 +283,9 @@ class PlanSpec extends AnyFunSuite {
       "z01_zorder", // 1-row min-hour scalar
       "q20_scalar_subquery", "q43_cte", // 1-row aggregate scalar compare
       "q40_range_join", // broadcast static band dim, range condition
-      "x10_serving_card" // 1-row card-stats scalar
+      "x10_serving_card", // 1-row card-stats scalar
+      "i03_bm25", // 1-row corpus-stats (N, L) scalar crossJoin
+      "t22_collocations" // 1-row bigram-total scalar crossJoin
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

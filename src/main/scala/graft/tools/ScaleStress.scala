@@ -118,6 +118,11 @@ object ScaleStress {
     val d06Rounds = DupCluster.lastFixpointRounds
     val d09Rows = DupCluster.embeddingClusters(spark, dir).count()
     val d09Rounds = DupCluster.lastFixpointRounds
+    // s11: CC over the mutual-kNN graph — edge set is ≤ n·k/2 by
+    // construction, so rounds AND edges must stay tame as n grows
+    val s11Edges = graft.operators.Similarity.mutualKnn(spark, dir).count()
+    val s11Rows = DupCluster.knnComponents(spark, dir).count()
+    val s11Rounds = DupCluster.lastFixpointRounds
 
     val d02Rows = Dedup.jaccardPairs(spark, dir,
       maxShingleDf = Some(Dedup.JaccardDfCap)).count()
@@ -138,9 +143,10 @@ object ScaleStress {
       s"""{"dir":"$dir","cand":{"d02":$d02,"d03":$d03,"d04":$d04,""" +
         s""""d08":$d08,"d11":$d11},""" +
         s""""d13":{"boiler_blocks":$d13Boiler,"doc_hits":$d13Hits},""" +
-        s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds},""" +
+        s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds,"s11":$s11Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +
-        s""""d08":$d08Rows,"d09":$d09Rows}$exactJson}""")
+        s""""d08":$d08Rows,"d09":$d09Rows,"s11":$s11Rows,""" +
+        s""""s11_edges":$s11Edges}$exactJson}""")
     spark.stop()
   }
 }

@@ -201,7 +201,12 @@ object Similarity {
     * run as a per-shard partial top-k merge at 100 TB. Deterministic
     * tie-break (cs desc, neighbor asc) keeps the oracle exact. */
   def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val scored = bucketedScoredPairs(s, dir)
+    // persisted: the symmetrizing union reads the scored pairs twice,
+    // and mutualKnn's reciprocity self-join reads the whole graph
+    // twice more — without this the candidate join + cosine rerank
+    // would re-execute per read (same idiom + lifetime caveat as the
+    // persists inside bucketedScoredPairs)
+    val scored = bucketedScoredPairs(s, dir).persist()
     val edges = scored.select(
         col("ida").as("vec_id"), col("idb").as("neighbor_id"), col("cs"))
       .union(scored.select(
@@ -231,7 +236,10 @@ object Similarity {
     * undirected mutual edge (ida < idb) carrying both directions'
     * ranks, so downstream consumers keep the asymmetry information. */
   def mutualKnn(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val g = knnGraph(s, dir, k)
+    // persisted: both sides of the reciprocity join read the ranked
+    // graph — n·k rows, so the cache is tiny and the rank window runs
+    // once instead of twice
+    val g = knnGraph(s, dir, k).persist()
     g.as("f").join(g.as("r"),
         col("f.vec_id") === col("r.neighbor_id") &&
           col("f.neighbor_id") === col("r.vec_id"))

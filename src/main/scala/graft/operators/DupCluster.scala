@@ -179,9 +179,46 @@ object DupCluster {
     * Singleton vectors (no reciprocated edge) are deliberately absent,
     * matching d06/d09's members-only convention. */
   def knnComponents(s: SparkSession, dir: String): DataFrame =
-    clustersOf(
-      fixpointLabels(Similarity.mutualKnn(s, dir).select("ida", "idb")),
-      "vec_id")
+    clustersOf(computeKnnLabels(s, dir), "vec_id")
+
+  /** Mutual-kNN labels for (session, dir), memoized for
+    * [[semanticReps]] exactly as [[lastLabels]] serves d07. */
+  @volatile private var lastKnnLabels
+      : Option[(SparkSession, String, DataFrame)] = None
+
+  private def computeKnnLabels(s: SparkSession, dir: String): DataFrame = {
+    val labels =
+      fixpointLabels(Similarity.mutualKnn(s, dir).select("ida", "idb"))
+    lastKnnLabels = Some((s, dir, labels))
+    labels
+  }
+
+  /** s12: semantic-representative selection — one vector per s11
+    * topic component, largest L2 norm (ties to the smallest vec_id).
+    * This is the pruning half of SemDeDup-style curation: [[
+    * knnComponents]] groups, this picks what survives; together they
+    * turn the mutual-kNN graph into a downsampled corpus. Same
+    * quality-window shape as d10 (any per-vector score slots into
+    * the window); reuses a same-session/dir labels frame when s11
+    * already ran, so the iterative fixpoint is paid once. */
+  def semanticReps(s: SparkSession, dir: String): DataFrame = {
+    val labels = lastKnnLabels match {
+      case Some((`s`, `dir`, l)) => l
+      case _ => computeKnnLabels(s, dir)
+    }
+    val cl = clustersOf(labels, "vec_id")
+    val nr = Similarity.vecNorms(s, dir)
+      .select(col("vec_id"),
+        floor(col("nrm") * 1000000).cast("long").as("norm_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("norm_e6").desc, col("vec_id"))
+    cl.join(nr, "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("vec_id").as("rep_vec_id"),
+        col("cluster_sz"), col("norm_e6").as("rep_norm_e6"))
+      .orderBy("cluster_id")
+  }
 
   /** d10: canonical-vector selection per embedding cluster — keep the
     * member with the largest L2 norm (ties to the smallest vec_id),

@@ -55,6 +55,7 @@ object Extensions {
     "s09_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "s10_mutual_knn" -> ((s: SparkSession, d: String) => Similarity.mutualKnn(s, d)),
     "s11_knn_components" -> (DupCluster.knnComponents _),
+    "s12_semantic_reps" -> (DupCluster.semanticReps _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -511,6 +512,22 @@ object Extensions {
       SELECT id AS vec_id, cluster_id,
         count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
       FROM lab ORDER BY vec_id""",
+    // s12: one largest-norm representative per s11 topic (SemDeDup's
+    // pruning half) — d10's window rule over the mutual-graph labels
+    "s12_semantic_reps" -> s"""
+      WITH RECURSIVE $mutualKnnCtes,${ccOverPairs("mpairs")}
+      , sz AS (SELECT id AS vec_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+               FROM lab),
+      nr AS (SELECT vec_id,
+               CAST(floor(sqrt(${dot("embedding", "embedding")}) * 1000000)
+                 AS BIGINT) AS norm_e6
+             FROM embeddings)
+      SELECT cluster_id, vec_id AS rep_vec_id, cluster_sz, norm_e6 AS rep_norm_e6
+      FROM (SELECT sz.*, nr.norm_e6, row_number() OVER
+              (PARTITION BY cluster_id ORDER BY nr.norm_e6 DESC, sz.vec_id) AS rn
+            FROM sz JOIN nr USING (vec_id)) z
+      WHERE rn = 1 ORDER BY cluster_id""",
     "d09_embedding_clusters" -> s"""
       WITH RECURSIVE $embScoredCtes,
       epairs AS (SELECT ida, idb FROM escored WHERE cs >= 0.4),${ccOverPairs("epairs")}

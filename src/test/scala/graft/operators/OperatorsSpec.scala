@@ -855,6 +855,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic reps pick the max-norm member of each knn component") {
+    val comps = DupCluster.knnComponents(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_sz")))
+    val norms = Similarity.vecNorms(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        math.floor(r.getAs[Double]("nrm") * 1000000).toLong).toMap
+    val reps = DupCluster.semanticReps(spark, dir).collect()
+    val byCluster = comps.groupBy(_._2._1)
+    assert(reps.length == byCluster.size, "one rep per component")
+    reps.foreach { r =>
+      val c = r.getAs[Long]("cluster_id")
+      val members = byCluster(c).map(_._1)
+      val best = members.map(v => (-norms(v), v)).min._2
+      assert(r.getAs[Long]("rep_vec_id") == best,
+        s"cluster $c rep ${r.getAs[Long]("rep_vec_id")} != max-norm $best")
+      assert(r.getAs[Long]("cluster_sz") == members.length)
+      assert(r.getAs[Long]("rep_norm_e6") == norms(best))
+    }
+  }
+
   test("chunking covers every token with the declared overlap geometry") {
     val byDoc = Curation.chunks(spark, dir).collect()
       .groupBy(_.getAs[Long]("doc_id"))

@@ -250,6 +250,38 @@ object Similarity {
       .orderBy("ida", "idb")
   }
 
+  /** s13: kNN degree / hubness report — per vector with a neighbor
+    * list: its out-degree (list size ≤ k), in-degree (how many other
+    * lists it appears in), and mutual degree (reciprocated edges).
+    * In-degree is the hubness measure: high-dimensional kNN graphs
+    * concentrate in-links on a few "hub" vectors (Radovanović et al.,
+    * JMLR 2010), and hubs with `in_deg` far above k contribute noise
+    * edges to every consumer — exactly what the s10 mutual filter
+    * removes (its effect is visible here as `mutual_deg ≪ in_deg` on
+    * hubs). The `is_hub` flag marks `in_deg > 2k`.
+    *
+    * Scale shape: every aggregate groups the n·k edge frame by an id
+    * key (one shuffle each over n·k rows); the reciprocity join is
+    * the same n·k equi-self-join as s10. Nothing corpus-quadratic. */
+  def knnDegrees(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val g = knnGraph(s, dir, k).persist()
+    val outd = g.groupBy("vec_id").agg(count(lit(1)).as("out_deg"))
+    val ind = g.groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    val mdeg = g.as("f").join(g.as("r"),
+        col("f.vec_id") === col("r.neighbor_id") &&
+          col("f.neighbor_id") === col("r.vec_id"))
+      .select(col("f.vec_id").as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("mutual_deg"))
+    outd.join(ind, Seq("vec_id"), "left")
+      .join(mdeg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"),
+        (coalesce(col("in_deg"), lit(0L)) > 2 * k).cast("int").as("is_hub"))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force cosine top-k: queries (vec_id < 10) against the whole
     * corpus. The query side is tiny → broadcast; the corpus streams
     * through one narrow stage; ranking shuffles only (q, k) rows. */

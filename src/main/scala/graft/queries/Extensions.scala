@@ -56,6 +56,8 @@ object Extensions {
     "s10_mutual_knn" -> ((s: SparkSession, d: String) => Similarity.mutualKnn(s, d)),
     "s11_knn_components" -> (DupCluster.knnComponents _),
     "s12_semantic_reps" -> (DupCluster.semanticReps _),
+    "s13_knn_degrees" -> ((s: SparkSession, d: String) =>
+      Similarity.knnDegrees(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -549,6 +551,25 @@ object Extensions {
               (PARTITION BY cluster_id ORDER BY nr.norm_e6 DESC, sz.vec_id) AS rn
             FROM sz JOIN nr USING (vec_id)) z
       WHERE rn = 1 ORDER BY cluster_id""",
+    // s13: out/in/mutual degree per listed vector; hub = in_deg > 2k
+    // (the hubness diagnostic that motivates the s10 mutual filter)
+    "s13_knn_degrees" -> s"""
+      WITH $mutualKnnCtes,
+      outd AS (SELECT vec_id, count(*) AS out_deg FROM g GROUP BY 1),
+      ind AS (SELECT neighbor_id AS vec_id, count(*) AS in_deg
+              FROM g GROUP BY 1),
+      md AS (SELECT vec_id, count(*) AS mutual_deg FROM
+               (SELECT ida AS vec_id FROM mpairs
+                UNION ALL SELECT idb FROM mpairs) u
+             GROUP BY 1)
+      SELECT o.vec_id, o.out_deg,
+        COALESCE(i.in_deg, 0) AS in_deg,
+        COALESCE(m.mutual_deg, 0) AS mutual_deg,
+        CAST(CASE WHEN COALESCE(i.in_deg, 0) > 6 THEN 1 ELSE 0 END
+          AS INTEGER) AS is_hub
+      FROM outd o LEFT JOIN ind i USING (vec_id)
+        LEFT JOIN md m USING (vec_id)
+      ORDER BY o.vec_id""",
     "s01_ann_topk" -> s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                  FROM embeddings WHERE vec_id < 10),

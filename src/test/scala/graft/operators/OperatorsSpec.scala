@@ -855,6 +855,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn degrees tally the graph's edges; hubs shed mutual links") {
+    val g = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+    val m = Similarity.mutualKnn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")))
+    val rows = Similarity.knnDegrees(spark, dir).collect()
+    val outExp = g.groupBy(_._1).map { case (v, e) => v -> e.length }
+    val inExp = g.groupBy(_._2).map { case (v, e) => v -> e.length }
+    val mExp = m.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, e) => v -> e.length }
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == outExp.keySet)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("out_deg") == outExp(v))
+      assert(r.getAs[Long]("in_deg") == inExp.getOrElse(v, 0))
+      assert(r.getAs[Long]("mutual_deg") == mExp.getOrElse(v, 0))
+      assert((r.getAs[Int]("is_hub") == 1) == (inExp.getOrElse(v, 0) > 6))
+      // a reciprocated edge needs both directions present
+      assert(r.getAs[Long]("mutual_deg") <=
+        math.min(r.getAs[Long]("out_deg"), r.getAs[Long]("in_deg")))
+    }
+    // degree conservation: Σ out = Σ in = |edges|
+    assert(rows.map(_.getAs[Long]("out_deg")).sum == g.length)
+    assert(rows.map(_.getAs[Long]("in_deg")).sum == g.length)
+  }
+
   test("semantic reps pick the max-norm member of each knn component") {
     val comps = DupCluster.knnComponents(spark, dir).collect()
       .map(r => r.getAs[Long]("vec_id") ->

@@ -161,9 +161,18 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR…)
     // would render 8.496 as "8,496" and break the JSON parse this
     // line exists for
+    // 10 ms resolution with trailing zeros trimmed ("1.20"→"1.2",
+    // "3.00"→"3") — host noise is orders of magnitude above 10 ms and
+    // BENCH_DETAIL.json keeps full precision; the saved chars keep the
+    // line inside the driver's stdout tail window as queries grow
+    // (budgeted by ContractSpec).
     def fmt(v: Double): String =
       if (v < 0) "-1"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      else {
+        val t = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+          .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        if (t.isEmpty) "0" else t // "0.00" trims to "" otherwise
+      }
     def jsonObj[A](pairs: Seq[(String, A)])(render: A => String): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + render(v) }
         .mkString("{", ",", "}")

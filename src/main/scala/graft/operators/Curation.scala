@@ -235,6 +235,55 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** x14: temperature-based mixture sampling (α = 0.5) — the standard
+    * multilingual rebalance: language ℓ keeps
+    * rate_ℓ ∝ share_ℓ^α / share_ℓ, i.e. its allocation in the target
+    * mix is proportional to √n_ℓ, boosting low-resource languages
+    * without flattening completely (x11's equal quota is the α → 0
+    * limit; the `lang` dimension is the skewed one in this corpus —
+    * `source` is uniform by construction, which would make every rate
+    * equal and the operator indistinguishable from a plain sample).
+    * Target size is half the corpus, like x11.
+    *
+    * Everything is exact integer arithmetic for the oracle: the weight
+    * is floor(√n_s · 1000) — `sqrt` is IEEE correctly-rounded in both
+    * engines (the one transcendental this repo allows, precedent
+    * s12's norm) and the floor makes it an integer before the
+    * order-sensitive summation — so Σw is an associative integer sum,
+    * and rate_e6 = min(1e6, (1e6·(N div 2)·w_s) div (Σw·n_s)) is one
+    * integer expression. The keep decision `P3-hash(text) % 1e6 <
+    * rate_e6` is content-addressed (stable under re-crawls) and
+    * decorrelated from the t07 split and the x11 quota rank. The
+    * numerator fits a long through ~1e9 docs; past that the same
+    * expression runs in DECIMAL(38,0).
+    *
+    * Scale shape: per-source stats are a partial-agg groupBy on
+    * ~|sources| keys; the rate table is a broadcast equi-join back on
+    * `source`; the corpus-total pair travels as a 1-row broadcast
+    * scalar (the x-family convention). One wide pass, no corpus
+    * shuffle. */
+  def temperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        (expr(rollingHashExpr("t", P3)) % 1000000L).as("hm"))
+    val perLang = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("w", floor(sqrt(col("n_lang")) * 1000).cast("long"))
+    val tot = perLang.agg(sum(col("n_lang")).as("n_total"),
+      sum(col("w")).as("sw"))
+    val rates = perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_lang"),
+        least(lit(1000000L),
+          expr("(1000000L * (n_total div 2L) * w) div (sw * n_lang)"))
+          .as("rate_e6"))
+    d.join(broadcast(rates), "lang")
+      .withColumn("keep", (col("hm") < col("rate_e6")).cast("int"))
+      .groupBy("lang")
+      .agg(max(col("n_lang")).as("n_docs"), max(col("rate_e6")).as("rate_e6"),
+        sum(col("keep")).cast("long").as("n_sampled"))
+      .orderBy("lang")
+  }
+
   /** x12 chunk geometry: 64-token windows advancing by 48 (16-token
     * overlap) — the RAG convention that no retrievable statement is
     * split across a chunk boundary without also appearing whole in a

@@ -326,4 +326,90 @@ object Dedup {
       .filter(col("hamming") <= 6)
       .orderBy("ida", "idb")
   }
+
+  /** d14 hot-n-gram geometry: 8-token grams, reported when they occur
+    * in ≥ 3 distinct documents; top 20 by document frequency. */
+  val HotNgramToks = 8
+  val HotNgramMinDf = 3L
+  val HotNgramTopK = 20
+
+  /** d14: hot n-gram report — the most-duplicated 8-token sequences
+    * across the corpus (boilerplate headers, license blocks, template
+    * sentences). This is the diagnostic that tells a curation team
+    * WHAT is duplicated, where d13 only strips it; the selection rule
+    * (df ≥ [[HotNgramMinDf]], top [[HotNgramTopK]] by df, then total
+    * occurrences, then hash) is fully deterministic for the oracle.
+    *
+    * Two-phase scale shape: the stats pass shuffles only (hash,
+    * doc_id) longs — never gram text — and cuts to the top K via
+    * TakeOrdered (per-partition top-K, no global sort); the string
+    * recovery pass re-derives grams per-row and keeps only those
+    * matching the K hot hashes via a broadcast join, so gram text
+    * crosses the wire for ~K rows total. The persisted frame holds
+    * token arrays (same mass as the d02/d03 persists). */
+  def hotNgrams(s: SparkSession, dir: String): DataFrame = {
+    val grams = fanOut(docs(s, dir))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), expr(ngramsExpr("tk", HotNgramToks)).as("gs"))
+      .persist() // gram arrays feed the stats pass and the recovery pass
+    val top = grams
+      .select(col("doc_id"), explode(expr(hashArrayExpr("gs", P))).as("h"))
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("total"))
+      .filter(col("df") >= HotNgramMinDf)
+      .orderBy(col("df").desc, col("total").desc, col("h"))
+      .limit(HotNgramTopK)
+    grams.select(explode(col("gs")).as("gram"))
+      .select(col("gram"), expr(rollingHashExpr("gram", P)).as("h"))
+      .join(broadcast(top), "h")
+      .groupBy(col("h"), col("df"), col("total"))
+      .agg(min(col("gram")).as("gram")) // hash collisions resolve
+      .select(col("gram"), col("df"), col("total")) //   deterministically
+      .orderBy(col("df").desc, col("total").desc, col("gram"))
+  }
+
+  /** x15: train/test leakage audit — near-duplicate pairs that
+    * STRADDLE the t07 content-hash split (a test document whose
+    * near-copy sits in train), the self-decontamination check every
+    * training-data release runs before measuring eval loss (t11
+    * checks against an EXTERNAL eval set; this checks the pipeline's
+    * own split). Same signature algebra as d03/d11 (MinHash k=32,
+    * 8×4 bands, ≥50 % agreement); the candidate join is
+    * test-bands ⨝ train-bands with the small test side (10 % of the
+    * corpus by the split rule) broadcast, so the train-side band
+    * table never shuffles — the d11 incremental shape with the t07
+    * split as the batch boundary. Output: which train doc leaks into
+    * which test doc, with the signature-agreement strength. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sigs = shingleHashes(docs(s, dir))
+      .filter(col("n_sh") > 0)
+      .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
+      .persist()
+    // the t07 split rule verbatim (TextAnalysis.hashSplit): P-hash of
+    // lowered text mod 100, <80 train / <90 val / else test
+    val split = fanOut(docs(s, dir))
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        splitOf(expr(rollingHashExpr("t", P)) % 100).as("split"))
+    def bandsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
+          "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
+      .toDF("doc_id", "band_idx", "band_key")
+    val withSplit = sigs.join(split, "doc_id")
+    val cand = broadcast(bandsOf(withSplit.filter(col("split") === "test")))
+      .as("a")
+      .join(bandsOf(withSplit.filter(col("split") === "train")).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("test_id"), col("b.doc_id").as("train_id"))
+      .distinct()
+    cand
+      .join(sigs.as("sa"), col("test_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("train_id") === col("sb.doc_id"))
+      .select(col("test_id"), col("train_id"),
+        expr("size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))")
+          .as("n_match"))
+      .filter(col("n_match") * 2 >= MinhashK)
+      .orderBy("test_id", "train_id")
+  }
 }

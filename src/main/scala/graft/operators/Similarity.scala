@@ -396,6 +396,39 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** s14: ANN recall evaluation — recall@k of the two approximate
+    * retrieval paths (s02 LSH bands, s03 IVF probes) against the s01
+    * exact top-k, per query. The eval harness every ANN deployment
+    * runs before trusting an index: the approximate operators' WHOLE
+    * pipelines are re-executed and their top-k compared to ground
+    * truth, so a recall regression in any stage (signatures, banding,
+    * probe routing, rerank) surfaces here as a number, not an anecdote.
+    *
+    * Scale shape: composes the three builders unchanged (each is
+    * already bucket-join shaped with a broadcast ≤10-row query side);
+    * the overlap joins and per-query counts touch only 3·|Q|·k rows.
+    * Ground truth is the brute-force pass — at production scale it
+    * runs on a sampled query set, which is exactly what the vec_id<10
+    * query side is. recall_e6 is exact (hits · 1e6/k with k | 1e6). */
+  def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    require(1000000 % k == 0, s"recall_e6 exactness needs k | 1e6, got $k")
+    val exact = annTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
+      .persist() // ground truth feeds both overlap joins + the query list
+    def hitsOf(approx: DataFrame, out: String): DataFrame =
+      exact.join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(out))
+    val q = exact.select("query_id").distinct()
+    q.join(hitsOf(annLshTopK(s, dir, k), "lsh_hits"), Seq("query_id"), "left")
+      .join(hitsOf(annIvfTopK(s, dir, k), "ivf_hits"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+      .withColumn("lsh_recall_e6", col("lsh_hits") * lit(1000000L / k))
+      .withColumn("ivf_recall_e6", col("ivf_hits") * lit(1000000L / k))
+      .orderBy("query_id")
+  }
+
   /** s05: product-quantization encoding — every vector compresses to
     * M=8 (code, quantization-error) pairs against the deterministic
     * codebook ([[graft.functions.Pq]]). Narrow per-row projection; at

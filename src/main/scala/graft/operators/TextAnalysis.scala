@@ -399,4 +399,42 @@ object TextAnalysis {
       .select(col("term"), col("df"), col("first_docs"))
       .orderBy("term")
   }
+
+  /** t23: character-diversity profile — per document, the distinct
+    * character count, the top character's share, and a Simpson
+    * diversity index over the character distribution (1 − Σp²). A
+    * near-zero diversity flags the pathological repeats (one char
+    * or one phrase stretched to length) that slip past t02's
+    * type-token ratio when the repeated unit is short; it is the
+    * character-level sibling of t06's token repetition signal.
+    *
+    * All three stats are EXACT integer arithmetic (occurrence counts
+    * via length-difference, Σc² and N² as longs, one integer
+    * division at the end) — no transcendental entropy, whose last-ulp
+    * `ln` disagreement between engines could flip an e6 floor. Narrow
+    * per-row projection: the per-char count costs one `replace` scan
+    * per distinct character (≤ a few dozen on natural text), no
+    * shuffle except the presentation sort. */
+  def charDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        expr("filter(array_distinct(split(t, '')), c -> c <> '')").as("cs"))
+      .select(col("doc_id"),
+        length(col("t")).as("n_chars"),
+        size(col("cs")).as("n_distinct"),
+        expr("aggregate(cs, 0L, (a, c) -> a + " +
+          "CAST(length(t) - length(replace(t, c)) AS BIGINT) * " +
+          "CAST(length(t) - length(replace(t, c)) AS BIGINT))").as("sumsq"),
+        expr("array_max(transform(cs, c -> length(t) - length(replace(t, c))))")
+          .as("maxc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        when(col("n_chars") === 0, 0L)
+          .otherwise(expr("(1000000L * CAST(maxc AS BIGINT)) div CAST(n_chars AS BIGINT)"))
+          .as("top_share_e6"),
+        when(col("n_chars") === 0, 0L)
+          .otherwise(lit(1000000L) -
+            expr("(1000000L * sumsq) div (CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))"))
+          .as("diversity_e6"))
+      .orderBy("doc_id")
 }

@@ -37,6 +37,11 @@ object TextHash {
     * prime modulus of the same polynomial decorrelates them. */
   val P2 = 998244353L
 
+  /** Third prime modulus: the x14 temperature-sampling keep decision,
+    * decorrelated from both the P split (t07) and the P2 quota rank
+    * (x11) on the same text. */
+  val P3 = 754974721L
+
   /** Whitespace tokens of lower-cased text. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 

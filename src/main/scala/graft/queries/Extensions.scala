@@ -32,6 +32,10 @@ object Extensions {
     // span-granular rewrite: strip blocks repeated across documents
     "d13_block_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.blockDedup(s, d)),
+    // the most-duplicated 8-grams across the corpus (what d13 strips)
+    "d14_hot_ngrams" -> (Dedup.hotNgrams _),
+    // near-dup pairs straddling the t07 split (self-decontamination)
+    "x15_split_leakage" -> (Dedup.splitLeakage _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     // gated at the default MaxBruteForceVectors guard
     "d05_embedding_neardup" -> ((s: SparkSession, d: String) =>
@@ -58,6 +62,9 @@ object Extensions {
     "s12_semantic_reps" -> (DupCluster.semanticReps _),
     "s13_knn_degrees" -> ((s: SparkSession, d: String) =>
       Similarity.knnDegrees(s, d)),
+    // recall@5 of the s02/s03 approximate paths vs s01 ground truth
+    "s14_ann_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.annRecall(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -80,6 +87,7 @@ object Extensions {
     "t20_pii_scrub" -> (Curation.piiScrub _),
     "t22_collocations" -> ((s: SparkSession, d: String) =>
       TextAnalysis.collocations(s, d)),
+    "t23_char_diversity" -> (TextAnalysis.charDiversity _),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
@@ -97,7 +105,11 @@ object Extensions {
     "x11_mixture_sample" -> (Curation.mixtureSample _),
     "x12_chunking" -> (Curation.chunks _),
     "x13_snapshot_diff" -> (Merge.snapshotDiff _),
+    // α=0.5 temperature rebalance of the source mix (x11's sibling)
+    "x14_temperature_sample" -> (Curation.temperatureSample _),
     "z01_zorder" -> (Layout.zorderKeys _),
+    // min/max file-stats pruning under 4 layouts of the same rows
+    "z02_pruning_report" -> (Layout.pruningReport _),
   )
 
   // Shared DuckDB fragments -----------------------------------------
@@ -371,6 +383,44 @@ object Extensions {
     "d03_dedup_minhash_lsh" -> s"""
       WITH $minhashPairCtes
       SELECT ida, idb, n_match FROM pairs ORDER BY ida, idb""",
+    // top-20 hot 8-grams by (df desc, total desc, hash); min(gram)
+    // resolves any hash collision identically to the Spark side
+    "d14_hot_ngrams" -> s"""
+      WITH $tkCte,
+      ng AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= ${Dedup.HotNgramToks}
+               THEN [array_to_string(tk[i:i+${Dedup.HotNgramToks - 1}], ' ')
+                 for i in generate_series(1, len(tk) - ${Dedup.HotNgramToks - 1})]
+               ELSE [] END) AS gram FROM tk),
+      hg AS (SELECT doc_id, gram, ${rh("gram", 1000000007L)} AS h FROM ng),
+      st AS (SELECT h, count(DISTINCT doc_id) AS df, count(*) AS total
+             FROM hg GROUP BY h),
+      top AS (SELECT h, df, total FROM st WHERE df >= ${Dedup.HotNgramMinDf}
+              ORDER BY df DESC, total DESC, h LIMIT ${Dedup.HotNgramTopK})
+      SELECT min(gram) AS gram, df, total
+      FROM hg JOIN top USING (h) GROUP BY h, df, total
+      ORDER BY df DESC, total DESC, gram""",
+    // near-dup pairs straddling the t07 content-hash split: test-side
+    // docs whose MinHash signature agrees >= 50% with a train-side doc
+    "x15_split_leakage" -> s"""
+      WITH $minhashBandCtes,
+      sp AS (SELECT doc_id, CASE WHEN m < 80 THEN 'train'
+               WHEN m < 90 THEN 'val' ELSE 'test' END AS split
+             FROM (SELECT doc_id, ${rh("lower(text)", 1000000007L)} % 100 AS m
+                   FROM documents) g),
+      xcand AS (SELECT DISTINCT a.doc_id AS test_id, b.doc_id AS train_id
+               FROM bands a JOIN sp pa ON a.doc_id = pa.doc_id
+                 JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_key = b.band_key
+                 JOIN sp pb ON b.doc_id = pb.doc_id
+               WHERE pa.split = 'test' AND pb.split = 'train')
+      SELECT test_id, train_id,
+        CAST(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+          for i in generate_series(1, 32)]) AS INTEGER) AS n_match
+      FROM xcand JOIN sigs sa ON test_id = sa.doc_id
+                 JOIN sigs sb ON train_id = sb.doc_id
+      WHERE list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+          for i in generate_series(1, 32)]) * 2 >= 32
+      ORDER BY test_id, train_id""",
     // incremental ingest: batch = doc_id % 5 = 0, index = the rest;
     // cross-side band candidates, same >= 50% signature agreement
     "d11_dedup_incremental" -> s"""
@@ -654,6 +704,71 @@ object Extensions {
         count(*) AS n_vectors, CAST(sum(v_e6) AS BIGINT) AS sum_e6,
         CAST(floor(sum(v_e6) / count(*)) AS BIGINT) AS mean_e6
       FROM ex GROUP BY bucket, dim ORDER BY bucket, dim""",
+    // recall@5 vs exact: the s01 (k=5), s02, s03 chains re-run with
+    // renamed CTEs, overlap counted per query; recall_e6 = hits·200000
+    "s14_ann_recall" -> s"""
+      WITH ex AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+      esc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                ${cos("qv", "c.embedding")} AS cs
+              FROM embeddings c JOIN ex ON query_id <> c.vec_id),
+      e5 AS (SELECT query_id, neighbor_id
+             FROM (SELECT query_id, neighbor_id, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+                   FROM esc) t WHERE rnk <= 5),
+      lsg AS (SELECT vec_id, embedding,
+        CAST(list_sum([CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+          [(embedding[d]::DOUBLE) * (((1103515245::BIGINT * (j*64 + d) + 12345) % 2147483648)
+            / 2147483648.0 - 0.5) for d in generate_series(1, 64)]),
+          (x, y) -> x + y) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
+          for j in generate_series(0, 15)]) AS BIGINT) AS sig
+        FROM embeddings),
+      lbd AS (SELECT vec_id, embedding, b AS band_idx, (sig >> (b*4)) & 15 AS band_key
+              FROM lsg, generate_series(0, 3) t(b)),
+      lq AS (SELECT vec_id AS query_id, embedding AS qv, band_idx, band_key
+             FROM lbd WHERE vec_id < 10),
+      lcd AS (SELECT DISTINCT query_id, qv, c.vec_id AS neighbor_id, c.embedding AS emb
+              FROM lbd c JOIN lq USING (band_idx, band_key)
+              WHERE query_id <> c.vec_id),
+      lsc AS (SELECT query_id, neighbor_id, ${cos("qv", "emb")} AS cs FROM lcd),
+      l5 AS (SELECT query_id, neighbor_id
+             FROM (SELECT query_id, neighbor_id, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+                   FROM lsc) t WHERE rnk <= 5),
+      icn AS (SELECT k, [((1103515245::BIGINT * (k*64 + d) + 54321) % 2147483648)
+            / 2147483648.0 - 0.5 for d in generate_series(1, 64)] AS cv
+          FROM generate_series(0, 15) t(k)),
+      idt AS (SELECT e.vec_id, c.k,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            [(e.embedding[d]::DOUBLE) * (c.cv[d]::DOUBLE) for d in generate_series(1, 64)]),
+            (x, y) -> x + y) AS dot
+          FROM embeddings e, icn c),
+      irk AS (SELECT vec_id, k, row_number() OVER
+          (PARTITION BY vec_id ORDER BY dot DESC, k) AS crnk FROM idt),
+      icp AS (SELECT r.vec_id, r.k AS bucket, e.embedding
+          FROM irk r JOIN embeddings e USING (vec_id) WHERE crnk = 1),
+      ipr AS (SELECT r.vec_id AS query_id, e.embedding AS qv, r.k AS bucket
+          FROM irk r JOIN embeddings e USING (vec_id)
+          WHERE r.vec_id < 10 AND crnk <= 4),
+      icd AS (SELECT query_id, qv, c.vec_id AS neighbor_id, c.embedding AS emb
+          FROM icp c JOIN ipr USING (bucket) WHERE query_id <> c.vec_id),
+      isc AS (SELECT query_id, neighbor_id, ${cos("qv", "emb")} AS cs FROM icd),
+      i5 AS (SELECT query_id, neighbor_id
+             FROM (SELECT query_id, neighbor_id, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+                   FROM isc) t WHERE rnk <= 5),
+      lh AS (SELECT query_id, count(*) AS h FROM e5
+             JOIN l5 USING (query_id, neighbor_id) GROUP BY 1),
+      ih AS (SELECT query_id, count(*) AS h FROM e5
+             JOIN i5 USING (query_id, neighbor_id) GROUP BY 1),
+      ql AS (SELECT DISTINCT query_id FROM e5)
+      SELECT ql.query_id,
+        CAST(COALESCE(lh.h, 0) AS BIGINT) AS lsh_hits,
+        CAST(COALESCE(ih.h, 0) AS BIGINT) AS ivf_hits,
+        CAST(COALESCE(lh.h, 0) * 200000 AS BIGINT) AS lsh_recall_e6,
+        CAST(COALESCE(ih.h, 0) * 200000 AS BIGINT) AS ivf_recall_e6
+      FROM ql LEFT JOIN lh USING (query_id) LEFT JOIN ih USING (query_id)
+      ORDER BY ql.query_id""",
     "s05_pq_codes" -> s"""
       WITH $pqCodeCtes
       SELECT vec_id, CAST(s AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
@@ -837,6 +952,27 @@ object Extensions {
         CASE WHEN h_mod < 80 THEN 'train'
              WHEN h_mod < 90 THEN 'val' ELSE 'test' END AS split
       FROM g ORDER BY doc_id""",
+    // exact-integer Simpson diversity over the character distribution;
+    // per-char occurrence counts via length-difference, one integer
+    // division at the end (no transcendental entropy — a last-ulp ln
+    // disagreement between engines could flip an e6 floor)
+    "t23_char_diversity" -> """
+      WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+      cs AS (SELECT doc_id, t, length(t) AS n,
+               [c for c in list_distinct(string_split(t, '')) if c <> ''] AS chars
+             FROM d),
+      st AS (SELECT doc_id, n, len(chars) AS n_distinct,
+               list_sum([CAST(length(t) - length(replace(t, c, '')) AS BIGINT) *
+                 (length(t) - length(replace(t, c, ''))) for c in chars]) AS sumsq,
+               list_max([length(t) - length(replace(t, c, '')) for c in chars]) AS maxc
+             FROM cs)
+      SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
+        CAST(n_distinct AS INTEGER) AS n_distinct,
+        CAST(CASE WHEN n = 0 THEN 0
+          ELSE (1000000 * maxc) // n END AS BIGINT) AS top_share_e6,
+        CAST(CASE WHEN n = 0 THEN 0
+          ELSE 1000000 - (1000000 * sumsq) // (n * n) END AS BIGINT) AS diversity_e6
+      FROM st ORDER BY doc_id""",
     "t08_normalize" -> s"""
       WITH $tkCte,
       n AS (SELECT doc_id, tk, list_filter(tk, x -> length(x) > 1) AS tkn FROM tk)
@@ -1227,6 +1363,62 @@ object Extensions {
               (hr - (SELECT min(hr) FROM h)) % 1024 AS tb, vb FROM h)
       SELECT event_id, tb, vb, ${Layout.zkeyExpr("tb", "vb")} AS zkey
       FROM b ORDER BY event_id""",
+    // 64 equal-width key-range files per layout; a file is scanned
+    // when its [min,max] box intersects the (time × value) query box
+    "z02_pruning_report" -> s"""
+      WITH h AS (SELECT event_id, epoch_us(ts) // 3600000000 AS hr,
+              greatest(0, least(CAST(floor(coalesce(value, 0.0)) AS BIGINT), 1023)) AS vb
+            FROM events),
+      b AS (SELECT event_id,
+              (hr - (SELECT min(hr) FROM h)) % 1024 AS tb, vb FROM h),
+      z AS (SELECT event_id, tb, vb, ${Layout.zkeyExpr("tb", "vb")} AS zkey FROM b),
+      mx AS (SELECT max(event_id) AS me, max(tb) AS mt, max(vb) AS mv,
+               max(zkey) AS mz FROM z),
+      wf AS (SELECT tb, vb,
+               (event_id * ${Layout.PruneFiles}) // (me + 1) AS f_natural,
+               (tb * ${Layout.PruneFiles}) // (mt + 1) AS f_time,
+               (vb * ${Layout.PruneFiles}) // (mv + 1) AS f_value,
+               (zkey * ${Layout.PruneFiles}) // (mz + 1) AS f_zorder
+             FROM z, mx),
+      lay AS (SELECT 'natural' AS layout, f_natural AS f, tb, vb FROM wf
+              UNION ALL SELECT 'time', f_time, tb, vb FROM wf
+              UNION ALL SELECT 'value', f_value, tb, vb FROM wf
+              UNION ALL SELECT 'zorder', f_zorder, tb, vb FROM wf),
+      fs AS (SELECT layout, f, min(tb) AS tb_min, max(tb) AS tb_max,
+               min(vb) AS vb_min, max(vb) AS vb_max, count(*) AS n_rows,
+               sum(CASE WHEN tb BETWEEN ${Layout.PruneTbLo} AND ${Layout.PruneTbHi}
+                     AND vb BETWEEN ${Layout.PruneVbLo} AND ${Layout.PruneVbHi}
+                   THEN 1 ELSE 0 END) AS n_box
+             FROM lay GROUP BY layout, f)
+      SELECT layout, count(*) AS n_files,
+        CAST(sum(CASE WHEN tb_max >= ${Layout.PruneTbLo} AND tb_min <= ${Layout.PruneTbHi}
+              AND vb_max >= ${Layout.PruneVbLo} AND vb_min <= ${Layout.PruneVbHi}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+        CAST(sum(CASE WHEN tb_max >= ${Layout.PruneTbLo} AND tb_min <= ${Layout.PruneTbHi}
+              AND vb_max >= ${Layout.PruneVbLo} AND vb_min <= ${Layout.PruneVbHi}
+            THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+        CAST(sum(n_box) AS BIGINT) AS n_rows_box
+      FROM fs GROUP BY layout ORDER BY layout""",
+    // α=0.5 temperature over the (skewed) language mix: integer weight
+    // w=floor(√n·1000) per lang, rate_e6 = min(1e6,
+    // (1e6·(N div 2)·w) div (Σw·n)); keep when the decorrelated P3
+    // content hash mod 1e6 clears the rate
+    "x14_temperature_sample" -> s"""
+      WITH d AS (SELECT doc_id, lang,
+              ${rh("lower(text)", 754974721L)} % 1000000 AS hm FROM documents),
+      ps AS (SELECT lang, count(*) AS n_lang FROM d GROUP BY lang),
+      pw AS (SELECT lang, n_lang,
+               CAST(floor(sqrt(n_lang) * 1000) AS BIGINT) AS w FROM ps),
+      tt AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+               CAST(sum(w) AS BIGINT) AS sw FROM pw),
+      rt AS (SELECT lang, n_lang, least(1000000,
+               (1000000 * (n_total // 2) * w) // (sw * n_lang)) AS rate_e6
+             FROM pw, tt)
+      SELECT d.lang, CAST(max(rt.n_lang) AS BIGINT) AS n_docs,
+        CAST(max(rt.rate_e6) AS BIGINT) AS rate_e6,
+        CAST(sum(CASE WHEN d.hm < rt.rate_e6 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sampled
+      FROM d JOIN rt USING (lang) GROUP BY d.lang ORDER BY d.lang""",
     // equal per-source quota = (N div 2) div n_sources; smallest
     // decorrelated content hash (P2) wins within each source
     "x11_mixture_sample" -> s"""

@@ -296,4 +296,50 @@ class CurationSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(sample._2.map(_.getAs[Long]("o_orderkey")).toSet == brute)
   }
+
+  test("temperature sampling boosts low-resource languages monotonically") {
+    val rows = Curation.temperatureSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, rate, kept) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("rate_e6"), r.getAs[Long]("n_sampled"))
+      assert(rate >= 0 && rate <= 1000000 && kept <= n)
+    }
+    // α = 0.5: a larger language never gets a higher keep rate
+    for (a <- rows; b <- rows
+         if a.getAs[Long]("n_docs") > b.getAs[Long]("n_docs"))
+      assert(a.getAs[Long]("rate_e6") <= b.getAs[Long]("rate_e6"),
+        s"${a.getString(0)} (bigger) out-rates ${b.getString(0)}")
+  }
+
+  test("char diversity stats satisfy the exact-integer identities") {
+    val rows = TextAnalysis.charDiversity(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Int]("n_chars").toLong, r.getAs[Int]("n_distinct").toLong)
+      val (top, div) = (r.getAs[Long]("top_share_e6"), r.getAs[Long]("diversity_e6"))
+      assert(k >= 1 && k <= n)
+      // max count >= n/k  ⇒ top share >= floor(1e6/k) (one floor of slack)
+      assert(top >= 1000000L / k - 1 && top <= 1000000L)
+      // Simpson D >= 1/k  ⇒ diversity <= 1e6 - floor(1e6/k) + 1
+      assert(div >= 0 && div <= 1000000L - 1000000L / k + 1)
+    }
+  }
+
+  test("pruning report: box mass is layout-invariant, z-order reads least") {
+    val rows = Layout.pruningReport(spark, dir).collect()
+    assert(rows.length == 4)
+    val box = rows.map(_.getAs[Long]("n_rows_box")).distinct
+    assert(box.length == 1, "true box cardinality must not depend on layout")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files_scanned") <= r.getAs[Long]("n_files"))
+      assert(r.getAs[Long]("n_rows_scanned") >= box.head,
+        "a layout cannot scan fewer rows than the box holds")
+    }
+    val byLayout = rows.map(r => r.getString(0) -> r.getAs[Long]("n_rows_scanned")).toMap
+    // the z01 locality claim as rows: both dims selective ⇒ the
+    // interleaved layout reads no more than either 1-D sort
+    assert(byLayout("zorder") <= byLayout("time") &&
+      byLayout("zorder") <= byLayout("value"), s"z-order not best: $byLayout")
+  }
 }

@@ -927,4 +927,70 @@ class OperatorsSpec extends AnyFunSuite {
       if (nToks(doc) <= Curation.ChunkToks) assert(sorted.length == 1)
     }
   }
+
+  test("hot n-grams match a brute-force df/total recount") {
+    val rows = Dedup.hotNgrams(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Dedup.HotNgramTopK)
+    // ranked non-increasing by (df, total)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (da, db) = (a.getAs[Long]("df"), b.getAs[Long]("df"))
+        assert(da > db || (da == db && a.getAs[Long]("total") >= b.getAs[Long]("total")))
+      case _ =>
+    }
+    // brute-force recount of every reported gram over the raw corpus
+    import spark.implicits._
+    val grams = graft.engine.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), graft.operators.TextHash.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(expr(
+        graft.operators.TextHash.ngramsExpr("tk", Dedup.HotNgramToks))).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("total"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, d, t) => g -> ((d, t)) }.toMap
+    rows.foreach { r =>
+      val g = r.getAs[String]("gram")
+      assert(r.getAs[Long]("df") >= Dedup.HotNgramMinDf)
+      assert(grams(g) == ((r.getAs[Long]("df"), r.getAs[Long]("total"))),
+        s"gram '$g' stats drifted from the brute-force recount")
+    }
+  }
+
+  test("split-leakage pairs straddle the t07 split with LSH-grade agreement") {
+    val split = graft.operators.TextAnalysis.hashSplit(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val rows = Dedup.splitLeakage(spark, dir).collect()
+    rows.foreach { r =>
+      assert(split(r.getAs[Long]("test_id")) == "test")
+      assert(split(r.getAs[Long]("train_id")) == "train")
+      assert(r.getAs[Int]("n_match") * 2 >= Dedup.MinhashK)
+    }
+    // every leaked pair is also a d03 near-dup pair (same algebra,
+    // orientation normalized) — leakage is a filter, not a new miner
+    val d03 = Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"))
+      assert(d03((a min b, a max b)), s"leak pair ($a,$b) unknown to d03")
+    }
+  }
+
+  test("ann recall equals the independently recomputed top-5 overlap") {
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top5(Similarity.annTopK(spark, dir, 5))
+    val lsh = top5(Similarity.annLshTopK(spark, dir, 5))
+    val ivf = top5(Similarity.annIvfTopK(spark, dir, 5))
+    val rows = Similarity.annRecall(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSet == exact.keySet)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val lh = (exact(q) & lsh.getOrElse(q, Set.empty)).size.toLong
+      val ih = (exact(q) & ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(r.getAs[Long]("lsh_hits") == lh && r.getAs[Long]("ivf_hits") == ih)
+      assert(r.getAs[Long]("lsh_recall_e6") == lh * 200000)
+      assert(r.getAs[Long]("ivf_recall_e6") == ih * 200000)
+    }
+  }
 }

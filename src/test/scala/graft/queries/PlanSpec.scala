@@ -275,6 +275,9 @@ class PlanSpec extends AnyFunSuite {
     val nljAllowed = Set(
       "d05_embedding_neardup", // guarded exact baseline (corpus²)
       "s01_ann_topk", "s06_pq_adc", // broadcast ≤10-row query side
+      "s14_ann_recall", // composes s01's broadcast ≤10-row query side
+      "x14_temperature_sample", // 1-row (N, Σw) totals scalar crossJoin
+      "z02_pruning_report", // 1-row min-hour + max-key scalar crossJoins
       "s08_hybrid_rrf", // broadcast 1-row query-vector crossJoin
       "i02_phrase_search", // broadcast 1-row phrase crossJoin
       "x11_mixture_sample", // 1-row data-derived quota scalar

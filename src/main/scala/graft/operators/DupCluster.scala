@@ -276,4 +276,50 @@ object DupCluster {
         col("cluster_sz"), col("n_toks").cast("int").as("rep_n_toks"))
       .orderBy("cluster_id")
   }
+
+  /** s15: cluster-quality audit — per s11 topic component: size,
+    * internal vs escaping DIRECTED kNN edges (s09), and the
+    * conductance-style escape ratio. The s11 components are built
+    * from the MUTUAL edges, so measuring them against the mutual
+    * graph would be vacuous (every edge internal by construction);
+    * against the full directed kNN graph the ratio is the real
+    * cohesion signal — a topic whose members' nearest neighbors
+    * mostly point OUT of the topic is a chaining artifact, exactly
+    * what a curation team inspects before trusting s12's one-rep-per-
+    * topic pruning. escape_e6 is exact-integer:
+    * floor(1e6·cut/(internal+cut)).
+    *
+    * Scale shape: two broadcast-scale equi-joins of the n·k edge list
+    * against the label table, one partial-agg groupBy per cluster —
+    * nothing touches the corpus beyond the already-built graph, and
+    * the memoized s11 fixpoint labels are reused, not recomputed. */
+  def clusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val labels = lastKnnLabels match {
+      case Some((`s`, `dir`, l)) => l
+      case _ => computeKnnLabels(s, dir)
+    }
+    val cl = clustersOf(labels, "vec_id")
+    val lab = cl.select(col("vec_id"), col("cluster_id"))
+    val g = Similarity.knnGraph(s, dir)
+      .select(col("vec_id"), col("neighbor_id"))
+    val e = g.join(lab, "vec_id") // source must be labeled
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("cluster_id").as("cb")),
+        Seq("neighbor_id"), "left") // unlabeled neighbor = escape
+    val per = e.groupBy("cluster_id")
+      .agg(sum(when(col("cb") === col("cluster_id"), 1L).otherwise(0L))
+          .as("internal_edges"),
+        sum(when(col("cb").isNull || col("cb") =!= col("cluster_id"), 1L)
+          .otherwise(0L)).as("escape_edges"))
+    cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_sz"))
+      .join(per, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("cluster_sz"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("escape_edges"), lit(0L)).as("escape_edges"))
+      .withColumn("escape_e6",
+        when(col("internal_edges") + col("escape_edges") === 0, 0L)
+          .otherwise(expr(
+            "(1000000L * escape_edges) div (internal_edges + escape_edges)")))
+      .orderBy("cluster_id")
+  }
 }

@@ -400,6 +400,86 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** i04 proximity window: the second phrase term must follow the
+    * first within 3 positions (1 = adjacent, i02's case). */
+  val ProximitySlop = 3
+
+  /** i04: proximity (sloppy-phrase) search — occurrences of the
+    * corpus's top bigram where the terms appear in order within
+    * [[ProximitySlop]] positions, per document with the tightest gap.
+    * The retrieval primitive between exact phrase match (i02, gap=1)
+    * and bag-of-words AND: "new … york" with an adjective between
+    * still hits. Query selection (the top bigram) is i02's rule
+    * verbatim, so the two operators answer the same query at two
+    * strictnesses.
+    *
+    * Scale shape: identical to i02 — only the TWO query terms'
+    * positional postings leave the scan (broadcast 1-row query), the
+    * window test is an equi-join on doc_id + a range filter on the
+    * position delta, cost bounded by the query terms' frequency,
+    * never the corpus. */
+  def proximitySearch(s: SparkSession, dir: String): DataFrame = {
+    val top = docs(s, dir)
+      .select(tokens(col("text")).as("tk"))
+      .select(explode(expr(bigramsExpr("tk"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(1)
+      .select("w1", "w2")
+    // persisted: the postings feed both window-join sides (i02 idiom)
+    val pos = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "term")
+      .crossJoin(broadcast(top))
+      .persist()
+    val pa = pos.filter(col("term") === col("w1"))
+      .select(col("doc_id"), col("pos").as("pa"), col("w1"), col("w2"))
+    val pb = pos.filter(col("term") === col("w2"))
+      .select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .filter((col("pb") - col("pa")).between(1, ProximitySlop))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n_window"),
+        min(col("pb") - col("pa")).as("min_gap"))
+      .orderBy("doc_id")
+  }
+
+  /** t24 vocabulary size: top 1024 terms by corpus frequency. */
+  val VocabSize = 1024
+
+  /** t24: vocabulary build + OOV coverage — the tokenizer-training
+    * proxy: take the top [[VocabSize]] terms by corpus frequency
+    * (ties alphabetical, so the cut is deterministic), then score
+    * every document's out-of-vocabulary token rate. High-OOV
+    * documents are the ones a fixed vocabulary (or BPE merge table)
+    * represents worst — the signal that drives vocab sizing and
+    * multilingual coverage decisions.
+    *
+    * Scale shape: term counts are one partial-agg groupBy (vocab-
+    * bound output); the top-V cut is distributed TakeOrdered; the
+    * coverage pass joins the token stream against the BROADCAST
+    * vocabulary and re-aggregates per doc — token rows shuffle once
+    * on doc_id, carrying a 1-bit flag, not term text. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the count pass and the coverage pass share one
+    // tokenize+explode (README persist-lifetime caveat)
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .persist()
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(VocabSize)
+      .select(col("term"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        expr("(1000000L * n_oov) div n_toks").as("oov_e6"))
+      .orderBy("doc_id")
+  }
+
   /** t23: character-diversity profile — per document, the distinct
     * character count, the top character's share, and a Simpson
     * diversity index over the character distribution (1 − Σp²). A

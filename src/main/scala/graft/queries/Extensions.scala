@@ -48,6 +48,8 @@ object Extensions {
     "i01_inverted_index" -> (TextAnalysis.invertedIndex _),
     "i02_phrase_search" -> (TextAnalysis.phraseSearch _),
     "i03_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
+    // i02's phrase at slop 3: in-order window hits + tightest gap
+    "i04_proximity_search" -> (TextAnalysis.proximitySearch _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -65,6 +67,8 @@ object Extensions {
     // recall@5 of the s02/s03 approximate paths vs s01 ground truth
     "s14_ann_recall" -> ((s: SparkSession, d: String) =>
       Similarity.annRecall(s, d)),
+    // per-topic cohesion: internal vs escaping directed kNN edges
+    "s15_cluster_quality" -> (DupCluster.clusterQuality _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -88,6 +92,8 @@ object Extensions {
     "t22_collocations" -> ((s: SparkSession, d: String) =>
       TextAnalysis.collocations(s, d)),
     "t23_char_diversity" -> (TextAnalysis.charDiversity _),
+    // top-1024 vocabulary + per-doc OOV rate (tokenizer-sizing signal)
+    "t24_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
@@ -472,6 +478,23 @@ object Extensions {
       SELECT doc_id, w1, w2, count(*) AS n_occ
       FROM dp JOIN top USING (w1, w2)
       GROUP BY doc_id, w1, w2 ORDER BY doc_id""",
+    // i02's top bigram at slop 3: ordered (w1 … w2) within <= 3
+    // positions; position deltas are base-independent (DuckDB lists
+    // are 1-based, Spark posexplode 0-based — gaps agree)
+    "i04_proximity_search" -> s"""
+      WITH $bigramCtes,
+      top AS (SELECT w1, w2 FROM pair ORDER BY c12 DESC, w1, w2 LIMIT 1),
+      pp AS (SELECT doc_id, unnest([{'p': i, 't': tk[i]}
+               for i in generate_series(1, len(tk))]) AS u FROM tk),
+      p2 AS (SELECT doc_id, u.p AS pos, u.t AS term FROM pp),
+      pa AS (SELECT doc_id, pos FROM p2, top WHERE term = w1),
+      pb AS (SELECT doc_id, pos FROM p2, top WHERE term = w2)
+      SELECT a.doc_id, t.w1, t.w2, count(*) AS n_window,
+        CAST(min(b.pos - a.pos) AS INTEGER) AS min_gap
+      FROM pa a JOIN pb b ON a.doc_id = b.doc_id
+        AND b.pos - a.pos BETWEEN 1 AND ${TextAnalysis.ProximitySlop},
+        top t
+      GROUP BY a.doc_id, t.w1, t.w2 ORDER BY a.doc_id""",
     // log-free exact-integer BM25 (k1=1.2, b=0.75 cleared of
     // denominators; RSJ ratio idf) — HUGEINT intermediates mirror the
     // Spark side's DECIMAL(38,0)
@@ -620,6 +643,31 @@ object Extensions {
       FROM outd o LEFT JOIN ind i USING (vec_id)
         LEFT JOIN md m USING (vec_id)
       ORDER BY o.vec_id""",
+    // s15: per-s11-topic cohesion vs the DIRECTED kNN graph (the
+    // mutual graph would be vacuously all-internal); escape_e6 =
+    // floor(1e6·escape/(internal+escape)), unlabeled neighbor = escape
+    "s15_cluster_quality" -> s"""
+      WITH RECURSIVE $mutualKnnCtes,${ccOverPairs("mpairs")},
+      cl AS (SELECT id AS vec_id, cluster_id FROM lab),
+      sz AS (SELECT cluster_id, count(*) AS cluster_sz FROM cl GROUP BY 1),
+      e AS (SELECT ca.cluster_id AS cluster_id, cb.cluster_id AS cb
+            FROM g JOIN cl ca ON g.vec_id = ca.vec_id
+              LEFT JOIN cl cb ON g.neighbor_id = cb.vec_id),
+      per AS (SELECT cluster_id,
+                CAST(sum(CASE WHEN cb = cluster_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS internal_edges,
+                CAST(sum(CASE WHEN cb IS NULL OR cb <> cluster_id
+                  THEN 1 ELSE 0 END) AS BIGINT) AS escape_edges
+              FROM e GROUP BY 1)
+      SELECT sz.cluster_id, sz.cluster_sz,
+        COALESCE(per.internal_edges, 0) AS internal_edges,
+        COALESCE(per.escape_edges, 0) AS escape_edges,
+        CAST(CASE WHEN COALESCE(per.internal_edges, 0)
+              + COALESCE(per.escape_edges, 0) = 0 THEN 0
+          ELSE (1000000 * per.escape_edges)
+            // (per.internal_edges + per.escape_edges) END AS BIGINT)
+          AS escape_e6
+      FROM sz LEFT JOIN per USING (cluster_id) ORDER BY sz.cluster_id""",
     "s01_ann_topk" -> s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                  FROM embeddings WHERE vec_id < 10),
@@ -952,6 +1000,21 @@ object Extensions {
         CASE WHEN h_mod < 80 THEN 'train'
              WHEN h_mod < 90 THEN 'val' ELSE 'test' END AS split
       FROM g ORDER BY doc_id""",
+    // top-1024 vocabulary (count desc, term asc — deterministic cut),
+    // then per-doc OOV token rate against it
+    "t24_vocab_coverage" -> s"""
+      WITH $tkCte,
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      vc AS (SELECT term, count(*) AS cnt FROM tt GROUP BY term),
+      vocab AS (SELECT term FROM vc ORDER BY cnt DESC, term
+                LIMIT ${TextAnalysis.VocabSize}),
+      j AS (SELECT tt.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+            FROM tt LEFT JOIN vocab v USING (term))
+      SELECT doc_id, count(*) AS n_toks,
+        CAST(sum(oov) AS BIGINT) AS n_oov,
+        CAST((1000000 * CAST(sum(oov) AS BIGINT)) // count(*) AS BIGINT)
+          AS oov_e6
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
     // exact-integer Simpson diversity over the character distribution;
     // per-char occurrence counts via length-difference, one integer
     // division at the end (no transcendental entropy — a last-ulp ln

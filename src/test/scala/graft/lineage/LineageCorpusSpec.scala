@@ -40,7 +40,13 @@ class LineageCorpusSpec extends AnyFunSuite {
         }
     }
     assert(bad.isEmpty, s"${bad.size} lineage defects:\n${bad.mkString("\n")}")
-    assert(analyzed >= SparkEntry.oracleSql.size / 2,
+    // fixed floor, not a ratio of the total: the relational oracles
+    // (62 today) are ANSI and must stay analyzed, while extension
+    // oracles are DuckDB-dialect (list comprehensions, //) by design
+    // and get recorded+skipped — their growth must not dilute the
+    // guard. A skip-path regression collapses `analyzed` toward 0 and
+    // still trips this.
+    assert(analyzed >= 60,
       s"only $analyzed/${SparkEntry.oracleSql.size} statements analyzed — " +
         "the graceful-skip path is eating Spark-parseable SQL")
   }

@@ -975,6 +975,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("proximity search strictly contains the exact phrase hits") {
+    val exact = TextAnalysis.phraseSearch(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ")).toMap
+    val prox = TextAnalysis.proximitySearch(spark, dir).collect()
+    val byDoc = prox.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every adjacency hit is also a slop-3 window hit
+    exact.foreach { case (doc, nOcc) =>
+      val p = byDoc(doc)
+      assert(p.getAs[Long]("n_window") >= nOcc,
+        s"doc $doc: slop window lost adjacency occurrences")
+      assert(p.getAs[Int]("min_gap") == 1,
+        s"doc $doc has an adjacent occurrence, min_gap must be 1")
+    }
+    prox.foreach { r =>
+      val g = r.getAs[Int]("min_gap")
+      assert(g >= 1 && g <= TextAnalysis.ProximitySlop)
+    }
+  }
+
+  test("vocab coverage: OOV is the complement of the top-1024 cut") {
+    val rows = TextAnalysis.vocabCoverage(spark, dir).collect()
+    assert(rows.length == 500)
+    var toks = 0L; var oov = 0L
+    rows.foreach { r =>
+      val (n, o) = (r.getAs[Long]("n_toks"), r.getAs[Long]("n_oov"))
+      assert(o >= 0 && o <= n)
+      assert(r.getAs[Long]("oov_e6") == 1000000L * o / n)
+      toks += n; oov += o
+    }
+    // a frequency-built vocab must cover the bulk of the token mass
+    assert(oov * 2 < toks, s"vocab covers under half the corpus ($oov/$toks)")
+  }
+
+  test("cluster quality: edge budget bounded by k·size, escape ratio exact") {
+    val rows = DupCluster.clusterQuality(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sz, in, esc) = (r.getAs[Long]("cluster_sz"),
+        r.getAs[Long]("internal_edges"), r.getAs[Long]("escape_edges"))
+      // every member emits at most k=3 directed edges
+      assert(in + esc <= 3 * sz, s"edge budget exceeded: $r")
+      val expect = if (in + esc == 0) 0L else 1000000L * esc / (in + esc)
+      assert(r.getAs[Long]("escape_e6") == expect)
+    }
+  }
+
   test("ann recall equals the independently recomputed top-5 overlap") {
     def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))

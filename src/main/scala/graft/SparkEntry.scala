@@ -70,6 +70,7 @@ object SparkEntry {
     "q50_window_family" -> (Relational.q50_window_family _),
     "q51_recursive" -> (Relational.q51_recursive _),
     "q52_struct" -> (Relational.q52_struct _),
+    "q53_ignore_nulls" -> (Relational.q53_ignore_nulls _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -502,6 +503,17 @@ object SparkEntry {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)) t
       WHERE pos <= 10
       ORDER BY custkey, orderkey""",
+    // IGNORE NULLS carry-forward + null-skipping running count; the
+    // Spark side's last(value, true) is DuckDB's IGNORE NULLS clause
+    "q53_ignore_nulls" -> """
+      SELECT event_id, user_id,
+        CAST(floor(last_value(value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) * 1000000)
+          AS BIGINT) AS prev_val_e6,
+        count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_obs
+      FROM events ORDER BY event_id""",
     // rank-window equivalent of Spark's max(struct(date, key)):
     // matching proves struct ordering == explicit lexicographic rank
     "q52_struct" -> """

@@ -43,4 +43,30 @@ object Funnel {
           .when(col("v1").isNotNull, 1).otherwise(0).as("depth"))
       .orderBy("user_id")
   }
+
+  /** x16: weekly retention cohorts — users grouped by their first
+    * active week, counted as active per week offset since: the
+    * cohort-retention matrix every product/engagement dashboard is
+    * built on (and, for a training-data pipeline, the freshness curve
+    * of a crawl's contributing users). All-integer day/week bucketing
+    * from epoch micros, so the matrix is engine-exact.
+    *
+    * Scale shape: first-active is a partial-agg groupBy on user_id;
+    * the join back is co-partitioned on the same key (one shuffle,
+    * AQE broadcasts the per-user table when small); the distinct +
+    * matrix aggregation shuffle (user, week) pairs bounded by
+    * users × active-weeks, never raw events. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+    val first = e.groupBy("user_id").agg(min(col("day")).as("d0"))
+    e.join(first, "user_id")
+      .select(col("user_id"), expr("d0 div 7L").as("cohort_week"),
+        expr("(day - d0) div 7L").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -178,4 +178,93 @@ object Multimodal {
         expr("features[3]").cast("long").as("max_byte"))
       .orderBy("doc_id")
   }
+
+  /** 64-bit average-hash over a payload: bit b is set when block b's
+    * byte mean exceeds the whole payload's mean, blocks being the 64
+    * equal floor-boundary slices — the aHash member of the
+    * perceptual-hash family (aHash/dHash/pHash), computed on the
+    * encoded bytes here; a production image pipeline feeds it the
+    * decoded 8×8 grayscale thumbnail instead (same 64 comparisons).
+    * The mean comparison is cleared of denominators
+    * (blockSum·n > total·blockLen), so the hash is pure integer math
+    * the oracle replicates from code points (ASCII corpus — the
+    * documented m01 assumption). */
+  def aHash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < n) { total += payload(i) & 0xffL; i += 1 }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      val lo = (b.toLong * n / 64).toInt
+      val hi = ((b + 1).toLong * n / 64).toInt
+      var bs = 0L
+      var j = lo
+      while (j < hi) { bs += payload(j) & 0xffL; j += 1 }
+      if (bs * n > total * (hi - lo)) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** m03 (gated): perceptual-signature extraction — every payload
+    * reduced to its 8-byte [[aHash64]] inside the mapPartitions codec
+    * boundary, the "compress the corpus to signatures" index-build
+    * job of an image-dedup pipeline (s05's PQ encode for the binary
+    * modality). The pairing stage over these signatures is
+    * [[ahashPairs]]; on THIS corpus it is honestly empty — the
+    * payloads are text stand-ins whose token-level near-dups perturb
+    * every byte position, which is exactly the transformation class a
+    * perceptual hash does NOT absorb (measured: true d02 pairs sit at
+    * hamming 14–43, inside the background) — so the gate checks the
+    * signatures, and MultimodalSpec proves the pairing semantics on
+    * payloads with genuine perceptual structure (uniform brightness
+    * shift ⇒ hamming 0). */
+  def ahashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(octet_length(col("payload")) > 0)
+      .as[MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, aHash64(r.payload))))
+      .toDF("doc_id", "ahash")
+      .orderBy("doc_id")
+  }
+
+  /** Perceptual near-duplicate pairs over precomputed [[aHash64]]
+    * signatures: 8×8-bit LSH bands for candidates (any shared band ⇒
+    * candidate, pigeonhole-complete for hamming ≤ 7), exact
+    * hamming ≤ 6 to confirm — d04's shape applied to the binary
+    * modality, including its dense-band skip cap. Signatures-in
+    * rather than dir-in so re-encoded/edited fixture corpora (and
+    * tests) drive the same plan. */
+  def ahashPairsOf(hashed: DataFrame): DataFrame = {
+    val bands0 = hashed.select(col("doc_id"), col("ahash"),
+        posexplode(expr(
+          "transform(sequence(0, 7), b -> shiftright(ahash, b * 8) & 255)")))
+      .toDF("doc_id", "ahash", "band_idx", "band_key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    // persisted: the self-join would re-run hashing + the cap window
+    val bands = bands0
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= Dedup.SimhashBucketCap)
+      .drop("bucket_n")
+      .persist()
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("ida", "idb")
+  }
+
+  /** [[ahashPairsOf]] over the corpus signatures. */
+  def ahashPairs(s: SparkSession, dir: String): DataFrame =
+    ahashPairsOf(ahashes(s, dir))
 }

@@ -98,8 +98,12 @@ object Extensions {
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
+    // perceptual (average-hash) signature extraction over payloads
+    "m03_ahash" -> (Multimodal.ahashes _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
     "x02_funnel" -> (Funnel.viewClickPurchase _),
+    // weekly cohort-retention matrix over the events stream
+    "x16_retention_cohorts" -> (Funnel.retentionCohorts _),
     "x03_pipeline" -> (Pipeline.datasetCard _),
     "x04_packing" -> ((s: SparkSession, d: String) => Curation.packing(s, d)),
     "x05_curation_card" -> (Pipeline.curationCard _),
@@ -1220,6 +1224,30 @@ object Extensions {
     // per-byte sums walk code points via ascii(), which equals bytes
     // only for the pure-ASCII driver corpus (documented assumption,
     // mirrored in Multimodal.mediaTable).
+    // aHash: bit b set when block b's mean beats the payload mean,
+    // cleared of denominators (blockSum·n > total·blockLen); blocks
+    // are floor-boundary slices, DuckDB's 1-based codes[lo+1:hi] ==
+    // the Spark loop's 0-based [lo,hi); bit 63 is two's-complement
+    // MIN (DuckDB checks 1<<63, Java wraps). Same ASCII byte≡code-
+    // point assumption as m01.
+    "m03_ahash" -> """
+      WITH d AS (SELECT doc_id, text AS t, strlen(text) AS n
+                 FROM documents WHERE strlen(text) > 0),
+      cd AS (SELECT doc_id, n,
+               [ascii(t[j])::BIGINT for j in generate_series(1, n)] AS codes
+             FROM d),
+      st AS (SELECT doc_id, n, codes,
+               CAST(list_reduce(list_prepend(0::BIGINT, codes),
+                 (a, x) -> a + x) AS BIGINT) AS total FROM cd)
+      SELECT doc_id, CAST(list_sum([CASE WHEN
+          COALESCE(list_reduce(list_prepend(0::BIGINT,
+            codes[(b*n)//64 + 1 : ((b+1)*n)//64]), (a, x) -> a + x), 0)
+            * n > total * (((b+1)*n)//64 - (b*n)//64)
+          THEN (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << b) END)
+          ELSE 0::BIGINT END
+          for b in generate_series(0, 63)]) AS BIGINT) AS ahash
+      FROM st ORDER BY doc_id""",
     "m01_multimodal_features" -> """
       WITH s AS (SELECT doc_id, strlen(text) AS byte_len,
         list_reduce(list_prepend(0::BIGINT,
@@ -1294,6 +1322,18 @@ object Extensions {
              WHEN min(c1) IS NOT NULL THEN 2
              WHEN min(v1) IS NOT NULL THEN 1 ELSE 0 END AS depth
       FROM c GROUP BY user_id ORDER BY user_id""",
+    // weekly retention matrix: cohort = first-active epoch week,
+    // all-integer day/week floors (positive, so // == Spark's div)
+    "x16_retention_cohorts" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                 FROM events),
+      f AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY user_id),
+      c AS (SELECT DISTINCT e.user_id, d0 // 7 AS cohort_week,
+              (day - d0) // 7 AS week_offset
+            FROM e JOIN f USING (user_id))
+      SELECT cohort_week, week_offset, count(*) AS n_active
+      FROM c GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset""",
     // quality rule = t02's (same e6 floors), dedup = d01's md5 winner,
     // split = t07's hash rule — the composed pipeline
     "x03_pipeline" -> s"""

@@ -851,6 +851,25 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  // q53 IGNORE NULLS window family: the carried-forward last non-null
+  // observation (the gap-filling primitive x06 builds on) exposed as
+  // a checked relational query, plus the null-skipping running count.
+  // prev_val_e6 is floor(copied-double · 1e6) — no arithmetic beyond
+  // one correctly-rounded product, so the floor is engine-exact.
+  def q53_ignore_nulls(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT event_id, user_id,
+        CAST(floor(last(value, true) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) * 1000000)
+          AS BIGINT) AS prev_val_e6,
+        CAST(count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_obs
+      FROM events ORDER BY event_id""")
+  }
+
   // LATERAL correlated subquery join (top-2 orders per customer):
   // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
   // partitioned window rank — one shuffle, no per-row re-execution.

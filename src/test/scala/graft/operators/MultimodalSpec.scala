@@ -96,4 +96,56 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(f => f.doc_id -> f.features.toSeq).sortBy(_._1).toSeq
     assert(run() == run())
   }
+
+  /** Payload with genuine block structure: 64 blocks of 32 bytes,
+    * block b's level driven by an LCG on (seed, b) — the "image" an
+    * average-hash is meant for. */
+  private def blockPayload(seed: Long, shift: Int = 0): Array[Byte] = {
+    val out = new Array[Byte](64 * 32)
+    for (b <- 0 until 64; j <- 0 until 32) {
+      val level = ((seed * 6364136223846793005L + b * 1442695040888963407L)
+        >>> 33) % 200
+      out(b * 32 + j) = math.min(255, level + shift).toByte
+    }
+    out
+  }
+
+  test("aHash is invariant under uniform brightness shift, not under restructure") {
+    val base = Multimodal.aHash64(blockPayload(7))
+    // +20 on every byte moves every block mean AND the global mean
+    // equally: all 64 comparisons unchanged — the perceptual property
+    assert(Multimodal.aHash64(blockPayload(7, shift = 20)) == base,
+      "uniform brightness shift must not change the aHash")
+    // a different block structure flips many comparisons
+    val other = Multimodal.aHash64(blockPayload(99))
+    assert(java.lang.Long.bitCount(base ^ other) > 6,
+      "distinct structures must not collide within the dedup threshold")
+  }
+
+  test("ahash pairing catches the brightened copy and only it") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.aHash64(blockPayload(7))),
+      (2L, Multimodal.aHash64(blockPayload(7, shift = 20))), // re-exposed copy
+      (3L, Multimodal.aHash64(blockPayload(99))),
+      (4L, Multimodal.aHash64(blockPayload(123))))
+    val pairs = Multimodal.ahashPairsOf(rows.toDF("doc_id", "ahash")).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("corpus ahash pairing agrees with brute-force hamming") {
+    // the text corpus has no perceptual near-dups (documented in
+    // Multimodal.ahashes) — the banded path must agree with the
+    // brute-force all-pairs count, not silently diverge from it
+    val hashes = Multimodal.ahashes(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ida, idb)).toSet
+    val banded = Multimodal.ahashPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
 }

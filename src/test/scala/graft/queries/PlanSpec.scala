@@ -280,6 +280,7 @@ class PlanSpec extends AnyFunSuite {
       "z02_pruning_report", // 1-row min-hour + max-key scalar crossJoins
       "s08_hybrid_rrf", // broadcast 1-row query-vector crossJoin
       "i02_phrase_search", // broadcast 1-row phrase crossJoin
+      "i04_proximity_search", // same 1-row phrase crossJoin as i02
       "x11_mixture_sample", // 1-row data-derived quota scalar
       "t05_kmv_distinct", // 1-row exact-count scalar crossJoin
       "x08_upsert", "x09_scd2", // 1-row watermark-cutoff scalar

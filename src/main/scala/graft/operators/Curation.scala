@@ -284,6 +284,30 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** t25: vocabulary-growth profile — per source: token mass, type
+    * count (distinct terms), hapax legomena (terms seen once), and
+    * the type/token + hapax/type ratios. The Heaps'-law corpus
+    * statistic: a source whose type count keeps climbing with token
+    * mass (high TTR, high hapax share) is lexically open — news,
+    * user text — while a saturating one is template/boilerplate; the
+    * pair drives both tokenizer sizing (with t24) and source-mix
+    * decisions (with t10/x14).
+    *
+    * Scale shape: one (source, term) partial-agg groupBy — the same
+    * cost class as the inverted-index build — then a per-source
+    * rollup of the vocab-bound aggregate. Exact integer ratios. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_toks"), col("n_types"), col("n_hapax"),
+        expr("(1000000L * n_types) div n_toks").as("ttr_e6"),
+        expr("(1000000L * n_hapax) div n_types").as("hapax_share_e6"))
+      .orderBy("source")
+
   /** x12 chunk geometry: 64-token windows advancing by 48 (16-token
     * overlap) — the RAG convention that no retrievable statement is
     * split across a chunk boundary without also appearing whole in a

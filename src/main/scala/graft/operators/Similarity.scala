@@ -442,6 +442,22 @@ object Similarity {
         col("c.code").as("code"), col("c.err_e6").as("err_e6"))
       .orderBy("vec_id", "sub")
 
+  /** s16: PQ quantization-quality report — per subspace, the count
+    * and the summed/mean reconstruction error of the s05 encoding.
+    * The index-health diagnostic paired with s14's recall eval: a
+    * subspace whose mean error dwarfs the others is where the
+    * codebook needs more centroids (or the data a rotation), and
+    * watching this number per ingest batch is how a production IVF-PQ
+    * deployment notices drift. Pure composition over [[pqCodes]]: one
+    * 8-row partial aggregation, exact integer sums. */
+  def pqErrorReport(s: SparkSession, dir: String): DataFrame =
+    pqCodes(s, dir)
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("err_e6")).as("sum_err_e6"))
+      .select(col("sub"), col("n_vectors"), col("sum_err_e6"),
+        expr("sum_err_e6 div n_vectors").as("mean_err_e6"))
+      .orderBy("sub")
+
   /** s06: PQ-ADC search — queries score the *compressed* corpus with
     * the asymmetric distance (query subvector ↔ candidate's centroid),
     * never decompressing a candidate. The corpus side carries only

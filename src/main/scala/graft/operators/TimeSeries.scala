@@ -88,4 +88,35 @@ object TimeSeries {
         col("n"), col("sx"), col("sxx"))
       .orderBy("event_id")
   }
+
+  /** x17: stream-freshness report — per event type: volume, first and
+    * last arrival, the largest inter-arrival gap and the mean gap.
+    * The pipeline-health card an ingest on-call reads: a type whose
+    * max gap dwarfs its mean has stalled mid-window even if its
+    * totals look right, and `last_us` against the wall clock is lag.
+    * All micros-integer arithmetic (mean gap = span div (n−1)), so
+    * the card is engine-exact.
+    *
+    * Scale shape: one ordered window per event type computes the
+    * per-event gap (the partition key has ~types cardinality, but the
+    * window is a single streaming pass per partition — at 100 TB the
+    * same report shards by (type, day) and max/mean compose across
+    * shards); the rollup is a partial-agg groupBy on the type key. */
+  def freshness(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    e.withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        max(col("gap")).as("max_gap_us"))
+      .select(col("event_type"), col("n_events"), col("first_us"),
+        col("last_us"), col("max_gap_us"),
+        when(col("n_events") === 1, 0L)
+          .otherwise(expr("(last_us - first_us) div (n_events - 1L)"))
+          .as("mean_gap_us"))
+      .orderBy("event_type")
+  }
 }

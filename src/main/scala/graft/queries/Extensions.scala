@@ -69,6 +69,8 @@ object Extensions {
       Similarity.annRecall(s, d)),
     // per-topic cohesion: internal vs escaping directed kNN edges
     "s15_cluster_quality" -> (DupCluster.clusterQuality _),
+    // per-subspace PQ reconstruction error (index-health card)
+    "s16_pq_error" -> (Similarity.pqErrorReport _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -94,6 +96,8 @@ object Extensions {
     "t23_char_diversity" -> (TextAnalysis.charDiversity _),
     // top-1024 vocabulary + per-doc OOV rate (tokenizer-sizing signal)
     "t24_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
+    // per-source Heaps-law profile: types, hapax, TTR
+    "t25_vocab_growth" -> (Curation.vocabGrowth _),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
@@ -104,6 +108,8 @@ object Extensions {
     "x02_funnel" -> (Funnel.viewClickPurchase _),
     // weekly cohort-retention matrix over the events stream
     "x16_retention_cohorts" -> (Funnel.retentionCohorts _),
+    // per-type stream freshness: volume, span, max/mean arrival gap
+    "x17_freshness" -> (TimeSeries.freshness _),
     "x03_pipeline" -> (Pipeline.datasetCard _),
     "x04_packing" -> ((s: SparkSession, d: String) => Curation.packing(s, d)),
     "x05_curation_card" -> (Pipeline.curationCard _),
@@ -821,6 +827,15 @@ object Extensions {
         CAST(COALESCE(ih.h, 0) * 200000 AS BIGINT) AS ivf_recall_e6
       FROM ql LEFT JOIN lh USING (query_id) LEFT JOIN ih USING (query_id)
       ORDER BY ql.query_id""",
+    // per-subspace rollup of the s05 encoding's quantization error
+    "s16_pq_error" -> s"""
+      WITH $pqCodeCtes
+      SELECT CAST(s AS INTEGER) AS sub, count(*) AS n_vectors,
+        CAST(sum(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT)
+          AS sum_err_e6,
+        CAST(CAST(sum(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT)
+          // count(*) AS BIGINT) AS mean_err_e6
+      FROM pqcodes GROUP BY s ORDER BY sub""",
     "s05_pq_codes" -> s"""
       WITH $pqCodeCtes
       SELECT vec_id, CAST(s AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
@@ -1004,6 +1019,20 @@ object Extensions {
         CASE WHEN h_mod < 80 THEN 'train'
              WHEN h_mod < 90 THEN 'val' ELSE 'test' END AS split
       FROM g ORDER BY doc_id""",
+    // per-source Heaps-law profile over the (source, term) aggregate
+    "t25_vocab_growth" -> s"""
+      WITH $tkCte,
+      tt AS (SELECT d.source, unnest(tk.tk) AS term
+             FROM tk JOIN documents d USING (doc_id)),
+      ct AS (SELECT source, term, count(*) AS c FROM tt GROUP BY 1, 2)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_toks,
+        count(*) AS n_types,
+        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        CAST((1000000 * count(*)) // CAST(sum(c) AS BIGINT) AS BIGINT)
+          AS ttr_e6,
+        CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+          // count(*) AS BIGINT) AS hapax_share_e6
+      FROM ct GROUP BY source ORDER BY source""",
     // top-1024 vocabulary (count desc, term asc — deterministic cut),
     // then per-doc OOV token rate against it
     "t24_vocab_coverage" -> s"""
@@ -1322,6 +1351,23 @@ object Extensions {
              WHEN min(c1) IS NOT NULL THEN 2
              WHEN min(v1) IS NOT NULL THEN 1 ELSE 0 END AS depth
       FROM c GROUP BY user_id ORDER BY user_id""",
+    // per-type freshness card; gaps from an ordered window, span/mean
+    // in exact micros integers
+    "x17_freshness" -> """
+      WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+                 FROM events),
+      g AS (SELECT event_type, us,
+              us - lag(us) OVER (PARTITION BY event_type
+                ORDER BY us, event_id) AS gap
+            FROM e)
+      SELECT event_type, count(*) AS n_events,
+        CAST(min(us) AS BIGINT) AS first_us,
+        CAST(max(us) AS BIGINT) AS last_us,
+        CAST(max(gap) AS BIGINT) AS max_gap_us,
+        CAST(CASE WHEN count(*) = 1 THEN 0
+          ELSE (max(us) - min(us)) // (count(*) - 1) END AS BIGINT)
+          AS mean_gap_us
+      FROM g GROUP BY event_type ORDER BY event_type""",
     // weekly retention matrix: cohort = first-active epoch week,
     // all-integer day/week floors (positive, so // == Spark's div)
     "x16_retention_cohorts" -> """

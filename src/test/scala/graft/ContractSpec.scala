@@ -25,13 +25,14 @@ class ContractSpec extends AnyFunSuite {
   test("bench JSON line estimate stays inside the driver tail window") {
     // the driver parses the bench line from the last ~2000 chars of
     // stdout, minus sbt's trailing [success] line (~75 chars); the
-    // compact line spends ~(prefix + 9) chars per query (quotes,
-    // colon, comma, %.2f value with trailing zeros trimmed — ≤5 value
-    // chars below 100 s) plus ~200 of envelope. Estimate against 1900
-    // so growth is caught before a round silently records parsed:null
+    // compact line spends ~(prefix + 8) chars per query (quotes,
+    // colon, comma, %.2f value with trailing zeros trimmed — measured
+    // 1488 chars at 125 queries = 10.3/query + envelope, so +8 keeps
+    // ~7% slack) plus ~200 of envelope. Estimate against 1900 so
+    // growth is caught before a round silently records parsed:null
     // again (rounds 1, 2, 4 did).
     val names = SparkEntry.queries.keys.toSeq
-    val estimate = names.map(_.takeWhile(_ != '_').length + 9).sum + 200
+    val estimate = names.map(_.takeWhile(_ != '_').length + 8).sum + 200
     assert(estimate < 1900,
       s"estimated bench line $estimate chars — trim or re-shorten keys")
     // fail one round EARLY: ten more queries at the current mean key

@@ -71,6 +71,7 @@ object SparkEntry {
     "q51_recursive" -> (Relational.q51_recursive _),
     "q52_struct" -> (Relational.q52_struct _),
     "q53_ignore_nulls" -> (Relational.q53_ignore_nulls _),
+    "q54_interval_range" -> (Relational.q54_interval_range _),
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -514,6 +515,17 @@ object SparkEntry {
         count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_obs
       FROM events ORDER BY event_id""",
+    // calendar-INTERVAL RANGE frame; integer count/sum so timestamp
+    // frame peers can't reorder a float accumulation
+    "q54_interval_range" -> """
+      SELECT event_id, user_id,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+          AS sum_1h_e6
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
     // rank-window equivalent of Spark's max(struct(date, key)):
     // matching proves struct ordering == explicit lexicographic rank
     "q52_struct" -> """

@@ -363,4 +363,33 @@ object Curation {
         expr(s"(end_tok - 1) div ${budget}L").as("bin_last"))
       .orderBy("doc_id")
   }
+
+  /** t26: BPE merge-candidate mining — the first iteration of
+    * byte-pair-encoding tokenizer training: corpus-weighted counts of
+    * adjacent symbol pairs inside words, ranked; the top pair is what
+    * BPE would merge first, and the ranked table is the signal a
+    * tokenizer-sizing pass reads. Full BPE iterates (merge → recount)
+    * sequentially; each iteration is exactly this plan over the
+    * rewritten vocabulary, so the one-round operator is the scalable
+    * unit.
+    *
+    * Scale shape: pair counting runs over the DISTINCT-word vocabulary
+    * weighted by word frequency, not over the corpus — 100 TB of text
+    * collapses to a Heaps-law-bounded vocab (t25 measures it) before
+    * the per-character explode, so the expensive fan-out touches
+    * |vocab|·avg_len rows, not corpus tokens. Two partial-aggregated
+    * shuffles (word counts, pair sums) + a TakeOrdered top-32. */
+  def bpeMergeCandidates(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"))
+        .as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("c"))
+      .groupBy("l", "r").agg(sum(col("c")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("l"), col("r"))
+      .limit(32)
 }

@@ -115,6 +115,59 @@ object Dedup {
       .orderBy("ida", "idb")
   }
 
+  /** d15's vector-space knobs: terms in more than [[CosineDfCap]]
+    * documents are pruned from the bag-of-words space (the sparse
+    * analogue of d02's stop-shingle cap — it bounds posting-list
+    * fanout AND removes the function words that would otherwise
+    * dominate every dot product), and pairs scoring below
+    * [[CosineThresholdE6]]/1e6 are dropped. */
+  val CosineDfCap = 64L
+  val CosineThresholdE6 = 800000L
+
+  /** d15: sparse bag-of-words cosine near-dup — the TF-vector
+    * similarity between d02's set-overlap (ignores counts entirely)
+    * and d05/d08's dense-embedding cosine (needs an embedder): two
+    * documents are near-dups when their pruned term-count vectors
+    * point the same way. cos = Σ cₐc_b / (‖a‖·‖b‖) with integer dot
+    * and sum-of-squares; the only floating math is two
+    * correctly-rounded sqrts, one multiply, one divide — the same
+    * fixed expression tree both engines evaluate, so the e6 floor is
+    * engine-exact.
+    *
+    * Scale shape: identical to d02 — signatures (term counts) built
+    * once and persisted, a broadcast anti-join applies the df cap,
+    * and the single corpus-scale shuffle is the postings equi-join on
+    * the term, whose fanout the cap bounds by df² per term. */
+  def cosinePairs(s: SparkSession, dir: String,
+      maxTermDf: Option[Long] = Some(CosineDfCap)): DataFrame = {
+    val tc0 = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .persist() // feeds the df count + the capped frame (clearCache)
+    val tc = (maxTermDf match {
+      case None => tc0
+      case Some(cap) =>
+        val stop = tc0.groupBy("w").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("w")
+        tc0.join(broadcast(stop), Seq("w"), "left_anti")
+    }).persist() // feeds norms + both postings-join sides (clearCache)
+    val norms = tc.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
+    tc.as("a")
+      .join(tc.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+      .join(norms.as("na"), col("ida") === col("na.doc_id"))
+      .join(norms.as("nb"), col("idb") === col("nb.doc_id"))
+      .select(col("ida"), col("idb"), col("dot"),
+        floor(col("dot").cast("double") * 1000000.0 /
+          (sqrt(col("na.n2").cast("double")) *
+            sqrt(col("nb.n2").cast("double")))).cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= CosineThresholdE6)
+      .orderBy("ida", "idb")
+  }
+
   /** d12: asymmetric containment dedup — the near-dup class symmetric
     * Jaccard structurally misses: a document whose shingle set is
     * ≥ 80 % contained in a LONGER document (an excerpt page, a quoted

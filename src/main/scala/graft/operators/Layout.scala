@@ -117,4 +117,108 @@ object Layout {
       .unionByName(layer("zorder", "f_zorder"))
       .orderBy("layout")
   }
+
+  /** z03's bloom geometry: a PARTITIONED bloom filter — each of the
+    * [[BloomK]] hash functions owns its own [[BloomM]]-bit lane (the
+    * blocked variant Impala/Kudu use; lane independence is also what
+    * makes the filter expressible as k relational joins). The lane
+    * hash must actually SCATTER sequential keys — the shape of every
+    * surrogate-key column — and no affine map does: a·x mod P over a
+    * contiguous x-range is a three-gap Weyl lattice (more even than
+    * random, near-zero lane fill collisions, lockstep lane hits), so
+    * the measured "FP rate" would be a lattice artifact. h_i(x) is
+    * therefore the first 8 hex chars of md5("i:x") mod M — md5 text
+    * is bit-identical across engines, each engine just spells the
+    * hex→int step natively. */
+  val BloomM = 16384L
+  val BloomK = 4
+
+  /** Lane hash, Spark SQL spelling: conv() does hex→int. */
+  def laneHashSpark(i: String, x: String): String =
+    s"CAST(conv(substring(md5(concat(CAST($i AS STRING), ':', " +
+      s"CAST($x AS STRING))), 1, 8), 16, 10) AS BIGINT) % $BloomM"
+
+  /** Lane hash, DuckDB spelling of the SAME value: '0x…'::BIGINT
+    * does hex→int. */
+  def laneHashSql(i: String, x: String): String =
+    s"('0x' || substring(md5(CAST($i AS VARCHAR) || ':' || " +
+      s"CAST($x AS VARCHAR)), 1, 8))::BIGINT % $BloomM"
+
+  /** z03: bloom-filter skipping report — the membership-pruning
+    * sibling of z02's min/max stats: build a partitioned bloom over
+    * the join keys PRESENT in the fact table (distinct `o_custkey`),
+    * probe it with the keys that are genuinely absent (customers with
+    * no orders), and report the false-positive rate at every filter
+    * depth k = 1..4. This is the number a planner weighs before
+    * pushing a bloom into a scan (Spark's own
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter` makes the same
+    * trade): each extra hash function cuts the FP rate — until the
+    * lanes saturate, which the reported bits-set column exposes as
+    * the scale factor grows.
+    *
+    * Probes must be TRUE negatives for the measured rate to be a
+    * false-positive rate, and at the gate SFs every customer has at
+    * least one order — so the probe set is each customer key shifted
+    * past the maximum member key (a 1-row broadcast scalar): absent
+    * by construction, one probe per customer, and still
+    * affine-scattered across the lanes by the hash.
+    *
+    * Scale shape: the filter itself is O(M·k) bits regardless of
+    * corpus size — `bits` is a broadcast; the only fact-scale work is
+    * the distinct on members, a single equi-shuffle. Probing is
+    * map-side. */
+  def bloomReport(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.t(s, dir, "orders")
+      .select(col("o_custkey").as("x")).distinct().persist()
+    val lanes = members
+      .select(explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), " +
+          s"i -> struct(i AS i, ${laneHashSpark("i", "x")} AS h))")).as("l"))
+      .select(col("l.i").as("i"), col("l.h").as("h"))
+      .distinct() // the set bits; ≤ k·M rows no matter the corpus
+      .persist()
+    val probes = Tables.t(s, dir, "customer")
+      .select(col("c_custkey").as("ck"))
+      .crossJoin(broadcast(members.agg(max(col("x")).as("mx"))))
+      .select((col("ck") + col("mx")).as("x"))
+    val ph = probes
+      .select(col("x"), explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), " +
+          s"i -> struct(i AS i, ${laneHashSpark("i", "x")} AS h))")).as("l"))
+      .select(col("x"), col("l.i").as("i"), col("l.h").as("h"))
+      .join(broadcast(lanes.withColumn("hit", lit(1))), Seq("i", "h"),
+        "left_outer")
+      .na.fill(0, Seq("hit"))
+    val flags = ph.groupBy("x").agg(
+      max(when(col("i") === 0, col("hit"))).as("h0"),
+      max(when(col("i") === 1, col("hit"))).as("h1"),
+      max(when(col("i") === 2, col("hit"))).as("h2"),
+      max(when(col("i") === 3, col("hit"))).as("h3"))
+    val counts = flags.agg(
+      count(lit(1)).as("n_probes"),
+      sum(when(col("h0") === 1, 1L).otherwise(0L)).as("fp1"),
+      sum(when(col("h0") === 1 && col("h1") === 1, 1L).otherwise(0L))
+        .as("fp2"),
+      sum(when(col("h0") === 1 && col("h1") === 1 && col("h2") === 1, 1L)
+        .otherwise(0L)).as("fp3"),
+      sum(when(col("h0") === 1 && col("h1") === 1 && col("h2") === 1 &&
+        col("h3") === 1, 1L).otherwise(0L)).as("fp4"))
+    val laneFill = lanes.groupBy("i").agg(count(lit(1)).as("nb"))
+      .agg(sum(when(col("i") < 1, col("nb")).otherwise(0L)).as("bits1"),
+        sum(when(col("i") < 2, col("nb")).otherwise(0L)).as("bits2"),
+        sum(when(col("i") < 3, col("nb")).otherwise(0L)).as("bits3"),
+        sum(when(col("i") < 4, col("nb")).otherwise(0L)).as("bits4"))
+    val mem = members.agg(count(lit(1)).as("n_members"))
+    counts.crossJoin(broadcast(laneFill)).crossJoin(broadcast(mem))
+      .select(expr("""stack(4,
+          1, fp1, bits1,
+          2, fp2, bits2,
+          3, fp3, bits3,
+          4, fp4, bits4) AS (k, n_false_pos, n_bits_set)"""),
+        col("n_members"), col("n_probes"))
+      .select(col("k"), col("n_members"), col("n_probes"),
+        col("n_bits_set"), col("n_false_pos"),
+        expr("n_false_pos * 1000000 div n_probes").as("fp_e6"))
+      .orderBy("k")
+  }
 }

@@ -139,4 +139,33 @@ object Merge {
         col("hr").as("valid_from_hr"), col("valid_to_hr"), col("v_e6"))
       .orderBy("user_id", "version")
   }
+
+  /** x18: right-to-be-forgotten (tombstone) propagation card — the
+    * audit every GDPR/CCPA delete job emits: for each event type, how
+    * many log rows a pending deletion roster would remove vs retain,
+    * and how many distinct users it touches. The roster here is the
+    * deterministic stand-in `user_id ≡ 0 (mod 97)` (in production an
+    * external tombstone table); it still flows through a real join so
+    * the plan is the production plan.
+    *
+    * Scale shape: the roster is key-cardinality-bound and broadcast,
+    * so the 100 TB event log is marked in a map-side join (no log
+    * shuffle); the per-type card is then one partial-aggregated
+    * groupBy over a handful of keys. The distinct-user count is the
+    * only term that shuffles user ids, and only for roster hits. */
+  def deletePropagation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    val roster = ev.select(col("user_id"))
+      .filter(col("user_id") % 97 === 0)
+      .distinct()
+      .withColumn("del", lit(1))
+    ev.join(broadcast(roster), Seq("user_id"), "left_outer")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        coalesce(sum(col("del")), lit(0L)).as("n_deleted"),
+        (count(lit(1)) - coalesce(sum(col("del")), lit(0L))).as("n_retained"),
+        countDistinct(when(col("del") === 1, col("user_id")))
+          .as("n_users_deleted"))
+      .orderBy("event_type")
+  }
 }

@@ -34,6 +34,9 @@ object Extensions {
       Dedup.blockDedup(s, d)),
     // the most-duplicated 8-grams across the corpus (what d13 strips)
     "d14_hot_ngrams" -> (Dedup.hotNgrams _),
+    // sparse TF-vector cosine near-dup, df-capped like d02
+    "d15_cosine_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.cosinePairs(s, d)),
     // near-dup pairs straddling the t07 split (self-decontamination)
     "x15_split_leakage" -> (Dedup.splitLeakage _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
@@ -98,12 +101,16 @@ object Extensions {
     "t24_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     // per-source Heaps-law profile: types, hapax, TTR
     "t25_vocab_growth" -> (Curation.vocabGrowth _),
+    // BPE round-1 merge candidates: weighted adjacent-pair counts
+    "t26_bpe_merges" -> (Curation.bpeMergeCandidates _),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
     "m02_multimodal_resize" -> (Multimodal.resized _),
     // perceptual (average-hash) signature extraction over payloads
     "m03_ahash" -> (Multimodal.ahashes _),
+    // payload near-dups over m03 signatures: 8×8-bit bands + hamming
+    "m04_ahash_neardup" -> (Multimodal.ahashPairs _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
     "x02_funnel" -> (Funnel.viewClickPurchase _),
     // weekly cohort-retention matrix over the events stream
@@ -121,11 +128,17 @@ object Extensions {
     "x11_mixture_sample" -> (Curation.mixtureSample _),
     "x12_chunking" -> (Curation.chunks _),
     "x13_snapshot_diff" -> (Merge.snapshotDiff _),
+    // GDPR tombstone-propagation audit: broadcast roster mark + card
+    "x18_delete_propagation" -> (Merge.deletePropagation _),
+    // Deequ-style declarative data-quality rule card over the log
+    "x19_dq_rules" -> (Profile.dqRules _),
     // α=0.5 temperature rebalance of the source mix (x11's sibling)
     "x14_temperature_sample" -> (Curation.temperatureSample _),
     "z01_zorder" -> (Layout.zorderKeys _),
     // min/max file-stats pruning under 4 layouts of the same rows
     "z02_pruning_report" -> (Layout.pruningReport _),
+    // partitioned-bloom membership skipping: FP rate at depth k = 1..4
+    "z03_bloom_report" -> (Layout.bloomReport _),
   )
 
   // Shared DuckDB fragments -----------------------------------------
@@ -173,6 +186,29 @@ object Extensions {
         FROM (SELECT *, row_number() OVER
                 (PARTITION BY vec_id, s ORDER BY dist, k) AS rn FROM pqd) z
         WHERE rn = 1)"""
+
+  /** CTE chain ending in `ah(doc_id, ahash)` — the m03 average-hash
+    * signature (bit b set when block b's byte mean beats the payload
+    * mean, denominators cleared; bit 63 via two's-complement MIN —
+    * see the m03 oracle notes for the byte≡code-point assumption). */
+  private val ahashCtes = """
+      d AS (SELECT doc_id, text AS t, strlen(text) AS n
+                 FROM documents WHERE strlen(text) > 0),
+      cd AS (SELECT doc_id, n,
+               [ascii(t[j])::BIGINT for j in generate_series(1, n)] AS codes
+             FROM d),
+      st AS (SELECT doc_id, n, codes,
+               CAST(list_reduce(list_prepend(0::BIGINT, codes),
+                 (a, x) -> a + x) AS BIGINT) AS total FROM cd),
+      ah AS (SELECT doc_id, CAST(list_sum([CASE WHEN
+          COALESCE(list_reduce(list_prepend(0::BIGINT,
+            codes[(b*n)//64 + 1 : ((b+1)*n)//64]), (a, x) -> a + x), 0)
+            * n > total * (((b+1)*n)//64 - (b*n)//64)
+          THEN (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << b) END)
+          ELSE 0::BIGINT END
+          for b in generate_series(0, 63)]) AS BIGINT) AS ahash
+      FROM st)"""
 
   /** CTE chain ending in `bands(doc_id, band_idx, band_key)` — the
     * MinHash signature + LSH band construction shared by the d03/d06
@@ -1259,24 +1295,27 @@ object Extensions {
     // the Spark loop's 0-based [lo,hi); bit 63 is two's-complement
     // MIN (DuckDB checks 1<<63, Java wraps). Same ASCII byte≡code-
     // point assumption as m01.
-    "m03_ahash" -> """
-      WITH d AS (SELECT doc_id, text AS t, strlen(text) AS n
-                 FROM documents WHERE strlen(text) > 0),
-      cd AS (SELECT doc_id, n,
-               [ascii(t[j])::BIGINT for j in generate_series(1, n)] AS codes
-             FROM d),
-      st AS (SELECT doc_id, n, codes,
-               CAST(list_reduce(list_prepend(0::BIGINT, codes),
-                 (a, x) -> a + x) AS BIGINT) AS total FROM cd)
-      SELECT doc_id, CAST(list_sum([CASE WHEN
-          COALESCE(list_reduce(list_prepend(0::BIGINT,
-            codes[(b*n)//64 + 1 : ((b+1)*n)//64]), (a, x) -> a + x), 0)
-            * n > total * (((b+1)*n)//64 - (b*n)//64)
-          THEN (CASE WHEN b = 63 THEN -9223372036854775807 - 1
-                ELSE (1::BIGINT << b) END)
-          ELSE 0::BIGINT END
-          for b in generate_series(0, 63)]) AS BIGINT) AS ahash
-      FROM st ORDER BY doc_id""",
+    "m03_ahash" -> s"""
+      WITH $ahashCtes
+      SELECT doc_id, ahash FROM ah ORDER BY doc_id""",
+    // m03 signatures → 8×8-bit LSH bands (arithmetic >> then & 255
+    // reads the same byte in both engines, sign bits masked off) with
+    // d04's dense-band skip cap, equi-join candidates, exact hamming
+    // rerank via bit_count(xor) ≤ 6 — Multimodal.ahashPairsOf
+    // step-for-step
+    "m04_ahash_neardup" -> s"""
+      WITH $ahashCtes,
+      bands AS (SELECT doc_id, ahash, b AS band_idx,
+                  (ahash >> (b * 8)) & 255 AS band_key
+                FROM ah, generate_series(0, 7) t(b)
+                QUALIFY count(*) OVER (PARTITION BY band_idx, band_key)
+                  <= ${Dedup.SimhashBucketCap}),
+      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+                 CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+               FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      SELECT ida, idb, hamming FROM cand
+      WHERE hamming <= 6 ORDER BY ida, idb""",
     "m01_multimodal_features" -> """
       WITH s AS (SELECT doc_id, strlen(text) AS byte_len,
         list_reduce(list_prepend(0::BIGINT,
@@ -1403,6 +1442,132 @@ object Extensions {
         count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens_total
       FROM en GROUP BY 1 ORDER BY split""",
     // concat-and-cut packing: per-source running token sum, bins of 256
+    // partitioned bloom mirrored lane-for-lane: set bits are DISTINCT
+    // (lane, hash) pairs, probes are the anti-joined absent keys, and
+    // depth-k positivity is the AND of the first k lane hits
+    "z03_bloom_report" -> s"""
+      WITH members AS (SELECT DISTINCT o_custkey AS x FROM orders),
+      lanes AS (SELECT DISTINCT i, ${Layout.laneHashSql("i", "x")} AS h
+                FROM members, generate_series(0, ${Layout.BloomK - 1}) t(i)),
+      probes AS (SELECT c_custkey + (SELECT max(x) FROM members) AS x
+                 FROM customer),
+      ph AS (SELECT p.x, t.i,
+               CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+             FROM probes p
+             CROSS JOIN generate_series(0, ${Layout.BloomK - 1}) t(i)
+             LEFT JOIN lanes b ON b.i = t.i
+               AND b.h = ${Layout.laneHashSql("t.i", "p.x")}),
+      flags AS (SELECT x,
+          max(CASE WHEN i = 0 THEN hit END) AS h0,
+          max(CASE WHEN i = 1 THEN hit END) AS h1,
+          max(CASE WHEN i = 2 THEN hit END) AS h2,
+          max(CASE WHEN i = 3 THEN hit END) AS h3
+        FROM ph GROUP BY x),
+      counts AS (SELECT count(*) AS n_probes,
+          CAST(sum(CASE WHEN h0 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp1,
+          CAST(sum(CASE WHEN h0 = 1 AND h1 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp2,
+          CAST(sum(CASE WHEN h0 = 1 AND h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp3,
+          CAST(sum(CASE WHEN h0 = 1 AND h1 = 1 AND h2 = 1 AND h3 = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS fp4
+        FROM flags),
+      bc AS (SELECT
+          CAST(sum(CASE WHEN i < 1 THEN nb ELSE 0 END) AS BIGINT) AS bits1,
+          CAST(sum(CASE WHEN i < 2 THEN nb ELSE 0 END) AS BIGINT) AS bits2,
+          CAST(sum(CASE WHEN i < 3 THEN nb ELSE 0 END) AS BIGINT) AS bits3,
+          CAST(sum(CASE WHEN i < 4 THEN nb ELSE 0 END) AS BIGINT) AS bits4
+        FROM (SELECT i, count(*) AS nb FROM lanes GROUP BY i) ln),
+      mem AS (SELECT count(*) AS n_members FROM members),
+      all1 AS (SELECT * FROM counts, bc, mem)
+      SELECT k, n_members, n_probes, n_bits_set, n_false_pos,
+        n_false_pos * 1000000 // n_probes AS fp_e6
+      FROM (
+        SELECT 1 AS k, n_members, n_probes, bits1 AS n_bits_set,
+               fp1 AS n_false_pos FROM all1
+        UNION ALL SELECT 2, n_members, n_probes, bits2, fp2 FROM all1
+        UNION ALL SELECT 3, n_members, n_probes, bits3, fp3 FROM all1
+        UNION ALL SELECT 4, n_members, n_probes, bits4, fp4 FROM all1)
+      ORDER BY k""",
+    // broadcast-roster delete mark mirrored as a LEFT JOIN; sums cast
+    // to BIGINT so DuckDB's HUGEINT never reaches pandas as float
+    "x18_delete_propagation" -> """
+      WITH roster AS (SELECT DISTINCT user_id FROM events
+                      WHERE user_id % 97 = 0),
+      m AS (SELECT e.event_type, e.user_id,
+              CASE WHEN r.user_id IS NOT NULL THEN 1 END AS del
+            FROM events e LEFT JOIN roster r ON e.user_id = r.user_id)
+      SELECT event_type, count(*) AS n_total,
+        CAST(coalesce(sum(del), 0) AS BIGINT) AS n_deleted,
+        count(*) - CAST(coalesce(sum(del), 0) AS BIGINT) AS n_retained,
+        count(DISTINCT CASE WHEN del = 1 THEN user_id END)
+          AS n_users_deleted
+      FROM m GROUP BY event_type ORDER BY event_type""",
+    // one scan builds every per-row rule aggregate; the UNION ALL
+    // unpivot mirrors Spark's stack; NULL predicate hits fall to the
+    // ELSE/violation branch in both engines
+    "x19_dq_rules" -> s"""
+      WITH a AS (SELECT count(*) AS n,
+        CAST(sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS v_value,
+        CAST(sum(CASE WHEN event_type IN ('click', 'error', 'purchase',
+            'signup', 'view') THEN 0 ELSE 1 END) AS BIGINT) AS v_type,
+        CAST(sum(CASE WHEN regexp_matches(props,
+            '^\\{"k": [0-9]+\\}$$') THEN 0 ELSE 1 END) AS BIGINT) AS v_props,
+        CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+        CAST(sum(CASE WHEN user_id IS NULL OR user_id <= 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS v_user,
+        count(*) - count(DISTINCT event_id) AS v_unique
+        FROM events)
+      SELECT rule, n_checked, n_violations,
+        (n_checked - n_violations) * 1000000 // n_checked AS pass_e6
+      FROM (
+        SELECT 'event_id_unique' AS rule, n AS n_checked,
+               v_unique AS n_violations FROM a
+        UNION ALL SELECT 'props_schema', n, v_props FROM a
+        UNION ALL SELECT 'ts_nonnull', n, v_ts FROM a
+        UNION ALL SELECT 'type_domain', n, v_type FROM a
+        UNION ALL SELECT 'user_id_positive', n, v_user FROM a
+        UNION ALL SELECT 'value_nonneg', n, v_value FROM a)
+      ORDER BY rule""",
+    // term-count vectors with the df > cap stop list removed; integer
+    // dot/norms, one fixed float expression tree for the e6 floor
+    "d15_cosine_pairs" -> s"""
+      WITH $tkCte,
+      tcw AS (SELECT doc_id, unnest(tk) AS w FROM tk),
+      tc0 AS (SELECT doc_id, w, count(*) AS c FROM tcw
+              WHERE length(w) >= 1 GROUP BY doc_id, w),
+      stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tc0
+               GROUP BY w) z WHERE df > ${Dedup.CosineDfCap}),
+      tc AS (SELECT * FROM tc0 WHERE w NOT IN (SELECT w FROM stop)),
+      norms AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS n2
+                FROM tc GROUP BY doc_id),
+      dots AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 CAST(sum(a.c * b.c) AS BIGINT) AS dot
+               FROM tc a JOIN tc b ON a.w = b.w AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      scored AS (SELECT ida, idb, dot,
+          CAST(floor((dot::DOUBLE * 1000000.0) /
+            (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))) AS BIGINT)
+            AS cos_e6
+        FROM dots JOIN norms na ON ida = na.doc_id
+          JOIN norms nb ON idb = nb.doc_id)
+      SELECT ida, idb, dot, cos_e6 FROM scored
+      WHERE cos_e6 >= ${Dedup.CosineThresholdE6}
+      ORDER BY ida, idb""",
+    // adjacent char pairs inside distinct words, weighted by word
+    // frequency; the unique (l, r) key makes the top-32 cut exact
+    "t26_bpe_merges" -> s"""
+      WITH $tkCte,
+      w AS (SELECT unnest(tk) AS w FROM tk),
+      wc AS (SELECT w, count(*) AS c FROM w
+             WHERE length(w) >= 2 GROUP BY w),
+      p AS (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+              for i in generate_series(1, length(w) - 1)]) AS pr, c
+            FROM wc)
+      SELECT pr.l AS l, pr.r AS r, CAST(sum(c) AS BIGINT) AS pair_count
+      FROM p GROUP BY pr.l, pr.r
+      ORDER BY pair_count DESC, l, r LIMIT 32""",
     "x04_packing" -> s"""
       WITH $tkCte,
       n AS (SELECT d.doc_id, d.source, len(tk.tk)::BIGINT AS n_toks

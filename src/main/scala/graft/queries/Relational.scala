@@ -870,6 +870,24 @@ object Relational {
       FROM events ORDER BY event_id""")
   }
 
+  // Calendar-INTERVAL RANGE frame (§2.5 breadth, q42's sibling): the
+  // frame bound is a genuine INTERVAL literal over the timestamp sort
+  // key — the SQL-standard spelling of "trailing hour" — rather than
+  // q42's epoch-micros arithmetic. RANGE (not ROWS) makes timestamp
+  // ties frame-peers, so the integer count/sum are tie-order-proof.
+  def q54_interval_range(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT event_id, user_id,
+        CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+          AS sum_1h_e6
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")
+  }
+
   // LATERAL correlated subquery join (top-2 orders per customer):
   // Catalyst decorrelates the ORDER BY/LIMIT lateral into a
   // partitioned window rank — one shuffle, no per-row re-execution.

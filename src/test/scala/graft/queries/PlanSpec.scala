@@ -289,7 +289,8 @@ class PlanSpec extends AnyFunSuite {
       "q40_range_join", // broadcast static band dim, range condition
       "x10_serving_card", // 1-row card-stats scalar
       "i03_bm25", // 1-row corpus-stats (N, L) scalar crossJoin
-      "t22_collocations" // 1-row bigram-total scalar crossJoin
+      "t22_collocations", // 1-row bigram-total scalar crossJoin
+      "z03_bloom_report" // 1-row max-member + card-stats scalar crossJoins
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

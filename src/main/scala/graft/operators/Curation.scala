@@ -364,6 +364,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** t27: per-document keyword extraction — the top-3 terms by
+    * tf·idf, the metadata tag every search/curation pipeline attaches
+    * to a document. The score is the exact integer
+    * `tf · N_docs · 100 div df` (linear idf — N/df — instead of the
+    * usual log(N/df): same ranking within a document up to idf
+    * monotonicity, and zero floating math to diverge on), with the
+    * term string as the deterministic tiebreak.
+    *
+    * Scale shape: tf is one partial-aggregated shuffle on
+    * (doc, term); df is a second on the term; the join back is
+    * term-keyed. N_docs rides as a 1-row broadcast scalar, and the
+    * top-3 cut is a per-doc window rank — no global sort. */
+  def keywords(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .persist() // feeds df count + the scored join (clearCache)
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(col("score_e2").desc, col("w"))
+    tf.join(dfq, Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_e2", expr("tf * n_docs * 100 div df"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("w").as("term"),
+        col("tf"), col("df"), col("score_e2"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** t26: BPE merge-candidate mining — the first iteration of
     * byte-pair-encoding tokenizer training: corpus-weighted counts of
     * adjacent symbol pairs inside words, ranked; the top pair is what

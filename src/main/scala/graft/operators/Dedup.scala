@@ -115,13 +115,18 @@ object Dedup {
       .orderBy("ida", "idb")
   }
 
-  /** d15's vector-space knobs: terms in more than [[CosineDfCap]]
-    * documents are pruned from the bag-of-words space (the sparse
-    * analogue of d02's stop-shingle cap — it bounds posting-list
-    * fanout AND removes the function words that would otherwise
-    * dominate every dot product), and pairs scoring below
+  /** d15's vector-space knobs: terms appearing in more than
+    * [[CosineDfPermille]]‰ of the corpus are pruned from the
+    * bag-of-words space (the sparse analogue of d02's stop-shingle
+    * cap — it bounds posting-list fanout AND removes the function
+    * words that would otherwise dominate every dot product). The cap
+    * is RELATIVE, unlike d02's absolute one, because word df grows
+    * with the corpus while shingle df stays flat: an absolute word
+    * cap that keeps topic terms at one scale prunes the entire
+    * vocabulary at 10× (measured: the df ≤ 64 variant emits 300
+    * pairs at sf0.01 and zero at sf0.1). Pairs scoring below
     * [[CosineThresholdE6]]/1e6 are dropped. */
-  val CosineDfCap = 64L
+  val CosineDfPermille = 100L
   val CosineThresholdE6 = 800000L
 
   /** d15: sparse bag-of-words cosine near-dup — the TF-vector
@@ -137,19 +142,33 @@ object Dedup {
     * Scale shape: identical to d02 — signatures (term counts) built
     * once and persisted, a broadcast anti-join applies the df cap,
     * and the single corpus-scale shuffle is the postings equi-join on
-    * the term, whose fanout the cap bounds by df² per term. */
+    * the term, whose fanout the cap bounds by df² per term. The
+    * corpus size enters the cap as a 1-row broadcast scalar.
+    *
+    * Fanout honesty: a RELATIVE cap admits postings up to 0.1·N, so
+    * worst-case join fanout grows with N² on a corpus whose
+    * mid-frequency band thickens (measured growth here is ×100 pairs
+    * for ×10 docs at the 0.8 threshold — the extra pairs are real
+    * near-dups the tighter absolute cap was missing, not noise). A
+    * production deployment layers prefix filtering (only a vector's
+    * rarest-k terms generate candidates; the full dot still scores
+    * them) on this exact plan to pull the candidate volume back to
+    * near-linear. */
   def cosinePairs(s: SparkSession, dir: String,
-      maxTermDf: Option[Long] = Some(CosineDfCap)): DataFrame = {
+      maxTermDfPermille: Option[Long] = Some(CosineDfPermille)): DataFrame = {
     val tc0 = docs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .persist() // feeds the df count + the capped frame (clearCache)
-    val tc = (maxTermDf match {
+    val tc = (maxTermDfPermille match {
       case None => tc0
-      case Some(cap) =>
+      case Some(permille) =>
+        val nd = tc0.agg(countDistinct(col("doc_id")).as("n_docs"))
         val stop = tc0.groupBy("w").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("w")
+          .crossJoin(broadcast(nd))
+          .filter(col("df") * 1000L > lit(permille) * col("n_docs"))
+          .select("w")
         tc0.join(broadcast(stop), Seq("w"), "left_anti")
     }).persist() // feeds norms + both postings-join sides (clearCache)
     val norms = tc.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))

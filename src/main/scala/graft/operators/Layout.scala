@@ -118,6 +118,52 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** x20 compaction geometry: an ingest file is "small" below
+    * [[SmallFileBytes]]; small files pack greedily (in file order)
+    * into groups targeting [[CompactTargetBytes]]. */
+  val SmallFileBytes = 1024L
+  val CompactTargetBytes = 4096L
+
+  /** x20: small-file compaction planner — the OPTIMIZE/bin-packing
+    * pass every lakehouse table needs after streaming ingest writes
+    * one tiny file per micro-batch: per source shard, find the files
+    * under the small-file threshold and assign them to compaction
+    * groups by a greedy running-sum cut at the target size (each doc
+    * stands in for one ingest file; its byte size is `n_chars`). The
+    * card reports files before/after, group count, and bytes the
+    * compactor must rewrite — the numbers that decide whether the
+    * job is worth scheduling.
+    *
+    * Scale shape: x04's sequence-packing window applied to file
+    * stats: the running sum is per-source (never a global order), and
+    * everything downstream is a partial-aggregated rollup on the
+    * source key. The planner touches file METADATA only — bytes
+    * moved is reported, not moved. */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.t(s, dir, "documents")
+      .select(col("source"), col("doc_id").as("file_id"),
+        col("n_chars").as("bytes"))
+    val planned = files.filter(col("bytes") < SmallFileBytes)
+      .withColumn("grp",
+        expr(s"(sum(bytes) OVER (PARTITION BY source ORDER BY file_id " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1L) " +
+          s"div $CompactTargetBytes"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("bytes")).as("bytes_moved"),
+        countDistinct(col("grp")).as("n_groups"))
+    files.groupBy("source")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes_total"))
+      .join(planned, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("n_small", "bytes_moved", "n_groups"))
+      .withColumn("n_files_after",
+        col("n_files") - col("n_small") + col("n_groups"))
+      .select(col("source"), col("n_files"), col("bytes_total"),
+        col("n_small"), col("bytes_moved"), col("n_groups"),
+        col("n_files_after"))
+      .orderBy("source")
+  }
+
   /** z03's bloom geometry: a PARTITIONED bloom filter — each of the
     * [[BloomK]] hash functions owns its own [[BloomM]]-bit lane (the
     * blocked variant Impala/Kudu use; lane independence is also what

@@ -140,6 +140,47 @@ object Merge {
       .orderBy("user_id", "version")
   }
 
+  /** x21: incremental aggregate maintenance — the materialized-view
+    * refresh every serving pipeline runs instead of recomputing: a
+    * per-user (count, sum) view built from the base log (event_id ≢ 7
+    * mod 10) absorbs a delta batch (≡ 7) by MERGING partial
+    * aggregates, and the output self-audits against a full recompute
+    * (`consistent` = 1 row-for-row — count/sum are the algebraic
+    * aggregates for which partial-merge is exact). Only users the
+    * delta touches are emitted, mirroring a real refresh that
+    * rewrites only dirty partitions.
+    *
+    * Scale shape: three partial-aggregated groupBys on the user key
+    * (base view, delta batch, audit recompute) + key-cardinality
+    * joins; the delta-side agg is batch-sized, not corpus-sized. In
+    * production the base agg is the stored view — here it is derived
+    * so the operator is self-contained. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = valued(s, dir)
+    def agg(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy("user_id").agg(
+        count(lit(1)).as(s"n_$suffix"),
+        sum(col("v_e6")).as(s"s_$suffix"))
+    val base = agg(ev.filter(col("event_id") % 10 =!= 7), "base")
+    val delta = agg(ev.filter(col("event_id") % 10 === 7), "delta")
+    val full = agg(ev, "full")
+    delta.join(base, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_before"),
+        col("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) + col("n_delta")).as("n_after"),
+        (coalesce(col("s_base"), lit(0L)) + coalesce(col("s_delta"), lit(0L)))
+          .as("sum_after_e6"))
+      .join(full, Seq("user_id"))
+      .withColumn("consistent",
+        (col("n_after") === col("n_full") &&
+          col("sum_after_e6") === coalesce(col("s_full"), lit(0L)))
+          .cast("int"))
+      .select(col("user_id"), col("n_before"), col("n_delta"),
+        col("n_after"), col("sum_after_e6"), col("consistent"))
+      .orderBy("user_id")
+  }
+
   /** x18: right-to-be-forgotten (tombstone) propagation card — the
     * audit every GDPR/CCPA delete job emits: for each event type, how
     * many log rows a pending deletion roster would remove vs retain,

@@ -119,4 +119,31 @@ object TimeSeries {
           .as("mean_gap_us"))
       .orderBy("event_type")
   }
+
+  /** x22: coverage-gap (backfill-planning) report — per user, the
+    * holes in the hourly activity series: hours covered, the span
+    * they should cover, how many hours are missing, how many distinct
+    * gap runs there are, and the longest run. This is the card a
+    * backfill scheduler reads to decide which (user, hour-range)
+    * slices to re-ingest, and the complement of x06's forward-fill
+    * (which papers over exactly these holes).
+    *
+    * Scale shape: one distinct to (user, hour) grain — the only
+    * event-volume shuffle — then an ordered window and a
+    * partial-aggregated rollup over the (tiny) per-user hour series;
+    * never materializes the dense grid the way x06 must. */
+  def gapReport(s: SparkSession, dir: String): DataFrame = {
+    val hrs = Tables.t(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000L").as("hr"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("hr")
+    hrs.withColumn("gap", col("hr") - lag(col("hr"), 1).over(w) - 1)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_present"),
+        (max(col("hr")) - min(col("hr")) + 1).as("span_hours"),
+        (max(col("hr")) - min(col("hr")) + 1 - count(lit(1))).as("n_missing"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap"))
+      .orderBy("user_id")
+  }
 }

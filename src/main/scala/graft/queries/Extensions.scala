@@ -103,6 +103,8 @@ object Extensions {
     "t25_vocab_growth" -> (Curation.vocabGrowth _),
     // BPE round-1 merge candidates: weighted adjacent-pair counts
     "t26_bpe_merges" -> (Curation.bpeMergeCandidates _),
+    // per-doc top-3 tf·idf keywords (integer linear-idf score)
+    "t27_keywords" -> (Curation.keywords _),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
@@ -132,6 +134,12 @@ object Extensions {
     "x18_delete_propagation" -> (Merge.deletePropagation _),
     // Deequ-style declarative data-quality rule card over the log
     "x19_dq_rules" -> (Profile.dqRules _),
+    // small-file compaction planner: greedy bin-pack card per source
+    "x20_compaction_plan" -> (Layout.compactionPlan _),
+    // materialized-view delta merge, self-audited vs full recompute
+    "x21_incremental_agg" -> (Merge.incrementalAgg _),
+    // per-user hourly coverage gaps (backfill planning card)
+    "x22_gap_report" -> (TimeSeries.gapReport _),
     // α=0.5 temperature rebalance of the source mix (x11's sibling)
     "x14_temperature_sample" -> (Curation.temperatureSample _),
     "z01_zorder" -> (Layout.zorderKeys _),
@@ -1537,8 +1545,10 @@ object Extensions {
       tcw AS (SELECT doc_id, unnest(tk) AS w FROM tk),
       tc0 AS (SELECT doc_id, w, count(*) AS c FROM tcw
               WHERE length(w) >= 1 GROUP BY doc_id, w),
+      nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tc0),
       stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tc0
-               GROUP BY w) z WHERE df > ${Dedup.CosineDfCap}),
+               GROUP BY w) z, nn
+               WHERE df * 1000 > ${Dedup.CosineDfPermille} * n_docs),
       tc AS (SELECT * FROM tc0 WHERE w NOT IN (SELECT w FROM stop)),
       norms AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS n2
                 FROM tc GROUP BY doc_id),
@@ -1555,6 +1565,89 @@ object Extensions {
       SELECT ida, idb, dot, cos_e6 FROM scored
       WHERE cos_e6 >= ${Dedup.CosineThresholdE6}
       ORDER BY ida, idb""",
+    // tf/df/N all exact integers; linear idf (N/df) keeps the score
+    // integral; term string is the in-doc rank tiebreak
+    "t27_keywords" -> s"""
+      WITH $tkCte,
+      tf AS (SELECT doc_id, w, count(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS w FROM tk) z
+             WHERE length(w) >= 2 GROUP BY doc_id, w),
+      dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      sc AS (SELECT t.doc_id, t.w, t.tf, d.df,
+               t.tf * nn.n_docs * 100 // d.df AS score_e2,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY t.tf * nn.n_docs * 100 // d.df DESC, t.w) AS rk
+             FROM tf t JOIN dfq d USING (w), nn)
+      SELECT doc_id, rk, w AS term, tf, CAST(df AS BIGINT) AS df,
+        CAST(score_e2 AS BIGINT) AS score_e2
+      FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // each doc = one ingest file; greedy running-sum cut at the
+    // target size mirrors the Spark window text
+    "x20_compaction_plan" -> s"""
+      WITH files AS (SELECT source, doc_id AS file_id, n_chars AS bytes
+                     FROM documents),
+      planned AS (SELECT source, count(*) AS n_small,
+          CAST(sum(bytes) AS BIGINT) AS bytes_moved,
+          count(DISTINCT grp) AS n_groups
+        FROM (SELECT source,
+                (sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                  // ${Layout.CompactTargetBytes} AS grp, bytes
+              FROM files WHERE bytes < ${Layout.SmallFileBytes}) g
+        GROUP BY source),
+      totals AS (SELECT source, count(*) AS n_files,
+          CAST(sum(bytes) AS BIGINT) AS bytes_total
+        FROM files GROUP BY source)
+      SELECT t.source, t.n_files, t.bytes_total,
+        coalesce(p.n_small, 0) AS n_small,
+        coalesce(p.bytes_moved, 0) AS bytes_moved,
+        coalesce(p.n_groups, 0) AS n_groups,
+        t.n_files - coalesce(p.n_small, 0) + coalesce(p.n_groups, 0)
+          AS n_files_after
+      FROM totals t LEFT JOIN planned p USING (source)
+      ORDER BY t.source""",
+    // partial-aggregate merge (base ⊕ delta) vs full recompute;
+    // count/sum are algebraic so the audit must return 1 everywhere
+    "x21_incremental_agg" -> """
+      WITH ev AS (SELECT user_id, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events),
+      base AS (SELECT user_id, count(*) AS n_base,
+               CAST(sum(v_e6) AS BIGINT) AS s_base
+               FROM ev WHERE event_id % 10 <> 7 GROUP BY user_id),
+      delta AS (SELECT user_id, count(*) AS n_delta,
+               CAST(sum(v_e6) AS BIGINT) AS s_delta
+               FROM ev WHERE event_id % 10 = 7 GROUP BY user_id),
+      fullagg AS (SELECT user_id, count(*) AS n_full,
+               CAST(sum(v_e6) AS BIGINT) AS s_full
+               FROM ev GROUP BY user_id),
+      m AS (SELECT d.user_id,
+              coalesce(b.n_base, 0) AS n_before, d.n_delta,
+              coalesce(b.n_base, 0) + d.n_delta AS n_after,
+              coalesce(b.s_base, 0) + coalesce(d.s_delta, 0)
+                AS sum_after_e6
+            FROM delta d LEFT JOIN base b USING (user_id))
+      SELECT m.user_id, m.n_before, m.n_delta, m.n_after, m.sum_after_e6,
+        CAST(CASE WHEN m.n_after = f.n_full
+          AND m.sum_after_e6 = coalesce(f.s_full, 0)
+          THEN 1 ELSE 0 END AS INTEGER) AS consistent
+      FROM m JOIN fullagg f USING (user_id)
+      ORDER BY m.user_id""",
+    // (user, hour) grain distinct, ordered-window gap runs, rollup
+    "x22_gap_report" -> """
+      WITH h AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr
+                 FROM events),
+      g AS (SELECT user_id, hr,
+              hr - lag(hr) OVER (PARTITION BY user_id ORDER BY hr) - 1
+                AS gap
+            FROM h)
+      SELECT user_id, count(*) AS n_present,
+        max(hr) - min(hr) + 1 AS span_hours,
+        max(hr) - min(hr) + 1 - count(*) AS n_missing,
+        CAST(coalesce(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_gaps,
+        coalesce(max(gap), 0) AS max_gap
+      FROM g GROUP BY user_id ORDER BY user_id""",
     // adjacent char pairs inside distinct words, weighted by word
     // frequency; the unique (l, r) key makes the top-32 cut exact
     "t26_bpe_merges" -> s"""

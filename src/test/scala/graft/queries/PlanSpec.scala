@@ -290,7 +290,9 @@ class PlanSpec extends AnyFunSuite {
       "x10_serving_card", // 1-row card-stats scalar
       "i03_bm25", // 1-row corpus-stats (N, L) scalar crossJoin
       "t22_collocations", // 1-row bigram-total scalar crossJoin
-      "z03_bloom_report" // 1-row max-member + card-stats scalar crossJoins
+      "z03_bloom_report", // 1-row max-member + card-stats scalar crossJoins
+      "t27_keywords", // 1-row corpus-size (N_docs) scalar crossJoin
+      "d15_cosine_pairs" // 1-row corpus-size scalar in the df-cap rule
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

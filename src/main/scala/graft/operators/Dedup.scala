@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -154,14 +155,16 @@ object Dedup {
     * rarest-k terms generate candidates; the full dot still scores
     * them) on this exact plan to pull the candidate volume back to
     * near-linear. */
-  def cosinePairs(s: SparkSession, dir: String,
-      maxTermDfPermille: Option[Long] = Some(CosineDfPermille)): DataFrame = {
+  /** The df-capped term-count vectors shared by d15/d16 (persisted;
+    * clearCache lifetime — see the shinglePostings note). */
+  private def termVectors(s: SparkSession, dir: String,
+      maxTermDfPermille: Option[Long]): DataFrame = {
     val tc0 = docs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .persist() // feeds the df count + the capped frame (clearCache)
-    val tc = (maxTermDfPermille match {
+    (maxTermDfPermille match {
       case None => tc0
       case Some(permille) =>
         val nd = tc0.agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -170,13 +173,15 @@ object Dedup {
           .filter(col("df") * 1000L > lit(permille) * col("n_docs"))
           .select("w")
         tc0.join(broadcast(stop), Seq("w"), "left_anti")
-    }).persist() // feeds norms + both postings-join sides (clearCache)
+    }).persist() // feeds norms + postings-join sides (clearCache)
+  }
+
+  /** Norm-join + fixed float expression tree + threshold, shared by
+    * d15/d16 so the score can't drift between the exact and
+    * prefix-filtered paths. */
+  private def scoreCosine(dots: DataFrame, tc: DataFrame): DataFrame = {
     val norms = tc.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
-    tc.as("a")
-      .join(tc.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    dots
       .join(norms.as("na"), col("ida") === col("na.doc_id"))
       .join(norms.as("nb"), col("idb") === col("nb.doc_id"))
       .select(col("ida"), col("idb"), col("dot"),
@@ -185,6 +190,61 @@ object Dedup {
             sqrt(col("nb.n2").cast("double")))).cast("long").as("cos_e6"))
       .filter(col("cos_e6") >= CosineThresholdE6)
       .orderBy("ida", "idb")
+  }
+
+  def cosinePairs(s: SparkSession, dir: String,
+      maxTermDfPermille: Option[Long] = Some(CosineDfPermille)): DataFrame = {
+    val tc = termVectors(s, dir, maxTermDfPermille)
+    val dots = tc.as("a")
+      .join(tc.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    scoreCosine(dots, tc)
+  }
+
+  /** d16's prefix length: each document's [[PrefixK]] globally rarest
+    * terms (df asc, term asc) are its candidate-generating prefix. */
+  val PrefixK = 8
+
+  /** d16: prefix-filtered cosine near-dup — d15's scale path, the
+    * all-pairs-similarity trick (Chaudhuri/Bayardo prefix filtering):
+    * only a document's [[PrefixK]] RAREST terms generate candidate
+    * pairs; every candidate is then scored by the FULL exact dot
+    * product at d15's threshold. Rare terms are where near-dups are
+    * obliged to overlap (two documents sharing none of each other's
+    * rarest terms differ in exactly the content that identifies
+    * them), so recall against exhaustive d15 stays high — measured,
+    * not assumed: DedupSpec pins containment (d16 ⊆ d15) and the
+    * recall floor on the fixture corpus.
+    *
+    * Scale shape: the candidate join runs on prefix postings whose
+    * per-term length is the number of documents RANKING that term in
+    * their top-k rarest — far below raw df — pulling candidate
+    * volume to near-linear where d15's full postings join is the
+    * measured ×100-per-×10 quadratic. The rerank is two doc-keyed
+    * equi-joins re-assembling only candidate pairs' vectors. */
+  def cosinePairsPrefix(s: SparkSession, dir: String,
+      maxTermDfPermille: Option[Long] = Some(CosineDfPermille)): DataFrame = {
+    val tc = termVectors(s, dir, maxTermDfPermille)
+    val dfq = tc.groupBy("w").agg(count(lit(1)).as("df"))
+    val prefixW = Window.partitionBy("doc_id").orderBy(col("df"), col("w"))
+    val prefix = tc.join(dfq, Seq("w"))
+      .withColumn("prk", row_number().over(prefixW))
+      .filter(col("prk") <= PrefixK)
+      .select("doc_id", "w")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val dots = cand
+      .join(tc.as("ta"), col("ida") === col("ta.doc_id"))
+      .join(tc.as("tb"),
+        col("idb") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(sum(col("ta.c") * col("tb.c")).as("dot"))
+    scoreCosine(dots, tc)
   }
 
   /** d12: asymmetric containment dedup — the near-dup class symmetric

@@ -37,6 +37,9 @@ object Extensions {
     // sparse TF-vector cosine near-dup, df-capped like d02
     "d15_cosine_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.cosinePairs(s, d)),
+    // d15's scale path: rarest-k prefix candidates, exact rerank
+    "d16_cosine_prefix" -> ((s: SparkSession, d: String) =>
+      Dedup.cosinePairsPrefix(s, d)),
     // near-dup pairs straddling the t07 split (self-decontamination)
     "x15_split_leakage" -> (Dedup.splitLeakage _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
@@ -194,6 +197,35 @@ object Extensions {
         FROM (SELECT *, row_number() OVER
                 (PARTITION BY vec_id, s ORDER BY dist, k) AS rn FROM pqd) z
         WHERE rn = 1)"""
+
+  /** CTE chain ending in `tc(doc_id, w, c)` + `norms(doc_id, n2)` —
+    * the d15/d16 df-capped term-count vectors (relative stop cap:
+    * df·1000 > permille·N_docs). */
+  private val cosineVecCtes = s"""$tkCte,
+      tcw AS (SELECT doc_id, unnest(tk) AS w FROM tk),
+      tc0 AS (SELECT doc_id, w, count(*) AS c FROM tcw
+              WHERE length(w) >= 1 GROUP BY doc_id, w),
+      nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tc0),
+      stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tc0
+               GROUP BY w) z, nn
+               WHERE df * 1000 > ${Dedup.CosineDfPermille} * n_docs),
+      tc AS (SELECT * FROM tc0 WHERE w NOT IN (SELECT w FROM stop)),
+      norms AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS n2
+                FROM tc GROUP BY doc_id)"""
+
+  /** Final select shared by d15/d16: norm join + the one fixed float
+    * expression tree + threshold (expects a `dots(ida, idb, dot)`
+    * CTE in scope). */
+  private val cosineScoreSelect = s"""
+      SELECT ida, idb, dot, cos_e6 FROM (
+        SELECT ida, idb, dot,
+          CAST(floor((dot::DOUBLE * 1000000.0) /
+            (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))) AS BIGINT)
+            AS cos_e6
+        FROM dots JOIN norms na ON ida = na.doc_id
+          JOIN norms nb ON idb = nb.doc_id) scored
+      WHERE cos_e6 >= ${Dedup.CosineThresholdE6}
+      ORDER BY ida, idb"""
 
   /** CTE chain ending in `ah(doc_id, ahash)` — the m03 average-hash
     * signature (bit b set when block b's byte mean beats the payload
@@ -1541,30 +1573,31 @@ object Extensions {
     // term-count vectors with the df > cap stop list removed; integer
     // dot/norms, one fixed float expression tree for the e6 floor
     "d15_cosine_pairs" -> s"""
-      WITH $tkCte,
-      tcw AS (SELECT doc_id, unnest(tk) AS w FROM tk),
-      tc0 AS (SELECT doc_id, w, count(*) AS c FROM tcw
-              WHERE length(w) >= 1 GROUP BY doc_id, w),
-      nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tc0),
-      stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tc0
-               GROUP BY w) z, nn
-               WHERE df * 1000 > ${Dedup.CosineDfPermille} * n_docs),
-      tc AS (SELECT * FROM tc0 WHERE w NOT IN (SELECT w FROM stop)),
-      norms AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS n2
-                FROM tc GROUP BY doc_id),
+      WITH $cosineVecCtes,
       dots AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
                  CAST(sum(a.c * b.c) AS BIGINT) AS dot
                FROM tc a JOIN tc b ON a.w = b.w AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-      scored AS (SELECT ida, idb, dot,
-          CAST(floor((dot::DOUBLE * 1000000.0) /
-            (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))) AS BIGINT)
-            AS cos_e6
-        FROM dots JOIN norms na ON ida = na.doc_id
-          JOIN norms nb ON idb = nb.doc_id)
-      SELECT ida, idb, dot, cos_e6 FROM scored
-      WHERE cos_e6 >= ${Dedup.CosineThresholdE6}
-      ORDER BY ida, idb""",
+               GROUP BY 1, 2)
+      $cosineScoreSelect""",
+    // d15's candidate join restricted to each doc's 8 rarest terms
+    // (df asc, term asc); full exact dot rerank at the same threshold
+    "d16_cosine_prefix" -> s"""
+      WITH $cosineVecCtes,
+      dfq AS (SELECT w, count(*) AS df FROM tc GROUP BY w),
+      pre AS (SELECT doc_id, w FROM (
+                SELECT t.doc_id, t.w, row_number() OVER (
+                  PARTITION BY t.doc_id ORDER BY d.df, t.w) AS prk
+                FROM tc t JOIN dfq d USING (w)) z
+              WHERE prk <= ${Dedup.PrefixK}),
+      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+               FROM pre a JOIN pre b ON a.w = b.w
+                 AND a.doc_id < b.doc_id),
+      dots AS (SELECT c.ida, c.idb,
+                 CAST(sum(ta.c * tb.c) AS BIGINT) AS dot
+               FROM cand c JOIN tc ta ON c.ida = ta.doc_id
+                 JOIN tc tb ON c.idb = tb.doc_id AND ta.w = tb.w
+               GROUP BY c.ida, c.idb)
+      $cosineScoreSelect""",
     // tf/df/N all exact integers; linear idf (N/df) keeps the score
     // integral; term string is the in-doc rank tiebreak
     "t27_keywords" -> s"""

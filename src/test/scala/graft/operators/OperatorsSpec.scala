@@ -1039,4 +1039,24 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("ivf_recall_e6") == ih * 200000)
     }
   }
+
+  test("prefix-filtered cosine pairs ⊆ exhaustive, with high recall") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("ida"), r.getAs[Long]("idb")) ->
+          r.getAs[Long]("cos_e6")).toMap
+    val exhaustive = keyed(Dedup.cosinePairs(spark, dir))
+    val prefixed = keyed(Dedup.cosinePairsPrefix(spark, dir))
+    // containment: every prefix-path pair is an exhaustive pair with
+    // the IDENTICAL score (both paths rerank with the full dot)
+    prefixed.foreach { case (k, v) =>
+      assert(exhaustive.get(k).contains(v),
+        s"prefix pair $k missing/mismatched in exhaustive set")
+    }
+    assert(exhaustive.nonEmpty)
+    // recall floor on the fixture corpus (measured 100% at all three
+    // driver SFs; 0.9 leaves room for future fixture refreshes)
+    assert(prefixed.size * 10 >= exhaustive.size * 9,
+      s"prefix recall ${prefixed.size}/${exhaustive.size} below 0.9")
+  }
 }

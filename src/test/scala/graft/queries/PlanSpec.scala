@@ -292,7 +292,8 @@ class PlanSpec extends AnyFunSuite {
       "t22_collocations", // 1-row bigram-total scalar crossJoin
       "z03_bloom_report", // 1-row max-member + card-stats scalar crossJoins
       "t27_keywords", // 1-row corpus-size (N_docs) scalar crossJoin
-      "d15_cosine_pairs" // 1-row corpus-size scalar in the df-cap rule
+      "d15_cosine_pairs", // 1-row corpus-size scalar in the df-cap rule
+      "d16_cosine_prefix" // same 1-row corpus-size scalar as d15
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -29,6 +29,71 @@ import org.apache.spark.sql.SparkSession
   *    re-sampling comment in main() for the rationale.
   */
 object Bench {
+
+  /** Hard budget for the printed stdout line: the driver keeps only
+    * the last ~2000 chars of stdout, and sbt's trailing [success]
+    * line eats ~75 (BENCH_r{1,2,4}.json all recorded "parsed": null
+    * when the full-name line outgrew the window). 1850 leaves ~75 of
+    * slack under the real ~1925 budget. */
+  val MaxLineChars = 1850
+
+  // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR…)
+  // would render 8.496 as "8,496" and break the JSON parse the
+  // compact line exists for. 10 ms resolution with trailing zeros
+  // trimmed ("1.20"→"1.2", "3.00"→"3") — host noise is orders of
+  // magnitude above 10 ms and BENCH_DETAIL.json keeps full precision.
+  private def fmt(v: Double): String =
+    if (v < 0) "-1"
+    else {
+      val t = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (t.isEmpty) "0" else t // "0.00" trims to "" otherwise
+    }
+
+  private def jsonObj[A](pairs: Seq[(String, A)])(render: A => String): String =
+    pairs.map { case (k, v) => "\"" + k + "\":" + render(v) }
+      .mkString("{", ",", "}")
+
+  /** Builds the one printed JSON line, guaranteed ≤ `maxChars`: query
+    * keys are unique short id prefixes ("q01_pricing_summary" →
+    * "q01"), and if the full per-query map still overflows the
+    * budget, the CHEAPEST queries fold into `"other_n":K,
+    * "other_sec":S` until the line fits (measured on the real string,
+    * not an estimate). The heavy queries — the ones a bench reader
+    * compares round-over-round — are always the last to fold, and
+    * BENCH_DETAIL.json always carries the full map. */
+  def compactLine(results: Seq[(String, Double)], total: Double,
+      runs: Int, failedRuns: Seq[(String, Int)], resampledTotal: Int,
+      sfDir: String, maxChars: Int = MaxLineChars): String = {
+    def short(n: String): String = n.takeWhile(_ != '_')
+    val ambiguous = results.map(_._1).groupBy(short).exists(_._2.size > 1)
+    def key(n: String): String = if (ambiguous) n else short(n)
+    // fold order: cheapest first (ties by name for determinism);
+    // -1 failures never fold — a red must stay visible in the line
+    val foldOrder = results.filter(_._2 >= 0).sortBy { case (n, v) => (v, n) }
+    def build(nFold: Int): String = {
+      val folded = foldOrder.take(nFold)
+      val foldedSet = folded.map(_._1).toSet
+      val kept = results.filterNot { case (n, _) => foldedSet(n) }
+      val qs = jsonObj(kept.map { case (k, v) => key(k) -> v })(fmt)
+      val extras = new StringBuilder
+      if (nFold > 0)
+        extras ++= s""","other_n":$nFold,"other_sec":${fmt(
+            folded.map(_._2).sum)}"""
+      if (failedRuns.nonEmpty)
+        extras ++= ",\"failed_runs\":" + jsonObj(
+          failedRuns.map { case (k, n) => key(k) -> n })(_.toString)
+      if (resampledTotal > 0)
+        extras ++= s""","resampled":$resampledTotal"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$qs,"runs":$runs,"stat":"median"$extras,""" +
+        s""""sf":"$sfDir"}"""
+    }
+    (0 to foldOrder.size).iterator.map(build)
+      .find(_.length <= maxChars)
+      .getOrElse(build(foldOrder.size))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -155,37 +220,8 @@ object Bench {
     // ("q01_pricing_summary" → "q01" — prefixes are unique by
     // construction) and 3-decimal seconds; the full-name, full-
     // precision record goes to BENCH_DETAIL.json next to the build.
-    def short(n: String): String = n.takeWhile(_ != '_')
-    val ambiguous = names.groupBy(short).exists(_._2.size > 1)
-    def key(n: String): String = if (ambiguous) n else short(n)
-    // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR…)
-    // would render 8.496 as "8,496" and break the JSON parse this
-    // line exists for
-    // 10 ms resolution with trailing zeros trimmed ("1.20"→"1.2",
-    // "3.00"→"3") — host noise is orders of magnitude above 10 ms and
-    // BENCH_DETAIL.json keeps full precision; the saved chars keep the
-    // line inside the driver's stdout tail window as queries grow
-    // (budgeted by ContractSpec).
-    def fmt(v: Double): String =
-      if (v < 0) "-1"
-      else {
-        val t = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-          .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-        if (t.isEmpty) "0" else t // "0.00" trims to "" otherwise
-      }
-    def jsonObj[A](pairs: Seq[(String, A)])(render: A => String): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + render(v) }
-        .mkString("{", ",", "}")
-    val qs = jsonObj(results.map { case (k, v) => key(k) -> v })(fmt)
-    val extras = new StringBuilder
-    if (failedRuns.nonEmpty)
-      extras ++= ",\"failed_runs\":" + jsonObj(
-        failedRuns.toSeq.sortBy(_._1).map { case (k, n) => key(k) -> n })(
-        _.toString)
-    if (resampled.nonEmpty)
-      extras ++= s""","resampled":${resampled.values.sum}"""
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"stat":"median"$extras,"sf":"$sfDir"}"""
+    val line = compactLine(results, total, runs,
+      failedRuns.toSeq.sortBy(_._1), resampled.values.sum, sfDir)
     try {
       val detail = jsonObj(results)(_.toString)
       val errDetail = jsonObj(failedRuns.toSeq.sortBy(_._1))(_.toString)

@@ -572,4 +572,47 @@ object Similarity {
       .limit(k)
       .orderBy(col("rrf_e6").desc, col("doc_id"))
   }
+
+  /** s17: label-centroid separation report — the embedding-space
+    * health card an ML team reads before trusting the space for
+    * ANN/clustering: per class-label pair, the cosine between class
+    * centroids (plus both class sizes). Centroids near cosine 1 mean
+    * the classes are not separable in this space (expect bad s15
+    * cohesion and noisy s09 graphs); well-spread centroids justify
+    * the label as an IVF/routing signal. Uses s04's exact-integer
+    * trick: coordinates sum as floor(x·1e6) longs (associative, so
+    * the distributed sum is exact and engine-portable), and the only
+    * float math is d15's fixed sqrt/multiply/divide tree.
+    *
+    * Scale shape: one narrow (label, dim, int) shuffle with map-side
+    * partial aggregation — corpus-scale work ends there; everything
+    * after runs on |labels|·dims rows. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val cent = graft.operators.TextHash.fanOut(emb(s, dir))
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "dim", "v")
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1000000).cast("long"))
+          .as("s_e6"))
+      .select(col("label"), col("dim"), col("n"),
+        floor(col("s_e6") / col("n")).cast("long").as("m_e6"))
+      .persist() // feeds norms + both dot sides (clearCache lifetime)
+    val norms = cent.groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("m_e6") * col("m_e6")).as("n2"))
+    cent.as("a")
+      .join(cent.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+      .agg(sum(col("a.m_e6") * col("b.m_e6")).as("dot"))
+      .join(norms.as("na"), col("la") === col("na.label"))
+      .join(norms.as("nb"), col("lb") === col("nb.label"))
+      .select(col("la"), col("lb"),
+        col("na.n_vecs").as("n_a"), col("nb.n_vecs").as("n_b"),
+        floor(col("dot").cast("double") * 1000000.0 /
+          (sqrt(col("na.n2").cast("double")) *
+            sqrt(col("nb.n2").cast("double")))).cast("long").as("cos_e6"))
+      .orderBy("la", "lb")
+  }
 }

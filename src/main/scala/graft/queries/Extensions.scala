@@ -77,6 +77,8 @@ object Extensions {
     "s15_cluster_quality" -> (DupCluster.clusterQuality _),
     // per-subspace PQ reconstruction error (index-health card)
     "s16_pq_error" -> (Similarity.pqErrorReport _),
+    // class-separability card: pairwise label-centroid cosines
+    "s17_label_centroids" -> (Similarity.labelCentroids _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -1482,6 +1484,32 @@ object Extensions {
         count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens_total
       FROM en GROUP BY 1 ORDER BY split""",
     // concat-and-cut packing: per-source running token sum, bins of 256
+    // s04's exact-integer coordinate sums per label, then d15's fixed
+    // float tree over the centroid dot/norms
+    "s17_label_centroids" -> """
+      WITH ex AS (SELECT label, d AS dim,
+               CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT)
+                 AS v_e6
+             FROM embeddings, generate_series(0, 63) t(d)),
+      cent AS (SELECT label, dim, count(*) AS n,
+                 CAST(floor(CAST(sum(v_e6) AS DOUBLE) / count(*))
+                   AS BIGINT) AS m_e6
+               FROM ex GROUP BY label, dim),
+      norms AS (SELECT label, max(n) AS n_vecs,
+                  CAST(sum(m_e6 * m_e6) AS BIGINT) AS n2
+                FROM cent GROUP BY label),
+      dots AS (SELECT a.label AS la, b.label AS lb,
+                 CAST(sum(a.m_e6 * b.m_e6) AS BIGINT) AS dot
+               FROM cent a JOIN cent b ON a.dim = b.dim
+                 AND a.label < b.label
+               GROUP BY 1, 2)
+      SELECT la, lb, na.n_vecs AS n_a, nb.n_vecs AS n_b,
+        CAST(floor((dot::DOUBLE * 1000000.0) /
+          (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))) AS BIGINT)
+          AS cos_e6
+      FROM dots JOIN norms na ON la = na.label
+        JOIN norms nb ON lb = nb.label
+      ORDER BY la, lb""",
     // partitioned bloom mirrored lane-for-lane: set bits are DISTINCT
     // (lane, hash) pairs, probes are the anti-joined absent keys, and
     // depth-k positivity is the AND of the first k lane hits

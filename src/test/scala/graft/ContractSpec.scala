@@ -22,27 +22,33 @@ class ContractSpec extends AnyFunSuite {
       "duplicate id prefix would force the bench line back to full names")
   }
 
-  test("bench JSON line estimate stays inside the driver tail window") {
-    // the driver parses the bench line from the last ~2000 chars of
-    // stdout, minus sbt's trailing [success] line (~75 chars); the
-    // compact line spends ~(prefix + 8) chars per query (quotes,
-    // colon, comma, %.2f value with trailing zeros trimmed — measured
-    // 1488 chars at 125 queries = 10.3/query + envelope, so +8 keeps
-    // ~7% slack) plus ~200 of envelope. Estimate against 1900 so
-    // growth is caught before a round silently records parsed:null
-    // again (rounds 1, 2, 4 did).
-    val names = SparkEntry.queries.keys.toSeq
-    val estimate = names.map(_.takeWhile(_ != '_').length + 8).sum + 200
-    assert(estimate < 1900,
-      s"estimated bench line $estimate chars — trim or re-shorten keys")
-    // fail one round EARLY: ten more queries at the current mean key
-    // width must also fit, so the overflow is caught while there is
-    // still a round to fix it in
-    val meanPerQuery = (estimate - 200).toDouble / names.size
-    val projected = estimate + (10 * meanPerQuery).ceil.toInt
-    assert(projected < 1900,
-      s"projected bench line at N+10 queries is $projected chars — " +
-        "re-shorten keys now, before the next batch of queries lands")
+  test("bench line never outgrows the driver tail window (self-truncating)") {
+    // Bench.compactLine measures the REAL string and folds the
+    // cheapest queries into other_n/other_sec until it fits — so the
+    // invariant to pin is the builder's guarantee, at the current
+    // query census and far past it.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val now = Bench.compactLine(
+      names.zipWithIndex.map { case (n, i) => n -> (0.1 + i * 0.07) },
+      42.0, 3, Nil, 0, "/root/testdata/sf0.1")
+    assert(now.length <= Bench.MaxLineChars, s"line ${now.length} chars")
+    // at the current census the heaviest queries must still be
+    // in-line by name (folding, if any, eats from the cheap end)
+    val heavy = names.zipWithIndex.sortBy(-_._2).take(10).map(_._1)
+    heavy.foreach { n =>
+      assert(now.contains("\"" + n.takeWhile(_ != '_') + "\":"),
+        s"heavy query $n folded out of the bench line")
+    }
+    // stress: 400 synthetic queries still fit, and the fold rollup
+    // preserves the census (other_n accounts for every folded entry)
+    val big = (1 to 400).map(i => f"v$i%03d_synthetic" -> (i * 0.01))
+    val folded = Bench.compactLine(big, 800.0, 3, Nil, 0, "/tmp/x")
+    assert(folded.length <= Bench.MaxLineChars)
+    assert(folded.contains("\"other_n\":"))
+    // -1 (failed) entries never fold — reds stay visible
+    val withRed = Bench.compactLine(big :+ ("zzz_red" -> -1.0),
+      800.0, 3, Nil, 0, "/tmp/x")
+    assert(withRed.contains("\"zzz\":-1"))
   }
 
 }

@@ -192,8 +192,23 @@ object Dedup {
       .orderBy("ida", "idb")
   }
 
+  /** d15's corpus guard, d05's treatment applied to the sparse
+    * modality: the relative df cap keeps d15's SEMANTICS stable
+    * across scales but admits postings up to 0.1·N, so the join
+    * fanout grows ~quadratically — measured: seconds at 5,000 docs
+    * (sf0.1), >25 min and unfinished at 50,000 (the sf1-equivalent).
+    * Above this bound the exhaustive plan is refused outright;
+    * [[cosinePairsPrefix]] is the same-contract scale path. */
+  val MaxExhaustiveCosineDocs = 10000L
+
   def cosinePairs(s: SparkSession, dir: String,
-      maxTermDfPermille: Option[Long] = Some(CosineDfPermille)): DataFrame = {
+      maxTermDfPermille: Option[Long] = Some(CosineDfPermille),
+      maxDocs: Long = MaxExhaustiveCosineDocs): DataFrame = {
+    val n = Tables.t(s, dir, "documents").count() // parquet metadata count
+    require(n <= maxDocs,
+      s"cosinePairs is the exhaustive all-pairs baseline and is capped " +
+        s"at $maxDocs documents (corpus has $n); use cosinePairsPrefix " +
+        "at scale")
     val tc = termVectors(s, dir, maxTermDfPermille)
     val dots = tc.as("a")
       .join(tc.as("b"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -418,6 +419,53 @@ object TextAnalysis {
     * window test is an equi-join on doc_id + a range filter on the
     * position delta, cost bounded by the query terms' frequency,
     * never the corpus. */
+  /** i05's snippet window width, in tokens. */
+  val SnippetWindow = 16
+
+  /** i05: search-result snippet extraction — the last stage of the
+    * retrieval stack (i01 index → i02/i04 phrase/proximity → i03
+    * ranking → THIS): for every document hitting the s08/i03 query
+    * terms, the best [[SnippetWindow]]-token window — most distinct
+    * query terms, then most total hits, then leftmost — plus the
+    * actual window text, the preview a search UI renders.
+    *
+    * Scale shape: only query-term hits survive the filter, so the
+    * per-doc window join runs on a handful of positions per document
+    * (equi-keyed on doc_id with a positional range residual — a
+    * sort-merge join, not a nested loop); the final text slice
+    * re-joins the token arrays by doc key. Window scoring never
+    * touches non-matching documents. */
+  def snippets(s: SparkSession, dir: String): DataFrame = {
+    val termsIn = Similarity.HybridQueryTerms
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+    val toks = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist() // feeds hit extraction + the final snippet slice
+    val hits = toks.select(col("doc_id"), posexplode(col("tk")))
+      .toDF("doc_id", "pos", "term")
+      .filter(expr(s"term IN $termsIn"))
+      .persist() // both window-join sides (clearCache lifetime)
+    val windows = hits.as("a")
+      .join(hits.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") >= col("a.pos") &&
+          col("b.pos") <= col("a.pos") + (SnippetWindow - 1))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.pos").as("start_pos"))
+      .agg(countDistinct(col("b.term")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+    val best = Window.partitionBy("doc_id")
+      .orderBy(col("n_terms").desc, col("n_hits").desc, col("start_pos"))
+    windows.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("start_pos"), col("n_terms"),
+        col("n_hits"),
+        array_join(
+          slice(col("tk"), col("start_pos") + 1, lit(SnippetWindow)), " ")
+          .as("snippet"))
+      .orderBy("doc_id")
+  }
+
   def proximitySearch(s: SparkSession, dir: String): DataFrame = {
     val top = docs(s, dir)
       .select(tokens(col("text")).as("tk"))

@@ -56,6 +56,8 @@ object Extensions {
     "i03_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
     // i02's phrase at slop 3: in-order window hits + tightest gap
     "i04_proximity_search" -> (TextAnalysis.proximitySearch _),
+    // best query-term window per matching doc + its preview text
+    "i05_snippets" -> (TextAnalysis.snippets _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -1484,6 +1486,29 @@ object Extensions {
         count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens_total
       FROM en GROUP BY 1 ORDER BY split""",
     // concat-and-cut packing: per-source running token sum, bins of 256
+    // positional hits of the s08/i03 query terms; window scoring via
+    // a per-doc positional range join; leftmost-best tiebreak; the
+    // snippet text re-sliced from the token array
+    "i05_snippets" -> s"""
+      WITH $tkCte,
+      hx AS (SELECT doc_id, unnest([{'pos': i - 1, 'term': tk[i]}
+               for i in generate_series(1, len(tk))]) AS h FROM tk),
+      h2 AS (SELECT doc_id, h.pos AS pos, h.term AS term FROM hx
+             WHERE h.term IN ('hash', 'join', 'table', 'scan')),
+      win AS (SELECT a.doc_id, a.pos AS start_pos,
+                count(DISTINCT b.term) AS n_terms, count(*) AS n_hits
+              FROM h2 a JOIN h2 b ON a.doc_id = b.doc_id
+                AND b.pos >= a.pos
+                AND b.pos <= a.pos + ${TextAnalysis.SnippetWindow - 1}
+              GROUP BY 1, 2),
+      best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n_terms DESC, n_hits DESC, start_pos) AS rk
+               FROM win)
+      SELECT b.doc_id, b.start_pos, b.n_terms, b.n_hits,
+        array_to_string(t.tk[b.start_pos + 1 :
+          b.start_pos + ${TextAnalysis.SnippetWindow}], ' ') AS snippet
+      FROM best b JOIN tk t USING (doc_id)
+      WHERE rk = 1 ORDER BY b.doc_id""",
     // s04's exact-integer coordinate sums per label, then d15's fixed
     // float tree over the centroid dot/norms
     "s17_label_centroids" -> """

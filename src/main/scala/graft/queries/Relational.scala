@@ -801,11 +801,18 @@ object Relational {
     // a bounded-depth recursion outgrows linearly with data (sf1
     // telemetry: ~1.5M chain rows → RECURSION_ROW_LIMIT_EXCEEDED).
     // The real guard here is the explicit pos < 10 depth bound — total
-    // rows are ≤ 10×|orders| by construction — so lift the row valve
-    // out of the way. Set, not restored: the conf is read when the
-    // returned frame EXECUTES, so restoring it on exit would silently
-    // re-arm the 1e6 limit before the caller's action runs.
-    s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
+    // rows are ≤ 10×|orders| by construction — so raise the valve to
+    // exactly that computed bound (anchor + 9 recursive levels, plus
+    // slack) rather than disarming it session-wide: a later runaway
+    // recursive query in the same session still trips the backstop.
+    // Set, not restored: the conf is read when the returned frame
+    // EXECUTES, so restoring it on exit would silently re-arm the 1e6
+    // limit before the caller's action runs. The count() is parquet
+    // row-group metadata, not a scan.
+    val nOrders = t(s, dir, "orders").count()
+    val rowBound = math.min(11L * nOrders + 1000L, Int.MaxValue.toLong)
+    s.conf.set("spark.sql.cteRecursionRowLimit",
+      math.max(rowBound, 1000000L).toString)
     // materialize the successor-edge table once: a recursive CTE's
     // body re-executes per level, so an uncached `o` would redo the
     // scan + lead() window 10 times (measured 9 s vs ~3 s at sf0.1)

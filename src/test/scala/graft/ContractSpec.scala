@@ -49,6 +49,33 @@ class ContractSpec extends AnyFunSuite {
     val withRed = Bench.compactLine(big :+ ("zzz_red" -> -1.0),
       800.0, 3, Nil, 0, "/tmp/x")
     assert(withRed.contains("\"zzz\":-1"))
+    assert(withRed.length <= Bench.MaxLineChars,
+      s"red line ${withRed.length} chars")
+    // mass failure: hundreds of reds + a full failed_runs map can't
+    // be kept by name — the collapsed last resort must still fit and
+    // still parse (failed_n carries the count)
+    val massRed = (1 to 300).map(i => f"w$i%03d_red" -> -1.0) ++
+      (1 to 100).map(i => f"v$i%03d_ok" -> (i * 0.01))
+    val massLine = Bench.compactLine(massRed, 1.0, 3,
+      (1 to 300).map(i => f"w$i%03d_red" -> 3), 0, "/tmp/x")
+    assert(massLine.length <= Bench.MaxLineChars,
+      s"mass-failure line ${massLine.length} chars")
+    assert(massLine.contains("\"failed_n\":300"))
+  }
+
+  test("README census count matches the registered contract") {
+    // the README is the driver-facing contract doc; its census went
+    // stale twice (146 at a 148 contract) — pin it to the registry so
+    // a new query forces the doc refresh in the same commit
+    val n = SparkEntry.queries.size
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8")
+    val text = try readme.mkString finally readme.close()
+    val stale = "\\b1[0-9]{2} quer".r.findAllIn(text).toSeq
+      .filterNot(_.startsWith(s"$n quer"))
+    assert(text.contains(s"$n queries"),
+      s"README never states the current census of $n queries")
+    assert(stale.isEmpty,
+      s"README carries stale census counts: $stale (contract is $n)")
   }
 
 }

@@ -64,12 +64,19 @@ class PlanSpec extends AnyFunSuite {
       .agg(max("pos")).collect()(0).getInt(0)
     assert(maxPos <= 10, s"recursion walked $maxPos levels; bound lost")
     // ...and with depth as the real guard, the engine's accumulated-row
-    // valve must be lifted: its 1e6 default killed q51 at sf1 (rows
-    // grow linearly with |orders| even at fixed depth). Building the
-    // frame must leave the session limit high for the caller's action.
+    // valve must be lifted past the query's own bound (its 1e6 default
+    // killed q51 at sf1: rows grow linearly with |orders| even at
+    // fixed depth) — but SCOPED, not disarmed: the session limit after
+    // building the frame must cover 11×|orders| for the caller's
+    // action, yet stay finite so a later runaway recursive query in
+    // the same session still trips the backstop.
+    val nOrders = graft.engine.Tables.t(spark, dir, "orders").count()
     val rowLimit = spark.conf.get("spark.sql.cteRecursionRowLimit").toLong
-    assert(rowLimit >= Int.MaxValue.toLong,
-      s"cteRecursionRowLimit=$rowLimit; q51 re-armed the 1e6-row valve")
+    assert(rowLimit >= 11L * nOrders,
+      s"cteRecursionRowLimit=$rowLimit re-arms below q51's " +
+        s"${11L * nOrders}-row bound")
+    assert(rowLimit < Int.MaxValue.toLong || 11L * nOrders >= Int.MaxValue,
+      s"cteRecursionRowLimit=$rowLimit disarms the valve session-wide")
   }
 
   test("d11 probes the index with a broadcast of the batch bands") {

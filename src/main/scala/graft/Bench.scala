@@ -155,6 +155,18 @@ object Bench {
       }
     }
     spark.catalog.clearCache()
+    // Storage-memory accounting: several operators persist() shared
+    // frames for the duration of the query (norms, band tables, kNN
+    // graphs — documented clearCache lifetimes). This measures what
+    // that costs instead of assuming it: cached bytes still resident
+    // when the query finishes, max over runs, recorded per query in
+    // BENCH_DETAIL.json ("storage_mb") so a frame that would not fit
+    // executor storage at the target scale is a number, not a guess.
+    @annotation.nowarn("cat=deprecation")
+    def storageBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    val storagePeak = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to runs; name <- names) {
@@ -169,6 +181,7 @@ object Bench {
       // operator's signature tables is inter-query hygiene, not part
       // of the measured query
       val dt = (System.nanoTime() - t0) / 1e9
+      storagePeak(name) = math.max(storagePeak(name), storageBytes())
       spark.catalog.clearCache()
       if (ok) samples(name) = dt :: samples(name)
     }
@@ -210,6 +223,7 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        storagePeak(name) = math.max(storagePeak(name), storageBytes())
         spark.catalog.clearCache()
         if (ok) {
           samples(name) = dt :: samples(name)
@@ -241,8 +255,13 @@ object Bench {
       val detail = jsonObj(results)(_.toString)
       val errDetail = jsonObj(failedRuns.toSeq.sortBy(_._1))(_.toString)
       val resDetail = jsonObj(resampled.toSeq.sortBy(_._1))(_.toString)
+      // peak cached bytes per query, MB at 0.1 precision; zero-holding
+      // queries are omitted to keep the record readable
+      val stoDetail = jsonObj(storagePeak.toSeq.filter(_._2 > 0)
+        .sortBy(_._1).map { case (n, b) =>
+          n -> (math.round(b / 104857.6) / 10.0) })(_.toString)
       val detailLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","failed_runs":$errDetail,"resampled":$resDetail,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","failed_runs":$errDetail,"resampled":$resDetail,"storage_mb":$stoDetail,"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (detailLine + "\n").getBytes("UTF-8"))

@@ -351,6 +351,18 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
       val env = Env(envL.entries ++ envR.entries)
       cond.foreach(c => conditions += joinTag(joinType) + ":" + render(c, env, stmt))
       env
+    // `FROM t, LATERAL (subquery) x`: the subquery is held as a
+    // LateralSubquery EXPRESSION, not a plan child, so the generic
+    // children-fallback would walk the left side only and silently
+    // drop the subquery's input tables from lineage (caught by the
+    // corpus cross-check on q45).
+    case lj: LateralJoin =>
+      val envL = walkFrom(lj.left, stmt)
+      val envR = walkFrom(lj.right.plan, stmt)
+      val env = Env(envL.entries ++ envR.entries)
+      lj.condition.foreach(c =>
+        conditions += joinTag(lj.joinType) + ":" + render(c, env, stmt))
+      env
     case Filter(cond, child) =>
       val env = walkFrom(child, stmt)
       conditions += "WHERE:" + render(cond, env, stmt)

@@ -51,6 +51,39 @@ class LineageCorpusSpec extends AnyFunSuite {
         "the graceful-skip path is eating Spark-parseable SQL")
   }
 
+  test("input-table extraction matches the statically known set per query") {
+    // Each oracle statement's base-table set is statically known — the
+    // corpus only ever reads the 10 driver tables. Derive that set
+    // INDEPENDENTLY of the plan walk (word-boundary scan of the SQL
+    // text, string literals stripped; verified: no CTE shadows a base
+    // table name, no '--' comments in the corpus) and require the
+    // lineage layer's extraction to agree exactly on every statement
+    // it analyzes. This is the defect class the graceful-skip test
+    // can't see: a dropped join branch / CTE indirection loses ONE
+    // table while still reporting "≥1 input".
+    val base = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    var checked = 0
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val p = new LineParser().parse(sql)
+        if (p.getErrors.nonEmpty || p.getInputTables.isEmpty) None // skipped
+        else {
+          val noStrings = sql.replaceAll("'[^']*'", "''")
+          val expected = base.filter(t =>
+            s"\\b$t\\b".r.findFirstIn(noStrings).isDefined)
+            .map("default." + _).toSet
+          checked += 1
+          if (p.getInputTables == expected) None
+          else Some(s"$name: lineage ${p.getInputTables.toSeq.sorted} != " +
+            s"referenced ${expected.toSeq.sorted}")
+        }
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} input-table mismatches:\n${bad.mkString("\n")}")
+    assert(checked >= 60, s"only $checked statements cross-checked")
+  }
+
   test("one unparseable statement does not lose the rest of a script") {
     val p = new LineParser().parse(
       "SELECT a FROM t1; SELECT [1,2,3] FROM broken; SELECT b FROM t2")

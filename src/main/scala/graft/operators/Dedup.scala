@@ -222,6 +222,22 @@ object Dedup {
     * terms (df asc, term asc) are its candidate-generating prefix. */
   val PrefixK = 8
 
+  /** d16's bucket valve: a prefix-posting bucket larger than this
+    * generates no candidates (d02's stop-shingle treatment applied to
+    * prefix postings). Why it must exist — measured at the
+    * sf1-equivalent, round 8: a SHORT document ranks even mid-
+    * frequency terms inside its top-[[PrefixK]], so a hot term's
+    * prefix bucket grows WITH THE CORPUS (250 members at sf0.1 →
+    * 3,839 at sf1), and Σ C(n,2) over buckets went 31k → 645M — a
+    * single 20-minute straggler task and a 100 GB oracle. The cap is
+    * FIXED, not scale-relative, because the two populations it
+    * separates scale differently: true near-dup groups are bounded by
+    * real duplication (scale-invariant group size — the sf0.1 corpus'
+    * planted 250-clique), while accidental shared-term buckets grow
+    * linearly with N. Recall vs the exhaustive baseline stays pinned
+    * by DedupSpec and the gate-scale equality measurements. */
+  val PrefixBucketCap = 512L
+
   /** d16: prefix-filtered cosine near-dup — d15's scale path, the
     * all-pairs-similarity trick (Chaudhuri/Bayardo prefix filtering):
     * only a document's [[PrefixK]] RAREST terms generate candidate
@@ -244,10 +260,18 @@ object Dedup {
     val tc = termVectors(s, dir, maxTermDfPermille)
     val dfq = tc.groupBy("w").agg(count(lit(1)).as("df"))
     val prefixW = Window.partitionBy("doc_id").orderBy(col("df"), col("w"))
-    val prefix = tc.join(dfq, Seq("w"))
+    val prefix0 = tc.join(dfq, Seq("w"))
       .withColumn("prk", row_number().over(prefixW))
       .filter(col("prk") <= PrefixK)
       .select("doc_id", "w")
+    // the bucket valve ([[PrefixBucketCap]]): a corpus-growing hot
+    // bucket is dropped whole — one narrow count per term, then an
+    // equi-join filter, same plan shape as d02's stop-shingle prune
+    val smallBuckets = prefix0.groupBy("w")
+      .agg(count(lit(1)).as("pn"))
+      .filter(col("pn") <= PrefixBucketCap)
+      .select("w")
+    val prefix = prefix0.join(smallBuckets, Seq("w"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))

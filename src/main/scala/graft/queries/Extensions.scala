@@ -1712,11 +1712,14 @@ object Extensions {
     "d16_cosine_prefix" -> s"""
       WITH $cosineVecCtes,
       dfq AS (SELECT w, count(*) AS df FROM tc GROUP BY w),
-      pre AS (SELECT doc_id, w FROM (
+      pre0 AS (SELECT doc_id, w FROM (
                 SELECT t.doc_id, t.w, row_number() OVER (
                   PARTITION BY t.doc_id ORDER BY d.df, t.w) AS prk
                 FROM tc t JOIN dfq d USING (w)) z
               WHERE prk <= ${Dedup.PrefixK}),
+      pl AS (SELECT w FROM pre0 GROUP BY w
+             HAVING count(*) <= ${Dedup.PrefixBucketCap}),
+      pre AS (SELECT pre0.* FROM pre0 JOIN pl USING (w)),
       cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                FROM pre a JOIN pre b ON a.w = b.w
                  AND a.doc_id < b.doc_id),

@@ -1066,4 +1066,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(prefixed.size * 10 >= exhaustive.size * 9,
       s"prefix recall ${prefixed.size}/${exhaustive.size} below 0.9")
   }
+
+  test("prefix bucket valve drops corpus-scale buckets, keeps group-scale ones") {
+    // The round-8 sf1 finding: short docs rank mid-frequency terms in
+    // their top-8, so a hot term's prefix bucket grows WITH the corpus
+    // (250 → 3,839 at ×10) and candidates went quadratic (31k → 645M,
+    // a 20-min straggler task). PrefixBucketCap drops such buckets
+    // whole. The documented trade, pinned here: a dup GROUP larger
+    // than the cap is sacrificed by d16 (the hash family d01/d03
+    // catches arbitrarily large groups via group-by, never pairs),
+    // while group-scale buckets — bounded by real duplication, not
+    // corpus size — are kept in full.
+    val tmp = java.nio.file.Files.createTempDirectory("d16valve").toString
+    // the table registry ensures every driver table; only `documents`
+    // matters here, so link the rest from the spec fixture dir
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filterNot(_.getName == "documents.parquet")
+      .foreach(f => java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(tmp, f.getName), f.toPath))
+    import spark.implicits._
+    val hot = (1 to 600).map(i => (1000L + i, "hotterm shared payload"))
+    val filler = (1 to 5400).map(i => (10000L + i, s"filler$i unique$i"))
+    val clique = (1L to 3L).map(i => (i, "cliq aaa bbb ccc"))
+    (hot ++ filler ++ clique).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // hotterm df=600 survives the 10% stop cap (600k !> 600.3k) but
+    // its prefix bucket (600 > 512) trips the valve → d16 keeps only
+    // the 3-clique; the exhaustive baseline scores the hot group too
+    val d16 = Dedup.cosinePairsPrefix(spark, tmp).collect()
+    assert(d16.length == 3, s"valve corpus: d16 found ${d16.length} pairs")
+    assert(d16.forall(_.getAs[Long]("ida") <= 3L))
+    val d15 = Dedup.cosinePairs(spark, tmp).count()
+    assert(d15 == 600L * 599 / 2 + 3,
+      s"exhaustive found $d15, expected the hot group + clique")
+  }
 }

@@ -66,6 +66,13 @@ def canon(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # An in-memory DuckDB connection has no temp directory, so a
+    # memory-hungry oracle (the cosine self-joins at the sf1-equivalent)
+    # GROWS UNBOUNDED instead of spilling — measured 103 GB RSS before
+    # strangling the host. Cap it and give it a spill path; the graded
+    # sf0.01 gate never comes near the cap.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         # driver testdata is one file per table; Spark-written datasets
         # (e.g. the ScaleUp sf1-equivalent) are directories of parts

@@ -685,4 +685,37 @@ object Similarity {
             sqrt(col("nb.n2").cast("double")))).cast("long").as("cos_e6"))
       .orderBy("la", "lb")
   }
+
+  /** s19: metadata-filtered ANN — exact top-k cosine among vectors
+    * sharing the query's `label` (the "similar items within my
+    * category" search every production vector store supports as a
+    * filter clause). Because the filter is an equality predicate, the
+    * filtered search IS an equi-join on the filter key: each query
+    * only ever meets its own label partition's vectors, so the plan
+    * shuffles by label instead of scanning the corpus per query —
+    * pre-filtering at the partitioning layer, the pattern that scales
+    * (post-filtering a global top-k can return < k survivors; this
+    * never does). Queries are broadcast (10 rows); label skew at
+    * 100 TB is AQE's skew-join case, or salt via [[Skew.saltedJoin]].
+    * Reference capability: README.md:648–659 (join family) composed
+    * with top-k windows (SURVEY §2.5). */
+  def filteredAnnTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = withNorm(emb(s, dir)).persist() // one norm pass, two roles
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    e.as("c").join(broadcast(q), Seq("label"))
+      .filter(col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("label"),
+        col("c.vec_id").as("neighbor_id"),
+        (expr(dotExpr("qv", "c.embedding")) /
+          (col("qnrm") * col("c.nrm"))).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("rank"), floor(col("cs") * 1000000).cast("long").as("cs_e6"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -565,4 +565,69 @@ object TextAnalysis {
             expr("(1000000L * sumsq) div (CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))"))
           .as("diversity_e6"))
       .orderBy("doc_id")
+
+  /** t28: readability scoring — an exact-integer Flesch Reading Ease.
+    * The three inputs are deterministic regex censuses (words =
+    * whitespace tokens, sentences = maximal `[.!?]+` runs clamped
+    * ≥ 1, syllables = maximal `[aeiouy]+` vowel groups — the standard
+    * UDF-free heuristic), so both engines count the same integers.
+    * The score keeps Flesch's shape with every division floored:
+    * `fre_e3 = 206835 − ⌊1015·wps_e6/1e6⌋ − ⌊84600·spw_e6/1e6⌋`
+    * over already-floored per-doc rates — pure long arithmetic, no
+    * float in any checked column. Per-row narrow projection:
+    * embarrassingly parallel at any scale. */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    // maximal-run count via the replace trick: collapsing each run to
+    // one sentinel char, runs = len(collapsed) − len(deleted)
+    def runs(src: Column, cls: String): Column =
+      (length(regexp_replace(src, cls, "~")) -
+        length(regexp_replace(src, cls, ""))).cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(split(col("t"), "\\s+")).cast("long").as("n_words"),
+        greatest(runs(col("t"), "[.!?]+"), lit(1L)).as("n_sentences"),
+        runs(col("t"), "[aeiouy]+").as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        expr("(n_words * 1000000L) div n_sentences").as("wps_e6"),
+        expr("(n_syllables * 1000000L) div n_words").as("spw_e6"))
+      .withColumn("fre_e3",
+        lit(206835L) - expr("(1015L * wps_e6) div 1000000L") -
+          expr("(84600L * spw_e6) div 1000000L"))
+      .withColumn("band",
+        when(col("fre_e3") >= 70000L, "easy")
+          .when(col("fre_e3") >= 50000L, "standard")
+          .when(col("fre_e3") >= 30000L, "difficult")
+          .otherwise("very_difficult"))
+      .orderBy("doc_id")
+  }
+
+  /** t29: Zipf rank-frequency octave profile — the corpus-level
+    * diagnostic a data-quality pass runs to see whether token
+    * frequencies follow the expected power law (a bot-generated or
+    * template corpus shows a flattened head / truncated tail). Terms
+    * are ranked by frequency desc and grouped into rank octaves
+    * `⌊log₂ rank⌋` — computed as `length(bin(rank)) − 1`, an exact
+    * integer in both engines (no transcendental log anywhere) — and
+    * each octave reports its term count, frequency mass, and
+    * min/max frequency. Under Zipf, sum_freq per octave is roughly
+    * constant; the octave table makes deviation visible as integers.
+    * Scale: the groupBy collapses the corpus to its Heaps-bounded
+    * vocabulary BEFORE the rank — the single-partition row_number
+    * window only ever sees (term, freq) pairs, ~√corpus, and the
+    * output is ~⌈log₂ vocab⌉ rows. */
+  def zipfOctaves(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("octave", (length(bin(col("rank"))) - 1).cast("int"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_terms"), sum(col("freq")).as("sum_freq"),
+        max(col("freq")).as("max_freq"), min(col("freq")).as("min_freq"))
+      .orderBy("octave")
+  }
 }

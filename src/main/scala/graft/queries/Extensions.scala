@@ -92,6 +92,10 @@ object Extensions {
     "s16_pq_error" -> (Similarity.pqErrorReport _),
     // class-separability card: pairwise label-centroid cosines
     "s17_label_centroids" -> (Similarity.labelCentroids _),
+    // metadata-filtered exact top-k: same-label cosine search as an
+    // equi-join on the filter key (pre-filter, not post-filter)
+    "s19_filtered_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.filteredAnnTopK(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -115,6 +119,10 @@ object Extensions {
     "t22_collocations" -> ((s: SparkSession, d: String) =>
       TextAnalysis.collocations(s, d)),
     "t23_char_diversity" -> (TextAnalysis.charDiversity _),
+    // exact-integer Flesch reading-ease card (regex censuses only)
+    "t28_readability" -> (TextAnalysis.readability _),
+    // rank-frequency octave profile (power-law health check)
+    "t29_zipf_octaves" -> (TextAnalysis.zipfOctaves _),
     // top-1024 vocabulary + per-doc OOV rate (tokenizer-sizing signal)
     "t24_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     // per-source Heaps-law profile: types, hapax, TTR
@@ -168,6 +176,13 @@ object Extensions {
   )
 
   // Shared DuckDB fragments -----------------------------------------
+
+  /** The s08/i03/i05 query-term list as a DuckDB list literal —
+    * interpolated (never hardcoded) so editing
+    * [[Similarity.HybridQueryTerms]] cannot desynchronize the oracle
+    * from the implementation. */
+  private val qTermsList: String =
+    Similarity.HybridQueryTerms.map(t => s"'$t'").mkString("[", ",", "]")
 
   /** doc_id, tk (tokens) for documents. */
   private val tkCte =
@@ -603,7 +618,7 @@ object Extensions {
       WITH $tkCte,
       base AS (SELECT doc_id, len(tk)::BIGINT AS dl,
                  list_filter(tk, x -> list_contains(
-                   ['hash', 'join', 'table', 'scan'], x)) AS qtk
+                   $qTermsList, x)) AS qtk
                FROM tk),
       stats AS (SELECT count(*) AS nn, sum(dl) AS ll FROM base),
       tf AS (SELECT doc_id, dl, term, count(*) AS tf
@@ -1059,9 +1074,9 @@ object Extensions {
       WITH $tkCte,
       txt AS (SELECT doc_id,
           len(list_distinct([x for x in tk
-            if list_contains(['hash','join','table','scan'], x)])) AS n_matched,
+            if list_contains($qTermsList, x)])) AS n_matched,
           len([x for x in tk
-            if list_contains(['hash','join','table','scan'], x)]) AS tf_q
+            if list_contains($qTermsList, x)]) AS tf_q
         FROM tk),
       tt AS (SELECT * FROM txt
              ORDER BY n_matched DESC, tf_q DESC, doc_id LIMIT 100),
@@ -1222,6 +1237,46 @@ object Extensions {
         CAST(CASE WHEN n = 0 THEN 0
           ELSE 1000000 - (1000000 * sumsq) // (n * n) END AS BIGINT) AS diversity_e6
       FROM st ORDER BY doc_id""",
+    // exact-integer Flesch: every division floored, both engines count
+    // the same regex censuses (runs collapsed to one sentinel char)
+    "t28_readability" -> """
+      WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+      c AS (SELECT doc_id,
+          CAST(len(string_split_regex(t, '\s+')) AS BIGINT) AS n_words,
+          greatest(CAST(length(regexp_replace(t, '[.!?]+', '~', 'g')) -
+            length(regexp_replace(t, '[.!?]+', '', 'g')) AS BIGINT), 1)
+            AS n_sentences,
+          CAST(length(regexp_replace(t, '[aeiouy]+', '~', 'g')) -
+            length(regexp_replace(t, '[aeiouy]+', '', 'g')) AS BIGINT)
+            AS n_syllables
+        FROM d),
+      r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+          (n_words * 1000000) // n_sentences AS wps_e6,
+          (n_syllables * 1000000) // n_words AS spw_e6
+        FROM c)
+      SELECT doc_id, n_words, n_sentences, n_syllables, wps_e6, spw_e6,
+        206835 - (1015 * wps_e6) // 1000000 -
+          (84600 * spw_e6) // 1000000 AS fre_e3,
+        CASE WHEN 206835 - (1015 * wps_e6) // 1000000 -
+               (84600 * spw_e6) // 1000000 >= 70000 THEN 'easy'
+             WHEN 206835 - (1015 * wps_e6) // 1000000 -
+               (84600 * spw_e6) // 1000000 >= 50000 THEN 'standard'
+             WHEN 206835 - (1015 * wps_e6) // 1000000 -
+               (84600 * spw_e6) // 1000000 >= 30000 THEN 'difficult'
+             ELSE 'very_difficult' END AS band
+      FROM r ORDER BY doc_id""",
+    // rank octave = len(bin(rank)) - 1: exact integer log2, no libm
+    "t29_zipf_octaves" -> s"""
+      WITH $tkCte,
+      tf AS (SELECT term, count(*) AS freq
+             FROM (SELECT unnest(tk) AS term FROM tk) u
+             WHERE length(term) > 0 GROUP BY term),
+      r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term)
+              AS rank FROM tf)
+      SELECT CAST(length(bin(rank)) - 1 AS INTEGER) AS octave,
+        count(*) AS n_terms, CAST(sum(freq) AS BIGINT) AS sum_freq,
+        max(freq) AS max_freq, min(freq) AS min_freq
+      FROM r GROUP BY 1 ORDER BY 1""",
     "t08_normalize" -> s"""
       WITH $tkCte,
       n AS (SELECT doc_id, tk, list_filter(tk, x -> length(x) > 1) AS tkn FROM tk)
@@ -1610,6 +1665,22 @@ object Extensions {
       FROM dots JOIN norms na ON la = na.label
         JOIN norms nb ON lb = nb.label
       ORDER BY la, lb""",
+    // s01's exact cosine restricted to the query's label partition —
+    // the filter is an equi-join predicate, so both engines pre-filter
+    "s19_filtered_ann" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, label, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (SELECT query_id, q.label AS label,
+                   c.vec_id AS neighbor_id,
+                   ${cos("qv", "c.embedding")} AS cs
+                 FROM embeddings c JOIN q
+                   ON q.label = c.label AND query_id <> c.vec_id)
+      SELECT query_id, label, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+        CAST(floor(cs * 1000000) AS BIGINT) AS cs_e6
+      FROM (SELECT query_id, label, neighbor_id, cs, row_number() OVER
+              (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+            FROM scored) t
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
     // partitioned bloom mirrored lane-for-lane: set bits are DISTINCT
     // (lane, hash) pairs, probes are the anti-joined absent keys, and
     // depth-k positivity is the AND of the first k lane hits

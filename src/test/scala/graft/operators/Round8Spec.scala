@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-8 operators (s19 filtered ANN,
+  * t28 readability, t29 Zipf octaves) that the row-hash oracle can't
+  * express: filter correctness against an independent recompute, band
+  * consistency, and octave-partition geometry. */
+class Round8Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("s19: every neighbor shares its query's label, ranks are dense per query") {
+    val rows = Similarity.filteredAnnTopK(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(labels(q) == r.getAs[Int]("label"), s"query $q label mismatch")
+      assert(labels(n) == r.getAs[Int]("label"),
+        s"neighbor $n escaped query $q's label filter")
+      assert(q != n)
+    }
+    // dense 1..k ranks per query (k bounded by the label partition size)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"query $q ranks not dense: $ranks")
+      assert(ranks.size <= 5)
+    }
+  }
+
+  test("s19: filtered top-1 cosine can never beat the unfiltered top-1") {
+    val unfiltered = Similarity.annTopK(spark, dir, 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cs_e6")).toMap
+    Similarity.filteredAnnTopK(spark, dir).collect()
+      .filter(_.getAs[Int]("rank") == 1).foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        assert(r.getAs[Long]("cs_e6") <= unfiltered(q),
+          s"query $q: label-restricted best exceeds global best")
+      }
+  }
+
+  test("t28: full coverage, positive censuses, band agrees with fre_e3") {
+    val rows = TextAnalysis.readability(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") > 0)
+      assert(r.getAs[Long]("n_sentences") >= 1)
+      val fre = r.getAs[Long]("fre_e3")
+      val expect =
+        if (fre >= 70000L) "easy"
+        else if (fre >= 50000L) "standard"
+        else if (fre >= 30000L) "difficult"
+        else "very_difficult"
+      assert(r.getAs[String]("band") == expect)
+      // wps/spw rates reconstruct from the integer censuses exactly
+      assert(r.getAs[Long]("wps_e6") ==
+        r.getAs[Long]("n_words") * 1000000L / r.getAs[Long]("n_sentences"))
+      assert(r.getAs[Long]("spw_e6") ==
+        r.getAs[Long]("n_syllables") * 1000000L / r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("t29: octaves partition the ranked vocabulary without gaps") {
+    val rows = TextAnalysis.zipfOctaves(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val octaves = rows.map(_.getAs[Int]("octave")).toSeq
+    assert(octaves == octaves.sorted && octaves.distinct == octaves)
+    // octave o spans ranks [2^o, 2^(o+1)) — its term count can never
+    // exceed 2^o, and every octave but the last must be exactly full
+    rows.sortBy(_.getAs[Int]("octave")).zipWithIndex.foreach {
+      case (r, i) =>
+        val o = r.getAs[Int]("octave")
+        assert(o == i, s"octave gap at $o")
+        val n = r.getAs[Long]("n_terms")
+        assert(n <= (1L << o))
+        if (i < rows.length - 1)
+          assert(n == (1L << o), s"interior octave $o not full: $n")
+        assert(r.getAs[Long]("max_freq") >= r.getAs[Long]("min_freq"))
+    }
+    // frequency mass is monotone non-increasing per rank, so octave
+    // max_freq never increases across octaves
+    val maxes = rows.sortBy(_.getAs[Int]("octave")).map(_.getAs[Long]("max_freq"))
+    assert(maxes.zip(maxes.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -283,6 +283,7 @@ class PlanSpec extends AnyFunSuite {
       "d05_embedding_neardup", // guarded exact baseline (corpus²)
       "s01_ann_topk", "s06_pq_adc", // broadcast ≤10-row query side
       "s14_ann_recall", // composes s01's broadcast ≤10-row query side
+      "s18_ivf_pq_recall", // same: s01 ground truth inside the sweep
       "x14_temperature_sample", // 1-row (N, Σw) totals scalar crossJoin
       "z02_pruning_report", // 1-row min-hour + max-key scalar crossJoins
       "s08_hybrid_rrf", // broadcast 1-row query-vector crossJoin

@@ -566,6 +566,58 @@ object TextAnalysis {
           .as("diversity_e6"))
       .orderBy("doc_id")
 
+  /** i06: co-occurrence query expansion — for each retrieval query
+    * term ([[Similarity.HybridQueryTerms]], the same list i03/s08/i05
+    * interpolate), the top-2 expansion candidates by document-level
+    * lift `P(t | docs containing q) / P(t)` in exact-integer e6 form
+    * (`df_joint·N·1e6 div (n_q·df_t)`), support-filtered at
+    * df_joint ≥ [[ExpansionMinJoint]]. This is the offline side of a
+    * query-expansion pipeline: the emitted (q_term → exp_term) table
+    * is what a retrieval layer unions into the match set.
+    *
+    * Scale shape: inverted-index algebra like i01–i05 — the corpus
+    * collapses to distinct (doc_id, term) postings once; only the
+    * postings of documents containing a query term (a semi-join-sized
+    * slice) fan into the co-occurrence groupBy, and the final rank
+    * window sees ≤ |vocab of that slice| rows per query term. The e6
+    * lift product `df_joint·N` needs headroom: at ≥ ~3·10⁶ docs move
+    * the 1e6 scale inside the division (documented, not hit at any
+    * tested SF). */
+  def queryExpansion(s: SparkSession, dir: String, topPer: Int = 2): DataFrame = {
+    val dt = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .persist() // postings reused by df, query slice, and join
+    val n = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val qdocs = dt.filter(col("term").isin(Similarity.HybridQueryTerms: _*))
+      .select(col("term").as("q_term"), col("doc_id"))
+    val nq = qdocs.groupBy("q_term").agg(count(lit(1)).as("n_q"))
+    val joint = qdocs.join(dt, Seq("doc_id"))
+      .filter(!col("term").isin(Similarity.HybridQueryTerms: _*))
+      .groupBy("q_term", "term").agg(count(lit(1)).as("df_joint"))
+      .filter(col("df_joint") >= ExpansionMinJoint)
+    val w = Window.partitionBy(col("q_term"))
+      .orderBy(col("lift_e6").desc, col("exp_term"))
+    joint.join(df, Seq("term")).join(nq, Seq("q_term"))
+      .crossJoin(broadcast(n))
+      .select(col("q_term"), col("term").as("exp_term"),
+        col("df_joint"), col("df").as("df_exp"), col("n_q"), col("n_docs"))
+      .withColumn("lift_e6",
+        expr("df_joint * n_docs * 1000000L div (n_q * df_exp)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topPer)
+      .select(col("q_term"), col("exp_term"), col("rank"),
+        col("df_joint"), col("df_exp"), col("lift_e6"))
+      .orderBy("q_term", "rank")
+  }
+
+  /** Minimum joint document frequency for an i06 expansion candidate
+    * (kills one-off co-occurrences the lift ratio would otherwise
+    * over-reward). */
+  val ExpansionMinJoint = 3L
+
   /** t28: readability scoring — an exact-integer Flesch Reading Ease.
     * The three inputs are deterministic regex censuses (words =
     * whitespace tokens, sentences = maximal `[.!?]+` runs clamped

@@ -146,4 +146,37 @@ object TimeSeries {
         coalesce(max(col("gap")), lit(0L)).as("max_gap"))
       .orderBy("user_id")
   }
+
+  /** x23: temporal train/test split with an embargo gap — the
+    * leakage-safe alternative to random splits for time-ordered data
+    * (de Prado's purged/embargoed split): train is everything before
+    * the cutoff, test everything after cutoff + gap, and the gap rows
+    * are quarantined so label windows that straddle the boundary can
+    * never leak future information into training. Cutoff (80 % of the
+    * observed span) and gap (5 %) are derived from the data's own
+    * min/max in pure long math — deterministic, engine-portable, and
+    * stable under re-runs (unlike wall-clock-relative cutoffs).
+    *
+    * Scale shape: one 1-row bounds aggregate broadcast back over the
+    * stream (the allowlisted scalar crossJoin idiom), then a single
+    * partial-aggregated rollup to (split, event_type) grain — no
+    * event-scale shuffle beyond that groupBy at any corpus size. */
+  def embargoSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val cut = e.agg(min("us").as("mn"), max("us").as("mx"))
+      .select(expr("mn + (mx - mn) * 8L div 10L").as("cut_us"),
+        expr("mn + (mx - mn) * 85L div 100L").as("test_us"))
+    e.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("us") < col("cut_us"), "train")
+          .when(col("us") < col("test_us"), "embargo")
+          .otherwise("test"))
+      .groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("us").as("min_us"), max("us").as("max_us"))
+      .orderBy("split", "event_type")
+  }
 }

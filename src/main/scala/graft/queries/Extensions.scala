@@ -66,6 +66,9 @@ object Extensions {
     "i04_proximity_search" -> (TextAnalysis.proximitySearch _),
     // best query-term window per matching doc + its preview text
     "i05_snippets" -> (TextAnalysis.snippets _),
+    // per-query-term top-2 co-occurrence expansions by document lift
+    "i06_query_expansion" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.queryExpansion(s, d)),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -166,6 +169,8 @@ object Extensions {
     "x21_incremental_agg" -> (Merge.incrementalAgg _),
     // per-user hourly coverage gaps (backfill planning card)
     "x22_gap_report" -> (TimeSeries.gapReport _),
+    // leakage-safe temporal split: train / embargo-gap / test census
+    "x23_embargo_split" -> (TimeSeries.embargoSplit _),
     // α=0.5 temperature rebalance of the source mix (x11's sibling)
     "x14_temperature_sample" -> (Curation.temperatureSample _),
     "z01_zorder" -> (Layout.zorderKeys _),
@@ -1883,6 +1888,47 @@ object Extensions {
           AS BIGINT) AS n_gaps,
         coalesce(max(gap), 0) AS max_gap
       FROM g GROUP BY user_id ORDER BY user_id""",
+    // data-derived cutoff (80% of span) + embargo gap (5%) in pure
+    // long math; census per (split, event_type)
+    "x23_embargo_split" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+      c AS (SELECT min(us) + (max(us) - min(us)) * 8 // 10 AS cut_us,
+              min(us) + (max(us) - min(us)) * 85 // 100 AS test_us
+            FROM e)
+      SELECT CASE WHEN us < cut_us THEN 'train'
+                  WHEN us < test_us THEN 'embargo'
+                  ELSE 'test' END AS split,
+        event_type, count(*) AS n_events,
+        count(DISTINCT user_id) AS n_users,
+        min(us) AS min_us, max(us) AS max_us
+      FROM e, c GROUP BY 1, 2 ORDER BY 1, 2""",
+    // postings of query-term docs only reach the co-occurrence
+    // groupBy; lift in exact-integer e6
+    "i06_query_expansion" -> s"""
+      WITH $tkCte,
+      dt AS (SELECT DISTINCT doc_id, term
+             FROM (SELECT doc_id, unnest(tk) AS term FROM tk) u
+             WHERE length(term) > 0),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+      df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+      qd AS (SELECT term AS q_term, doc_id FROM dt
+             WHERE list_contains($qTermsList, term)),
+      nq AS (SELECT q_term, count(*) AS n_q FROM qd GROUP BY q_term),
+      joint AS (SELECT q_term, term, count(*) AS df_joint
+                FROM qd JOIN dt USING (doc_id)
+                WHERE NOT list_contains($qTermsList, term)
+                GROUP BY q_term, term
+                HAVING count(*) >= ${TextAnalysis.ExpansionMinJoint}),
+      sc AS (SELECT q_term, term AS exp_term, df_joint,
+               df.df AS df_exp,
+               (df_joint * n_docs * 1000000) // (n_q * df.df) AS lift_e6
+             FROM joint JOIN df USING (term) JOIN nq USING (q_term), n)
+      SELECT q_term, exp_term, CAST(rnk AS INTEGER) AS rank,
+        df_joint, df_exp, lift_e6
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_term
+              ORDER BY lift_e6 DESC, exp_term) AS rnk FROM sc) z
+      WHERE rnk <= 2 ORDER BY q_term, rnk""",
     // adjacent char pairs inside distinct words, weighted by word
     // frequency; the unique (l, r) key makes the top-32 cut exact
     "t26_bpe_merges" -> s"""

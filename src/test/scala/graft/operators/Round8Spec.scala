@@ -94,4 +94,37 @@ class Round8Spec extends AnyFunSuite {
     val maxes = rows.sortBy(_.getAs[Int]("octave")).map(_.getAs[Long]("max_freq"))
     assert(maxes.zip(maxes.tail).forall { case (a, b) => a >= b })
   }
+
+  test("x23: splits are temporally ordered with a real embargo gap") {
+    val rows = TimeSeries.embargoSplit(spark, dir).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet == Set("train", "embargo", "test"))
+    def bound(split: String, c: String, agg: Seq[Long] => Long): Long =
+      agg(bySplit(split).map(_.getAs[Long](c)).toSeq)
+    // strict temporal ordering: train < embargo < test, no overlap
+    assert(bound("train", "max_us", _.max) < bound("embargo", "min_us", _.min))
+    assert(bound("embargo", "max_us", _.max) < bound("test", "min_us", _.min))
+    // the embargo quarantine is nonempty and smaller than either side
+    val n = bySplit.map { case (k, rs) =>
+      k -> rs.map(_.getAs[Long]("n_events")).sum }
+    assert(n("embargo") > 0 && n("embargo") < n("train") &&
+      n("embargo") < n("test") * 10, s"suspicious split sizes: $n")
+  }
+
+  test("i06: expansions exclude query terms and lift matches its integers") {
+    val rows = TextAnalysis.queryExpansion(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val qTerms = Similarity.HybridQueryTerms.toSet
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    rows.foreach { r =>
+      assert(qTerms.contains(r.getAs[String]("q_term")))
+      assert(!qTerms.contains(r.getAs[String]("exp_term")),
+        s"query term ${r.getAs[String]("exp_term")} leaked into expansions")
+      assert(r.getAs[Long]("df_joint") >= TextAnalysis.ExpansionMinJoint)
+      assert(r.getAs[Long]("df_joint") <= r.getAs[Long]("df_exp"))
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 2)
+      // a term can never co-occur in more docs than exist
+      assert(r.getAs[Long]("df_exp") <= nDocs)
+    }
+  }
 }

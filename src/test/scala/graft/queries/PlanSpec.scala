@@ -301,7 +301,9 @@ class PlanSpec extends AnyFunSuite {
       "z03_bloom_report", // 1-row max-member + card-stats scalar crossJoins
       "t27_keywords", // 1-row corpus-size (N_docs) scalar crossJoin
       "d15_cosine_pairs", // 1-row corpus-size scalar in the df-cap rule
-      "d16_cosine_prefix" // same 1-row corpus-size scalar as d15
+      "d16_cosine_prefix", // same 1-row corpus-size scalar as d15
+      "x23_embargo_split", // 1-row span-bounds (cutoff, gap) scalar
+      "i06_query_expansion" // 1-row corpus-size (n_docs) scalar
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -158,8 +158,12 @@ object Dedup {
   /** The df-capped term-count vectors shared by d15/d16 (persisted;
     * clearCache lifetime — see the shinglePostings note). */
   private def termVectors(s: SparkSession, dir: String,
+      maxTermDfPermille: Option[Long]): DataFrame =
+    termVectorsFrom(docs(s, dir), maxTermDfPermille)
+
+  private def termVectorsFrom(base: DataFrame,
       maxTermDfPermille: Option[Long]): DataFrame = {
-    val tc0 = docs(s, dir)
+    val tc0 = base
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -210,6 +214,40 @@ object Dedup {
         s"at $maxDocs documents (corpus has $n); use cosinePairsPrefix " +
         "at scale")
     val tc = termVectors(s, dir, maxTermDfPermille)
+    val dots = tc.as("a")
+      .join(tc.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    scoreCosine(dots, tc)
+  }
+
+  /** The gated d15 shape: [[cosinePairs]]'s exhaustive semantics over
+    * a deterministic 1-in-k doc_id stride sample, k = ⌈N/bound⌉ — the
+    * whole corpus at every driver SF (k = 1 below `bound` docs), a
+    * bounded-size eval slice beyond it. This is the standard
+    * recall-baseline pattern at scale: an exhaustive answer over a
+    * sample the quadratic can afford, with the sample treated AS the
+    * corpus (the df cap is relative to the sample) so the operator is
+    * self-consistent at any N. Round-8 sf1 measurement that forced
+    * this shape: the FULL exhaustive census at 50k docs is 4.7M pairs
+    * (the global-relative df cap stops capping per-shard stopwords
+    * once the corpus is a union of decorrelated shards — each shard's
+    * stopwords sit at df ≈ shard size ≪ 0.1·N), so "fall back to the
+    * capped prefix path" silently changes the answer while a sampled
+    * exhaustive baseline keeps exactly the semantics it claims.
+    * One 1-row stride scalar broadcasts back over the scan (the
+    * allowlisted idiom); the sample filter is a narrow predicate. */
+  def cosinePairsSampled(s: SparkSession, dir: String,
+      maxTermDfPermille: Option[Long] = Some(CosineDfPermille),
+      bound: Long = MaxExhaustiveCosineDocs): DataFrame = {
+    val base = docs(s, dir)
+    val k = base.agg(
+      expr(s"(count(1) + ${bound - 1}L) div ${bound}L").as("k"))
+    val sampled = base.crossJoin(broadcast(k))
+      .filter(pmod(col("doc_id"), col("k")) === 0)
+      .drop("k")
+    val tc = termVectorsFrom(sampled, maxTermDfPermille)
     val dots = tc.as("a")
       .join(tc.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))

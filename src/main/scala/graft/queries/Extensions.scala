@@ -34,17 +34,16 @@ object Extensions {
       Dedup.blockDedup(s, d)),
     // the most-duplicated 8-grams across the corpus (what d13 strips)
     "d14_hot_ngrams" -> (Dedup.hotNgrams _),
-    // sparse TF-vector cosine near-dup, df-capped like d02. The
-    // exhaustive plan is the registered contract only while the
-    // corpus fits its measured bound; past it the entry falls back to
-    // the prefix-filtered path (same contract — DedupSpec pins
-    // containment + recall), so a scaled gate records d16's answer
-    // for d15 rather than a hard error. Direct API callers still hit
-    // the throwing guard in Dedup.cosinePairs.
+    // sparse TF-vector cosine near-dup, df-capped like d02 — the
+    // exhaustive baseline over a deterministic 1-in-k doc_id stride
+    // sample (k = 1, i.e. the whole corpus, at every driver SF). An
+    // earlier fall-back-to-d16 shape silently changed the answer at
+    // scale (sf1 measured: 12,050 capped-prefix pairs vs the 4.7M
+    // exhaustive census); sampling keeps exactly the semantics the
+    // name claims at any N. Direct API callers of the full-corpus
+    // form still hit the throwing guard in Dedup.cosinePairs.
     "d15_cosine_pairs" -> ((s: SparkSession, d: String) =>
-      if (graft.engine.Tables.t(s, d, "documents").count() <=
-          Dedup.MaxExhaustiveCosineDocs) Dedup.cosinePairs(s, d)
-      else Dedup.cosinePairsPrefix(s, d)),
+      Dedup.cosinePairsSampled(s, d)),
     // d15's scale path: rarest-k prefix candidates, exact rerank
     "d16_cosine_prefix" -> ((s: SparkSession, d: String) =>
       Dedup.cosinePairsPrefix(s, d)),
@@ -235,8 +234,11 @@ object Extensions {
 
   /** CTE chain ending in `tc(doc_id, w, c)` + `norms(doc_id, n2)` —
     * the d15/d16 df-capped term-count vectors (relative stop cap:
-    * df·1000 > permille·N_docs). */
-  private val cosineVecCtes = s"""$tkCte,
+    * df·1000 > permille·N_docs). Parameterized on the documents
+    * relation so d15's stride-sampled baseline can feed a `sdocs`
+    * CTE through the identical chain. */
+  private def cosineVecCtesFrom(docsRel: String): String = s"""${
+    tkCte.replace("FROM documents", s"FROM $docsRel")},
       tcw AS (SELECT doc_id, unnest(tk) AS w FROM tk),
       tc0 AS (SELECT doc_id, w, count(*) AS c FROM tcw
               WHERE length(w) >= 1 GROUP BY doc_id, w),
@@ -247,6 +249,8 @@ object Extensions {
       tc AS (SELECT * FROM tc0 WHERE w NOT IN (SELECT w FROM stop)),
       norms AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS n2
                 FROM tc GROUP BY doc_id)"""
+
+  private val cosineVecCtes = cosineVecCtesFrom("documents")
 
   /** Final select shared by d15/d16: norm join + the one fixed float
     * expression tree + threshold (expects a `dots(ida, idb, dot)`
@@ -1777,7 +1781,11 @@ object Extensions {
     // term-count vectors with the df > cap stop list removed; integer
     // dot/norms, one fixed float expression tree for the e6 floor
     "d15_cosine_pairs" -> s"""
-      WITH $cosineVecCtes,
+      WITH k AS (SELECT (count(*) + ${Dedup.MaxExhaustiveCosineDocs - 1})
+                   // ${Dedup.MaxExhaustiveCosineDocs} AS k
+                 FROM documents),
+      sdocs AS (SELECT d.* FROM documents d, k WHERE doc_id % k.k = 0),
+      ${cosineVecCtesFrom("sdocs")},
       dots AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
                  CAST(sum(a.c * b.c) AS BIGINT) AS dot
                FROM tc a JOIN tc b ON a.w = b.w AND a.doc_id < b.doc_id

@@ -277,6 +277,65 @@ object DupCluster {
       .orderBy("cluster_id")
   }
 
+  /** Salt for the x24 keep decision's content hash. The polynomial
+    * hash of `salt ++ text` is an affine bijection (·31^len + c mod
+    * P2) of the hash of `text`, so the mod-1e6 keep decision is
+    * decorrelated from the OTHER P2-mod decisions on the same
+    * document (t13's `% 1000` sampling) without burning a fourth
+    * prime modulus. */
+  val SoftDedupSalt = "softdedup:"
+
+  /** x24: soft (weighted) deduplication sampling — instead of
+    * deleting all-but-one document per near-dup cluster (d07's hard
+    * rule), each member is kept with probability 1/cluster_sz, so
+    * every cluster contributes ONE document in expectation while the
+    * survivor set stays diverse across pipeline re-runs over growing
+    * corpora. This is the "duplication-aware sampling weight" used
+    * when a training mixture should not silently up-weight content
+    * that happens to be duplicated (boilerplate, mirrors): a
+    * cluster of 40 mirrors carries the weight of one document.
+    * Membership is the deterministic salted content hash (`h % 1e6 ·
+    * sz < 1e6`), never rand(), so the sample is reproducible and
+    * join-stable. Output is the per-cluster-size audit card: how many
+    * docs/clusters each size bucket holds, how many docs survived,
+    * and the exact-integer realized keep rate per bucket.
+    *
+    * Scale shape: reuses d06's memoized star-contraction labels (the
+    * one iterative stage, already diameter-bounded); singletons never
+    * enter the label join — they short-circuit through the left join
+    * with cluster_sz = 1. One narrow hash projection over the corpus,
+    * one equi-join on doc_id against the (small) labelled-duplicate
+    * set, one partial-aggregated groupBy on cluster_sz (a handful of
+    * distinct keys). */
+  def softDedupSample(s: SparkSession, dir: String): DataFrame = {
+    val labels = lastLabels match {
+      case Some((`s`, `dir`, l)) => l
+      case _ => computeLabels(s, dir)
+    }
+    val cl = clustersOf(labels, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_sz"))
+    val salted = s"concat('${SoftDedupSalt}', lower(text))"
+    val d = graft.operators.TextHash
+      .fanOut(graft.engine.Tables.t(s, dir, "documents"))
+      .select(col("doc_id"),
+        expr(graft.operators.TextHash.rollingHashExpr(
+          salted, graft.operators.TextHash.P2)).as("h"))
+    d.join(cl, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("h"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cid"),
+        coalesce(col("cluster_sz"), lit(1L)).as("cluster_sz"))
+      .withColumn("keep",
+        when(col("h") % 1000000L * col("cluster_sz") < 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("cluster_sz")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cid")).as("n_clusters"),
+        sum(col("keep")).as("n_kept"))
+      .withColumn("keep_rate_e6",
+        expr("n_kept * 1000000 div n_docs"))
+      .orderBy("cluster_sz")
+  }
+
   /** s15: cluster-quality audit — per s11 topic component: size,
     * internal vs escaping DIRECTED kNN edges (s09), and the
     * conductance-style escape ratio. The s11 components are built

@@ -267,4 +267,79 @@ object Multimodal {
   /** [[ahashPairsOf]] over the corpus signatures. */
   def ahashPairs(s: SparkSession, dir: String): DataFrame =
     ahashPairsOf(ahashes(s, dir))
+
+  /** m05 frame width in samples and the per-sample mean-square
+    * silence threshold (a frame is silent when energy < n·threshold —
+    * the comparison stays integral, no division). Interpolated into
+    * the oracle. */
+  val AudioFrameSamples = 256
+  val AudioSilenceMeanSq = 100L
+
+  /** m05 sample decode: payload byte → centered PCM8 sample. 96 sits
+    * between the ASCII space/punctuation band (32–64, negative) and
+    * the lowercase-letter band (97–122, positive), so text payloads
+    * produce sign-alternating "waveforms" with non-trivial
+    * zero-crossing structure. */
+  @inline private def pcm8(b: Byte): Long = (b & 0xffL) - 96L
+
+  case class AudioFrameCard(doc_id: Long, n_samples: Long,
+      n_frames: Long, total_energy: Long, peak_energy: Long,
+      n_silent: Long, zcr: Long)
+
+  /** m05: audio frame analysis — the third media modality's decode
+    * stand-in (m01/m03 = image, m02 = video keyframes, THIS = audio).
+    * The payload decodes to centered PCM8 samples ([[pcm8]]) which are
+    * cut into [[AudioFrameSamples]]-sample frames; per document the
+    * card reports frame count, total and peak frame energy (Σx²),
+    * silent-frame count (energy < n·[[AudioSilenceMeanSq]] — the VAD
+    * trim decision a speech pipeline makes before transcription), and
+    * the zero-crossing count (the classic cheap voiced/unvoiced
+    * signal). All integers, so the byte-walking oracle gates the
+    * plumbing exactly; a real audio codec (PCM16 WAV parse, or a JNI
+    * resampler) slots into the same mapPartitions boundary with this
+    * loop's signature.
+    *
+    * Scale shape: identical to m01/m02 — per-row CPU work inside
+    * mapPartitions, payload bytes never shuffle, the card (7 longs)
+    * is what moves. */
+  def audioFrames(media: Dataset[MediaRow]): Dataset[AudioFrameCard] = {
+    import media.sparkSession.implicits._
+    val frameN = AudioFrameSamples
+    val thresh = AudioSilenceMeanSq
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        val n = p.length
+        var totalE = 0L; var peakE = 0L; var nSilent = 0L; var zcr = 0L
+        var frameE = 0L; var inFrame = 0
+        var nFrames = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val x = pcm8(p(i))
+          frameE += x * x
+          val neg = x < 0
+          if (i > 0 && neg != prevNeg) zcr += 1
+          prevNeg = neg
+          inFrame += 1
+          if (inFrame == frameN || i == n - 1) {
+            totalE += frameE
+            if (frameE > peakE) peakE = frameE
+            if (frameE < inFrame * thresh) nSilent += 1
+            nFrames += 1
+            frameE = 0L; inFrame = 0
+          }
+          i += 1
+        }
+        AudioFrameCard(r.doc_id, n.toLong, nFrames, totalE, peakE,
+          nSilent, zcr)
+      }
+    }
+  }
+
+  /** Driver-facing m05 query over the corpus media table. */
+  def audioCards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioFrames(mediaTable(s, dir)).toDF().orderBy("doc_id")
+  }
 }

@@ -718,4 +718,100 @@ object Similarity {
         col("rank"), floor(col("cs") * 1000000).cast("long").as("cs_e6"))
       .orderBy("query_id", "rank")
   }
+
+  /** Reconstructed-vector expression for the SQ8 (8-bit scalar)
+    * quantizer: per-dim corpus [mn, mx] split into 256 equal cells,
+    * code = cell index of x, reconstruction = cell midpoint. One
+    * definition feeds both the encode and decode halves of [[
+    * sq8Recall]] so the two cannot drift; the identical arithmetic
+    * (same parenthesization — float determinism is load-bearing for
+    * the oracle gate) is interpolated into the DuckDB oracle. */
+  private def sq8DecExpr(v: String, mns: String, mxs: String): String =
+    s"""transform(sequence(1, $EmbeddingDims), i ->
+       CASE WHEN element_at($mxs, i) > element_at($mns, i) THEN
+         element_at($mns, i) +
+           (least(cast(255.0 as double), floor(
+              ((cast(element_at($v, i) as double) - element_at($mns, i))
+               / (element_at($mxs, i) - element_at($mns, i))) * 256.0))
+            + 0.5)
+           * (element_at($mxs, i) - element_at($mns, i)) / 256.0
+       ELSE element_at($mns, i) END)"""
+
+  /** Left-fold double dot product over two array<double> columns —
+    * the [[sq8Recall]] scoring kernel. Same fold order as [[dotExpr]]
+    * / the oracle's list_reduce, so the float sequence is identical
+    * across engines. */
+  private def ddotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (p, q) -> cast(p as double) * cast(q as double)), " +
+      s"cast(0.0 as double), (acc, v) -> acc + v)"
+
+  /** s20: SQ8 (int8 scalar quantization) retrieval recall — the THIRD
+    * compression point on the index family's quality curve, between
+    * exact floats (s01, 256 B/vector) and PQ (s05–s07, 8 B/vector):
+    * 64 B/vector, one code per dimension against a per-dim [min, max]
+    * grid learned from the corpus in one aggregation pass. Queries
+    * stay float and score the RECONSTRUCTED corpus (asymmetric
+    * distance, faiss-SQ8's serving shape); recall@k vs the s01 exact
+    * top-k, per query — the number a deployment compares against
+    * s14/s18 to pick its memory/quality operating point.
+    *
+    * Scale shape: the quantizer state is ONE 2×64-double row
+    * (broadcast — a true scalar side, unlike a codebook it never
+    * grows with the corpus); encode+decode is a narrow per-row
+    * projection; scoring shuffles |Q|·n scored pairs only through the
+    * per-query top-k window (TakeOrdered shape, queries broadcast).
+    * At 100 TB the decoded corpus is never materialized — the decode
+    * expression fuses into the scoring projection. */
+  def sq8Recall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    require(1000000 % k == 0, s"recall_e6 exactness needs k | 1e6, got $k")
+    val e = emb(s, dir)
+    // per-dim corpus min/max, gathered into two 64-slot arrays
+    val mm = e.select(posexplode(col("embedding")))
+      .toDF("pos", "x")
+      .groupBy("pos")
+      .agg(min(col("x")).cast("double").as("mn"),
+        max(col("x")).cast("double").as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), p -> p.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)")
+          .as("mxs"))
+    val corpus = graft.operators.TextHash.fanOut(e)
+      .crossJoin(broadcast(mm)) // 1-row quantizer state (allowlisted NLJ)
+      .select(col("vec_id"),
+        expr(sq8DecExpr("embedding", "mns", "mxs")).as("dec"))
+      .withColumn("dnrm", expr(s"sqrt(${ddotExpr("dec", "dec")})"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qnrm", expr(s"sqrt(${dotExpr("qv", "qv")})"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    val topk = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(ddotExpr("qv", "dec")) / (col("qnrm") * col("dnrm"))).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    val exact = annTopK(s, dir, k).select("query_id", "neighbor_id")
+      .persist() // ground truth: overlap join + the query roster
+    val hits = exact.join(topk, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("sq8_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("sq8_hits"), lit(0L)).as("sq8_hits"))
+      .withColumn("sq8_recall_e6", col("sq8_hits") * lit(1000000L / k))
+      .orderBy("query_id")
+  }
+
+  /** The [[sq8DecExpr]] arithmetic as a DuckDB list comprehension —
+    * interpolated into the s20 oracle so encode/decode cannot drift
+    * between engines. `v` is a list<float> relation column; mns/mxs
+    * come from the oracle's own per-dim aggregate. */
+  def sq8DecSql(v: String, mns: String, mxs: String): String =
+    s"""[CASE WHEN $mxs[i] > $mns[i] THEN
+         $mns[i] + (least(255.0, floor((($v[i]::DOUBLE - $mns[i])
+               / ($mxs[i] - $mns[i])) * 256.0)) + 0.5)
+           * ($mxs[i] - $mns[i]) / 256.0
+       ELSE $mns[i] END for i in generate_series(1, $EmbeddingDims)]"""
 }

@@ -682,4 +682,87 @@ object TextAnalysis {
         max(col("freq")).as("max_freq"), min(col("freq")).as("min_freq"))
       .orderBy("octave")
   }
+
+  /** i07 probe-document rule: doc_id ≡ 0 (mod 211) — a deterministic
+    * ~0.5 % sample whose size grows with the corpus (doc_id 0 always
+    * qualifies, so every scale factor has probes). */
+  val MoreLikeThisProbeMod = 211L
+
+  /** i07 per-probe query-term budget: only the probe's
+    * [[MoreLikeThisMaxQueryTerms]] most DISTINCTIVE terms (lowest
+    * document frequency, ties by term) form the query — Elasticsearch
+    * MLT's `max_query_terms`, the knob that keeps a more-like-this
+    * query from fanning out over its document's stopwords. Rank-by-df
+    * is corpus-adaptive where an absolute max_doc_freq cut is not: on
+    * this synthetic corpus every term sits in 75–80 % of documents
+    * (min df 373/500 at the gate — measured), so any fixed df ceiling
+    * either cuts nothing or everything, while "rarest 8" always
+    * selects the discriminative tail. */
+  val MoreLikeThisMaxQueryTerms = 8
+
+  val MoreLikeThisK = 5
+
+  /** i07: more-like-this (query-by-document) retrieval — for each
+    * probe document, the top-[[MoreLikeThisK]] most similar other
+    * documents by tf·idf dot product over the probe's DISTINCTIVE
+    * terms. The "related documents / find near-topic training data"
+    * primitive: i03 ranks against a fixed keyword query, THIS ranks
+    * against a document. idf is i03's exact-integer rational
+    * ((2(N−df)+1)·1e6 div (2df+1)); each (probe, cand, term)
+    * contribution tf_p·tf_c·idf_e6 div 1000 keeps the 64-bit sum in
+    * range with both engines flooring at the same point, so scores
+    * hash-compare exactly.
+    *
+    * Scale shape: the probe roster (~n/211 docs) aggregates to a
+    * broadcast term list; corpus tokens stream through ONE narrow
+    * explode and only tokens matching a probe term survive the
+    * broadcast semi-join BEFORE the (doc, term) tf groupBy — shuffle
+    * volume is matched postings, not the token stream. The
+    * max_query_terms window prunes each probe's query to its 8
+    * rarest terms BEFORE the scoring join (the window runs over
+    * probe-side rows only — |probes|·|doc terms|, never postings),
+    * and the per-probe top-k is a window over candidate rows bounded
+    * by the selected terms' postings. At 100 TB this is the i01
+    * inverted-index probe pattern: per-term posting joins, never a
+    * corpus×corpus product. */
+  def moreLikeThis(s: SparkSession, dir: String): DataFrame = {
+    val k = MoreLikeThisK
+    val postings = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("nn"))
+    // probe-side distinct terms (tf kept for the scoring join)
+    val probeTf = postings.filter(col("doc_id") % MoreLikeThisProbeMod === 0)
+      .groupBy(col("doc_id").as("probe_id"), col("term"))
+      .agg(count(lit(1)).as("tf_p"))
+    // corpus postings restricted to probe terms, then per-(doc, term) tf
+    val candTf = postings
+      .join(broadcast(probeTf.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf_c"))
+      .persist() // feeds the exact df count AND the scoring join
+    val dfreq = candTf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wTerm = Window.partitionBy(col("probe_id"))
+      .orderBy(col("df"), col("term"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_e3").desc, col("neighbor_id"))
+    probeTf
+      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("trk", row_number().over(wTerm))
+      .filter(col("trk") <= MoreLikeThisMaxQueryTerms)
+      .crossJoin(broadcast(nDocs)) // 1-row corpus size (allowlisted NLJ)
+      .withColumn("idf_e6",
+        expr("""cast((cast(2 as decimal(38,0)) * (nn - df) + 1) * 1000000
+             div (2 * df + 1) as long)"""))
+      .join(candTf, Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id").as("neighbor_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(expr("tf_p * tf_c * idf_e6 div 1000")).as("score_e3"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        col("n_shared"), col("score_e3"))
+      .orderBy("probe_id", "rank")
+  }
 }

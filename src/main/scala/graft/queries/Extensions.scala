@@ -68,6 +68,8 @@ object Extensions {
     // per-query-term top-2 co-occurrence expansions by document lift
     "i06_query_expansion" -> ((s: SparkSession, d: String) =>
       TextAnalysis.queryExpansion(s, d)),
+    // query-by-document: tf·idf top-5 related docs per probe doc
+    "i07_more_like_this" -> (TextAnalysis.moreLikeThis _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -98,6 +100,9 @@ object Extensions {
     // equi-join on the filter key (pre-filter, not post-filter)
     "s19_filtered_ann" -> ((s: SparkSession, d: String) =>
       Similarity.filteredAnnTopK(s, d)),
+    // int8 scalar-quantization (SQ8) recall@5 vs the exact top-k
+    "s20_sq8_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.sq8Recall(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -141,6 +146,8 @@ object Extensions {
     "m03_ahash" -> (Multimodal.ahashes _),
     // payload near-dups over m03 signatures: 8×8-bit bands + hamming
     "m04_ahash_neardup" -> (Multimodal.ahashPairs _),
+    // audio-modality frame card: energy / silence / zero crossings
+    "m05_audio_frames" -> (Multimodal.audioCards _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
     "x02_funnel" -> (Funnel.viewClickPurchase _),
     // weekly cohort-retention matrix over the events stream
@@ -170,6 +177,8 @@ object Extensions {
     "x22_gap_report" -> (TimeSeries.gapReport _),
     // leakage-safe temporal split: train / embargo-gap / test census
     "x23_embargo_split" -> (TimeSeries.embargoSplit _),
+    // duplication-aware 1/cluster_sz keep sampling (soft dedup card)
+    "x24_soft_dedup" -> (DupCluster.softDedupSample _),
     // α=0.5 temperature rebalance of the source mix (x11's sibling)
     "x14_temperature_sample" -> (Curation.temperatureSample _),
     "z01_zorder" -> (Layout.zorderKeys _),
@@ -1497,6 +1506,39 @@ object Extensions {
                  AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
       SELECT ida, idb, hamming FROM cand
       WHERE hamming <= 6 ORDER BY ida, idb""",
+    // audio stand-in: payload bytes → centered PCM8 (ascii − 96),
+    // 256-sample frames; energy / silence / zero crossings are pure
+    // integers so the byte walk gates the mapPartitions plumbing
+    "m05_audio_frames" -> s"""
+      WITH xs AS (SELECT doc_id,
+                    [(ascii(text[j]) - 96)::BIGINT
+                     for j in generate_series(1, strlen(text))] AS xs
+                  FROM documents),
+      u AS (SELECT doc_id, unnest(generate_series(1, len(xs))) AS j,
+              unnest(xs) AS x
+            FROM xs),
+      fr AS (SELECT doc_id,
+               (j - 1) // ${Multimodal.AudioFrameSamples} AS frame,
+               count(*) AS fn, sum(x * x) AS fe
+             FROM u GROUP BY doc_id, frame),
+      zc AS (SELECT doc_id, coalesce(sum(chg), 0) AS zcr
+             FROM (SELECT doc_id, CASE WHEN (x < 0) <>
+                       (lag(x) OVER (PARTITION BY doc_id ORDER BY j) < 0)
+                     THEN 1 ELSE 0 END AS chg FROM u) t
+             GROUP BY doc_id),
+      fc AS (SELECT doc_id, count(*) AS n_frames, sum(fe) AS total_energy,
+               max(fe) AS peak_energy,
+               sum(CASE WHEN fe < fn * ${Multimodal.AudioSilenceMeanSq}
+                   THEN 1 ELSE 0 END) AS n_silent
+             FROM fr GROUP BY doc_id)
+      SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_samples,
+        CAST(coalesce(n_frames, 0) AS BIGINT) AS n_frames,
+        CAST(coalesce(total_energy, 0) AS BIGINT) AS total_energy,
+        CAST(coalesce(peak_energy, 0) AS BIGINT) AS peak_energy,
+        CAST(coalesce(n_silent, 0) AS BIGINT) AS n_silent,
+        CAST(coalesce(zcr, 0) AS BIGINT) AS zcr
+      FROM documents d LEFT JOIN fc USING (doc_id)
+      LEFT JOIN zc USING (doc_id) ORDER BY d.doc_id""",
     "m01_multimodal_features" -> """
       WITH s AS (SELECT doc_id, strlen(text) AS byte_len,
         list_reduce(list_prepend(0::BIGINT,
@@ -1690,6 +1732,45 @@ object Extensions {
               (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
             FROM scored) t
       WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // SQ8: per-dim [min,max] grid learned corpus-wide, reconstruction
+    // arithmetic interpolated from Similarity.sq8DecSql (one
+    // definition both engines), exact ground truth = s01's cosine
+    "s20_sq8_recall" -> s"""
+      WITH dims AS (SELECT i, min(embedding[i]::DOUBLE) AS mn,
+                      max(embedding[i]::DOUBLE) AS mx
+                    FROM embeddings,
+                      generate_series(1, ${Similarity.EmbeddingDims}) g(i)
+                    GROUP BY i),
+      mm AS (SELECT list(mn ORDER BY i) AS mns,
+               list(mx ORDER BY i) AS mxs FROM dims),
+      dc AS (SELECT vec_id,
+               ${Similarity.sq8DecSql("embedding", "mns", "mxs")} AS dec
+             FROM embeddings, mm),
+      q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+      sq AS (SELECT query_id, d.vec_id AS neighbor_id,
+               ${dot("qv", "d.dec")} /
+                 (sqrt(${dot("qv", "qv")}) * sqrt(${dot("d.dec", "d.dec")}))
+                 AS cs
+             FROM dc d JOIN q ON query_id <> d.vec_id),
+      ak AS (SELECT query_id, neighbor_id
+             FROM (SELECT query_id, neighbor_id, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+                     AS r FROM sq) z WHERE r <= 5),
+      esc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                ${cos("qv", "c.embedding")} AS cs
+              FROM embeddings c JOIN q ON query_id <> c.vec_id),
+      e5 AS (SELECT query_id, neighbor_id
+             FROM (SELECT query_id, neighbor_id, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+                     AS r FROM esc) z WHERE r <= 5),
+      hits AS (SELECT query_id, count(*) AS sq8_hits
+               FROM e5 JOIN ak USING (query_id, neighbor_id)
+               GROUP BY query_id)
+      SELECT query_id,
+        CAST(coalesce(sq8_hits, 0) AS BIGINT) AS sq8_hits,
+        CAST(coalesce(sq8_hits, 0) * 200000 AS BIGINT) AS sq8_recall_e6
+      FROM q LEFT JOIN hits USING (query_id) ORDER BY query_id""",
     // partitioned bloom mirrored lane-for-lane: set bits are DISTINCT
     // (lane, hash) pairs, probes are the anti-joined absent keys, and
     // depth-k positivity is the AND of the first k lane hits
@@ -1911,6 +1992,30 @@ object Extensions {
         count(DISTINCT user_id) AS n_users,
         min(us) AS min_us, max(us) AS max_us
       FROM e, c GROUP BY 1, 2 ORDER BY 1, 2""",
+    // d06's cluster chain + the salted-P2 keep hash; singletons join
+    // through as cluster_sz 1. Integer keep rule h%1e6·sz < 1e6.
+    "x24_soft_dedup" -> s"""
+      WITH RECURSIVE $ccCtes,
+      cl AS (SELECT id AS doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+             FROM lab),
+      hx AS (SELECT doc_id,
+               ${rh(s"('${DupCluster.SoftDedupSalt}' || lower(text))",
+                 graft.operators.TextHash.P2)} AS h
+             FROM documents),
+      jn AS (SELECT hx.doc_id, hx.h,
+               coalesce(cl.cluster_id, hx.doc_id) AS cid,
+               coalesce(cl.cluster_sz, 1) AS cluster_sz
+             FROM hx LEFT JOIN cl USING (doc_id))
+      SELECT CAST(cluster_sz AS BIGINT) AS cluster_sz,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+        CAST(sum(CASE WHEN (h % 1000000) * cluster_sz < 1000000
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN (h % 1000000) * cluster_sz < 1000000
+            THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+          AS keep_rate_e6
+      FROM jn GROUP BY cluster_sz ORDER BY cluster_sz""",
     // postings of query-term docs only reach the co-occurrence
     // groupBy; lift in exact-integer e6
     "i06_query_expansion" -> s"""
@@ -1937,6 +2042,43 @@ object Extensions {
       FROM (SELECT *, row_number() OVER (PARTITION BY q_term
               ORDER BY lift_e6 DESC, exp_term) AS rnk FROM sc) z
       WHERE rnk <= 2 ORDER BY q_term, rnk""",
+    // query-by-document tf·idf: probe terms' postings only, i03's
+    // exact-integer idf, per-(probe, cand, term) contribution floored
+    // at the same div-1000 point as the Spark side
+    "i07_more_like_this" -> s"""
+      WITH $tkCte,
+      post AS (SELECT doc_id, term
+               FROM (SELECT doc_id, unnest(tk) AS term FROM tk) u
+               WHERE length(term) > 0),
+      nn AS (SELECT count(*) AS nn FROM documents),
+      ptf AS (SELECT doc_id AS probe_id, term, count(*) AS tf_p
+              FROM post WHERE doc_id % ${TextAnalysis.MoreLikeThisProbeMod} = 0
+              GROUP BY 1, 2),
+      ctf AS (SELECT doc_id, term, count(*) AS tf_c FROM post
+              WHERE term IN (SELECT DISTINCT term FROM ptf)
+              GROUP BY 1, 2),
+      dfr AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+      sel AS (SELECT probe_id, term, tf_p, df
+              FROM (SELECT probe_id, term, tf_p, df, row_number() OVER
+                      (PARTITION BY probe_id ORDER BY df, term) AS trk
+                    FROM ptf JOIN dfr USING (term)) t
+              WHERE trk <= ${TextAnalysis.MoreLikeThisMaxQueryTerms}),
+      sc AS (SELECT probe_id, c.doc_id AS neighbor_id,
+               count(*) AS n_shared,
+               sum((tf_p * tf_c *
+                    ((2 * (nn - df) + 1) * 1000000 // (2 * df + 1)))
+                   // 1000) AS score_e3
+             FROM sel CROSS JOIN nn
+             JOIN ctf c USING (term)
+             WHERE c.doc_id <> probe_id
+             GROUP BY 1, 2)
+      SELECT probe_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+        CAST(n_shared AS BIGINT) AS n_shared,
+        CAST(score_e3 AS BIGINT) AS score_e3
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY score_e3 DESC, neighbor_id) AS rnk FROM sc) z
+      WHERE rnk <= ${TextAnalysis.MoreLikeThisK}
+      ORDER BY probe_id, rnk""",
     // adjacent char pairs inside distinct words, weighted by word
     // frequency; the unique (l, r) key makes the top-32 cut exact
     "t26_bpe_merges" -> s"""

@@ -127,4 +127,88 @@ class Round8Spec extends AnyFunSuite {
       assert(r.getAs[Long]("df_exp") <= nDocs)
     }
   }
+
+  test("s20: SQ8 recall bounded, hits consistent, and 8-bit grid is fine " +
+      "enough to beat the coarser indexes") {
+    val rows = Similarity.sq8Recall(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("sq8_hits")
+      assert(hits >= 0 && hits <= 5)
+      assert(r.getAs[Long]("sq8_recall_e6") == hits * 200000)
+    }
+    // 256 cells per dim quantizes these smooth embeddings almost
+    // losslessly — mean recall must sit near the top of the scale
+    // (measured 100 % at sf0.001; allow one query to drop a hit)
+    val mean = rows.map(_.getAs[Long]("sq8_hits")).sum.toDouble / rows.length
+    assert(mean >= 4.0, s"SQ8 mean hits@5 $mean — quantizer broken?")
+  }
+
+  test("i07: probe roster matches the mod rule, neighbors never self, " +
+      "ranks dense, scores positive and non-increasing") {
+    val rows = TextAnalysis.moreLikeThis(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("probe_id") % TextAnalysis.MoreLikeThisProbeMod == 0)
+      assert(r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Long]("n_shared") >= 1)
+      assert(r.getAs[Long]("score_e3") > 0)
+    }
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to rs.length), s"probe $p ranks not dense")
+      val scores = byRank.map(_.getAs[Long]("score_e3")).toSeq
+      assert(scores == scores.sorted.reverse, s"probe $p scores not sorted")
+      assert(rs.length <= TextAnalysis.MoreLikeThisK)
+      // the query-term budget bounds how many terms can contribute
+      assert(rs.map(_.getAs[Long]("n_shared")).max <=
+        TextAnalysis.MoreLikeThisMaxQueryTerms)
+    }
+  }
+
+  test("x24: buckets partition the corpus, singletons always kept, " +
+      "kept counts within bucket sizes") {
+    val rows = DupCluster.softDedupSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "size buckets must partition the corpus")
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("cluster_sz")
+      val kept = r.getAs[Long]("n_kept")
+      val docs = r.getAs[Long]("n_docs")
+      assert(docs == sz * r.getAs[Long]("n_clusters"),
+        s"bucket $sz: docs != sz * clusters")
+      assert(kept >= 0 && kept <= docs)
+      if (sz == 1) assert(kept == docs && // h%1e6 · 1 < 1e6 always
+        r.getAs[Long]("keep_rate_e6") == 1000000L,
+        "singletons must survive soft dedup unconditionally")
+    }
+  }
+
+  test("m05: frame geometry exact, energies consistent, and the card " +
+      "matches a direct recompute on one document") {
+    val rows = Multimodal.audioCards(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_samples")
+      val frames = r.getAs[Long]("n_frames")
+      assert(frames == (n + Multimodal.AudioFrameSamples - 1) /
+        Multimodal.AudioFrameSamples, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("peak_energy") <= r.getAs[Long]("total_energy"))
+      assert(r.getAs[Long]("n_silent") <= frames)
+      assert(r.getAs[Long]("zcr") < math.max(n, 1))
+    }
+    // independent recompute of doc 0's card straight from the text
+    val text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    val xs = text.getBytes("UTF-8").map(b => (b & 0xff) - 96L)
+    val expTotal = xs.map(x => x * x).sum
+    val expZcr = xs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("total_energy") == expTotal)
+    assert(r0.getAs[Long]("zcr") == expZcr)
+  }
 }

@@ -303,7 +303,9 @@ class PlanSpec extends AnyFunSuite {
       "d15_cosine_pairs", // 1-row corpus-size scalar in the df-cap rule
       "d16_cosine_prefix", // same 1-row corpus-size scalar as d15
       "x23_embargo_split", // 1-row span-bounds (cutoff, gap) scalar
-      "i06_query_expansion" // 1-row corpus-size (n_docs) scalar
+      "i06_query_expansion", // 1-row corpus-size (n_docs) scalar
+      "i07_more_like_this", // 1-row corpus-size (nn) scalar crossJoin
+      "s20_sq8_recall" // 1-row quantizer state + ≤10-row query side
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -424,4 +424,51 @@ object Curation {
       .groupBy("l", "r").agg(sum(col("c")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("l"), col("r"))
       .limit(32)
+
+  /** x25 epoch cap (e3): no source repeats more than 4 epochs — the
+    * repetition point beyond which pre-training data stops helping
+    * (the "4-epoch rule" of data-constrained scaling studies).
+    * Interpolated into the oracle. */
+  val MaxEpochsE3 = 4000L
+
+  /** x25: token-budget mixture allocation — the data-mixing plan a
+    * pre-training run computes BEFORE sampling: given per-source
+    * token masses T_s and a global token budget B (= total/2 here),
+    * allocate B across sources by sqrt-damped mass (x14's temperature
+    * rule lifted from doc counts to token mass), then convert each
+    * source's allocation into an EPOCH count capped at
+    * [[MaxEpochsE3]] — small high-value sources repeat up to 4×, huge
+    * sources train sub-epoch. The card reports, per source: docs,
+    * tokens, sqrt weight, budget share, target tokens, the capped
+    * epoch factor (e3), and the realized allocation — with realized ≤
+    * target wherever the cap binds. Exact integers throughout
+    * (convention: floor(sqrt·1000) like x14, div for every ratio) so
+    * the plan is reproducible and oracle-gated.
+    *
+    * Scale shape: one narrow per-row token-count projection (tokens
+    * never leave their partition — `size(split(...))` is computed in
+    * place), one partial-agg groupBy on the low-cardinality source
+    * key, one 1-row total joined back by broadcast. At 100 TB this is
+    * a metadata-scale aggregation: the corpus streams once, the plan
+    * itself is |sources| rows. */
+  def epochAllocation(s: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(s, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+      .withColumn("sqrt_w", floor(sqrt(col("tokens")) * 1000).cast("long"))
+    val tot = perSource.agg(sum(col("tokens")).as("total_tokens"),
+      sum(col("sqrt_w")).as("sw"))
+    perSource.crossJoin(broadcast(tot)) // 1-row corpus totals
+      .withColumn("budget", expr("total_tokens div 2L"))
+      .withColumn("share_e6", expr("(1000000L * sqrt_w) div sw"))
+      .withColumn("target_tokens", expr("(budget * sqrt_w) div sw"))
+      .withColumn("epochs_e3",
+        least(lit(MaxEpochsE3), expr("(1000L * target_tokens) div tokens")))
+      .withColumn("alloc_tokens", expr("(tokens * epochs_e3) div 1000L"))
+      .select("source", "n_docs", "tokens", "sqrt_w", "share_e6",
+        "target_tokens", "epochs_e3", "alloc_tokens")
+      .orderBy("source")
+  }
 }

@@ -814,4 +814,61 @@ object Similarity {
                / ($mxs[i] - $mns[i])) * 256.0)) + 0.5)
            * ($mxs[i] - $mns[i]) / 256.0
        ELSE $mns[i] END for i in generate_series(1, $EmbeddingDims)]"""
+
+  /** The prefix widths s21 sweeps — the Matryoshka operating points
+    * between "store 1/8 of the vector" and "store half of it".
+    * Interpolated into the DuckDB oracle. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** s21: Matryoshka (prefix-dimension truncation) recall sweep — the
+    * remaining point on the index family's memory/quality curve:
+    * instead of quantizing every dimension coarsely (SQ8 s20, PQ
+    * s05–s07), KEEP only the first m dims at full precision and rank
+    * by prefix cosine, the serving mode of matryoshka-trained
+    * embedding models (store the 8/16/32-dim prefix, re-rank the
+    * survivors with the full vector offline). recall@k per (m, query)
+    * against the s01 exact top-k — the measurement that tells a
+    * deployment whether ITS embeddings degrade gracefully under
+    * truncation (matryoshka-trained ones do, PCA-rotated ones
+    * partially, raw ones often don't).
+    *
+    * Scale shape: s18's sweep posture — per operating point the
+    * corpus passes through ONE narrow slice+norm projection (m floats
+    * per row move, not 64), the ≤10-row query side broadcasts, and
+    * ranking shuffles only the per-query top-k window rows. The three
+    * operating points share the s01 ground-truth pass (persisted).
+    * At 100 TB the m-dim prefix frame is the thing a deployment would
+    * materialize as its serving index — 4m bytes/vector. */
+  def matryoshkaRecall(s: SparkSession, dir: String, k: Int = 5,
+      dims: Seq[Int] = MatryoshkaDims): DataFrame = {
+    require(1000000 % k == 0, s"recall_e6 exactness needs k | 1e6, got $k")
+    val e = emb(s, dir)
+    val exact = annTopK(s, dir, k).select("query_id", "neighbor_id")
+      .persist() // shared ground truth: overlap join + query roster
+    val qs = exact.select("query_id").distinct()
+    dims.map { m =>
+      val sliced = graft.operators.TextHash.fanOut(e)
+        .select(col("vec_id"), expr(s"slice(embedding, 1, $m)").as("pv"))
+        .withColumn("pnrm", expr(s"sqrt(${dotExpr("pv", "pv")})"))
+      val q = sliced.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("pv").as("qpv"),
+          col("pnrm").as("qpnrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cs").desc, col("neighbor_id"))
+      val topk = sliced.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr(dotExpr("qpv", "pv")) / (col("qpnrm") * col("pnrm")))
+            .as("cs"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(topk, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      qs.join(hits, Seq("query_id"), "left")
+        .select(lit(m).as("dims"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+    }.reduce(_.unionByName(_))
+      .withColumn("recall_e6", col("hits") * lit(1000000L / k))
+      .orderBy("dims", "query_id")
+  }
 }

@@ -765,4 +765,44 @@ object TextAnalysis {
         col("n_shared"), col("score_e3"))
       .orderBy("probe_id", "rank")
   }
+
+  /** i08: faceted search — per standing query term
+    * ([[graft.operators.Similarity.HybridQueryTerms]]), the result-set
+    * breakdown a search UI renders next to the hit list: per (term,
+    * source, lang) facet cell, the matching-document count, total
+    * term frequency, and the cell's share of the term's result set
+    * (exact e6). The facet drill-down is what turns retrieval (i01–
+    * i07) into corpus EXPLORATION — "this term lives in these sources"
+    * — and, in a training-data pipeline, the per-source hit profile a
+    * curator reads before boosting or excluding a source.
+    *
+    * Scale shape: the term IN-filter lands inside the token fan-out
+    * (filter-before-explode, i03's posture), so only query-term hits
+    * reach the per-(doc, term) tf stage; facet attributes ride the
+    * SAME row (no join back to documents); the facet rollup is a
+    * partial-agg groupBy on a (4 terms × sources × langs)-bounded key
+    * space; the share denominator is a term-level window over those
+    * few facet rows, not data-scale work. */
+  def facets(s: SparkSession, dir: String): DataFrame = {
+    val termsIn = Similarity.HybridQueryTerms
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+    val hits = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr(s"filter(tk, x -> x IN $termsIn)").as("qtk"))
+      .filter(size(col("qtk")) > 0)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(col("qtk")).as("q_term"))
+      .groupBy("q_term", "source", "lang", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val cells = hits.groupBy("q_term", "source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("tf_sum"))
+    val wTerm = Window.partitionBy(col("q_term"))
+    cells
+      .withColumn("td", sum(col("n_docs")).over(wTerm))
+      .withColumn("share_e6", expr("(1000000L * n_docs) div td"))
+      .drop("td")
+      .orderBy("q_term", "source", "lang")
+  }
 }

@@ -70,6 +70,8 @@ object Extensions {
       TextAnalysis.queryExpansion(s, d)),
     // query-by-document: tf·idf top-5 related docs per probe doc
     "i07_more_like_this" -> (TextAnalysis.moreLikeThis _),
+    // per-(term, source, lang) facet cells with exact result-set share
+    "i08_facets" -> (TextAnalysis.facets _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -103,6 +105,9 @@ object Extensions {
     // int8 scalar-quantization (SQ8) recall@5 vs the exact top-k
     "s20_sq8_recall" -> ((s: SparkSession, d: String) =>
       Similarity.sq8Recall(s, d)),
+    // Matryoshka prefix-dim (8/16/32) recall@5 vs the exact top-k
+    "s21_matryoshka_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.matryoshkaRecall(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -179,6 +184,8 @@ object Extensions {
     "x23_embargo_split" -> (TimeSeries.embargoSplit _),
     // duplication-aware 1/cluster_sz keep sampling (soft dedup card)
     "x24_soft_dedup" -> (DupCluster.softDedupSample _),
+    // sqrt-damped token-budget epoch allocation per source (≤4 epochs)
+    "x25_epoch_allocation" -> (Curation.epochAllocation _),
     // α=0.5 temperature rebalance of the source mix (x11's sibling)
     "x14_temperature_sample" -> (Curation.temperatureSample _),
     "z01_zorder" -> (Layout.zorderKeys _),
@@ -220,6 +227,15 @@ object Extensions {
 
   private def cos(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** [[dot]] over only the first `m` dims — the s21 prefix kernel
+    * (same fold order as the Spark side's float_dot over slice). */
+  private def dotM(a: String, b: String, m: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, [($a[i]::DOUBLE) * ($b[i]::DOUBLE) " +
+      s"for i in generate_series(1, $m)]), (x, y) -> x + y)"
+
+  private def cosM(a: String, b: String, m: Int): String =
+    s"${dotM(a, b, m)} / (sqrt(${dotM(a, a, m)}) * sqrt(${dotM(b, b, m)}))"
 
   /** PQ codebook (8 subspaces × 16 centroids × 8 dims, LCG addend
     * 77777 — graft.functions.Pq) + per-(vector, subspace, centroid)
@@ -1771,6 +1787,39 @@ object Extensions {
         CAST(coalesce(sq8_hits, 0) AS BIGINT) AS sq8_hits,
         CAST(coalesce(sq8_hits, 0) * 200000 AS BIGINT) AS sq8_recall_e6
       FROM q LEFT JOIN hits USING (query_id) ORDER BY query_id""",
+    // Matryoshka sweep: per prefix width m the top-5 by prefix cosine
+    // (dotM — same fold order as Spark's float_dot over slice),
+    // overlap vs the full-width exact top-5; one UNION ALL arm per
+    // operating point, widths interpolated from MatryoshkaDims
+    "s21_matryoshka_recall" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+      esc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                ${cos("qv", "c.embedding")} AS cs
+              FROM embeddings c JOIN q ON query_id <> c.vec_id),
+      e5 AS (SELECT query_id, neighbor_id
+             FROM (SELECT query_id, neighbor_id, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+                     AS r FROM esc) z WHERE r <= 5),
+      arms AS (${Similarity.MatryoshkaDims.map { m =>
+        s"""SELECT $m AS dims, query_id, neighbor_id
+             FROM (SELECT query_id, c.vec_id AS neighbor_id, row_number()
+                     OVER (PARTITION BY query_id ORDER BY
+                       ${cosM("qv", "c.embedding", m)} DESC, c.vec_id) AS r
+                   FROM embeddings c JOIN q ON query_id <> c.vec_id) z
+             WHERE r <= 5"""
+      }.mkString("\n        UNION ALL\n        ")}),
+      hits AS (SELECT dims, query_id, count(*) AS hits
+               FROM e5 JOIN arms USING (query_id, neighbor_id)
+               GROUP BY dims, query_id)
+      SELECT dims, query_id,
+        CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+        CAST(coalesce(hits, 0) * 200000 AS BIGINT) AS recall_e6
+      FROM (SELECT m.dims, query_id FROM q CROSS JOIN (
+              SELECT unnest(${Similarity.MatryoshkaDims
+                .mkString("[", ", ", "]")}) AS dims) m) g
+      LEFT JOIN hits USING (dims, query_id)
+      ORDER BY dims, query_id""",
     // partitioned bloom mirrored lane-for-lane: set bits are DISTINCT
     // (lane, hash) pairs, probes are the anti-joined absent keys, and
     // depth-k positivity is the AND of the first k lane hits
@@ -2016,6 +2065,28 @@ object Extensions {
             THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
           AS keep_rate_e6
       FROM jn GROUP BY cluster_sz ORDER BY cluster_sz""",
+    // sqrt-damped (floor(sqrt·1000), x14's convention) token-budget
+    // split with the 4-epoch cap; every ratio is integer div
+    "x25_epoch_allocation" -> raw"""
+      WITH ps AS (SELECT source, count(*) AS n_docs,
+               sum(len(string_split_regex(lower(text), '\s+'))) AS tokens
+             FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs, tokens,
+              CAST(floor(sqrt(tokens) * 1000) AS BIGINT) AS sqrt_w
+            FROM ps),
+      tot AS (SELECT sum(tokens) AS total_tokens, sum(sqrt_w) AS sw FROM w)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(tokens AS BIGINT) AS tokens, sqrt_w,
+        CAST((1000000 * sqrt_w) // sw AS BIGINT) AS share_e6,
+        CAST(((total_tokens // 2) * sqrt_w) // sw AS BIGINT)
+          AS target_tokens,
+        CAST(least(${Curation.MaxEpochsE3},
+          (1000 * (((total_tokens // 2) * sqrt_w) // sw)) // tokens)
+          AS BIGINT) AS epochs_e3,
+        CAST((tokens * least(${Curation.MaxEpochsE3},
+          (1000 * (((total_tokens // 2) * sqrt_w) // sw)) // tokens)) // 1000
+          AS BIGINT) AS alloc_tokens
+      FROM w, tot ORDER BY source""",
     // postings of query-term docs only reach the co-occurrence
     // groupBy; lift in exact-integer e6
     "i06_query_expansion" -> s"""
@@ -2079,6 +2150,26 @@ object Extensions {
               ORDER BY score_e3 DESC, neighbor_id) AS rnk FROM sc) z
       WHERE rnk <= ${TextAnalysis.MoreLikeThisK}
       ORDER BY probe_id, rnk""",
+    // facet cells over query-term hits; share denominator is the
+    // term-level doc total, exact integer div
+    "i08_facets" -> s"""
+      WITH $tkCte,
+      hits AS (SELECT d.doc_id, d.source, d.lang, u.q_term,
+                 count(*) AS tf
+               FROM documents d JOIN (
+                 SELECT doc_id, unnest(list_filter(tk,
+                     x -> list_contains($qTermsList, x))) AS q_term
+                 FROM tk) u USING (doc_id)
+               GROUP BY 1, 2, 3, 4),
+      cells AS (SELECT q_term, source, lang,
+                  count(*) AS n_docs, sum(tf) AS tf_sum
+                FROM hits GROUP BY 1, 2, 3)
+      SELECT q_term, source, lang,
+        CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(tf_sum AS BIGINT) AS tf_sum,
+        CAST((1000000 * n_docs) //
+          (sum(n_docs) OVER (PARTITION BY q_term)) AS BIGINT) AS share_e6
+      FROM cells ORDER BY q_term, source, lang""",
     // adjacent char pairs inside distinct words, weighted by word
     // frequency; the unique (l, r) key makes the top-32 cut exact
     "t26_bpe_merges" -> s"""

@@ -211,4 +211,66 @@ class Round8Spec extends AnyFunSuite {
     assert(r0.getAs[Long]("total_energy") == expTotal)
     assert(r0.getAs[Long]("zcr") == expZcr)
   }
+
+  test("s21: recall is monotone-trending in prefix width and full-width " +
+      "would be perfect") {
+    val rows = Similarity.matryoshkaRecall(spark, dir).collect()
+    val dims = Similarity.MatryoshkaDims
+    assert(rows.map(_.getAs[Int]("dims")).distinct.sorted.toSeq == dims.sorted)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0 && h <= 5)
+      assert(r.getAs[Long]("recall_e6") == h * 200000)
+    }
+    val mean = dims.map { m =>
+      val rs = rows.filter(_.getAs[Int]("dims") == m)
+      m -> rs.map(_.getAs[Long]("hits")).sum.toDouble / rs.length
+    }.toMap
+    // 32 of 64 dims must beat 8 of 64 on these dense embeddings; exact
+    // monotonicity between adjacent widths is data-dependent noise
+    assert(mean(32) >= mean(8),
+      s"recall not improving with width: $mean")
+  }
+
+  test("x25: allocation conserves the budget cap, epochs never exceed " +
+      "the cap, realized <= target per source") {
+    val rows = Curation.epochAllocation(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getAs[Long]("tokens")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("epochs_e3") <= Curation.MaxEpochsE3)
+      assert(r.getAs[Long]("epochs_e3") >= 0)
+      // the floor chain loses < 1 token per div; allow that slack
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("target_tokens"),
+        s"source ${r.getAs[String]("source")} over-allocated")
+      assert(r.getAs[Long]("sqrt_w") ==
+        math.floor(math.sqrt(r.getAs[Long]("tokens").toDouble) * 1000).toLong)
+    }
+    // the realized plan must fit inside the global budget
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= totalTokens / 2)
+    // shares sum to ~1e6 (floor loss < n_sources)
+    val shareSum = rows.map(_.getAs[Long]("share_e6")).sum
+    assert(shareSum > 1000000L - rows.length && shareSum <= 1000000L)
+  }
+
+  test("i08: facet cells partition each term's result set and shares are " +
+      "exact floors of n_docs over the term total") {
+    val rows = TextAnalysis.facets(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byTerm = rows.groupBy(_.getAs[String]("q_term"))
+    assert(byTerm.keySet.subsetOf(Similarity.HybridQueryTerms.toSet))
+    byTerm.foreach { case (term, cells) =>
+      val td = cells.map(_.getAs[Long]("n_docs")).sum
+      cells.foreach { c =>
+        assert(c.getAs[Long]("tf_sum") >= c.getAs[Long]("n_docs"),
+          s"$term: tf < docs")
+        assert(c.getAs[Long]("share_e6") ==
+          1000000L * c.getAs[Long]("n_docs") / td)
+      }
+      // no duplicate facet cell per term
+      val keys = cells.map(c =>
+        (c.getAs[String]("source"), c.getAs[String]("lang")))
+      assert(keys.distinct.length == keys.length)
+    }
+  }
 }

@@ -305,7 +305,9 @@ class PlanSpec extends AnyFunSuite {
       "x23_embargo_split", // 1-row span-bounds (cutoff, gap) scalar
       "i06_query_expansion", // 1-row corpus-size (n_docs) scalar
       "i07_more_like_this", // 1-row corpus-size (nn) scalar crossJoin
-      "s20_sq8_recall" // 1-row quantizer state + ≤10-row query side
+      "s20_sq8_recall", // 1-row quantizer state + ≤10-row query side
+      "s21_matryoshka_recall", // s01 ground truth + ≤10-row query side
+      "x25_epoch_allocation" // 1-row corpus-totals scalar crossJoin
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -871,4 +871,68 @@ object Similarity {
       .withColumn("recall_e6", col("hits") * lit(1000000L / k))
       .orderBy("dims", "query_id")
   }
+
+  /** s22 fixed iteration count. Full PageRank iterates to an epsilon;
+    * the unrolled-3 form is the gated, oracle-exact demonstration —
+    * each extra iteration is one more copy of the same two-shuffle
+    * stage, and a production run loops the identical stage under a
+    * convergence check (the d09/s11 fixpoint posture). */
+  val PageRankIters = 3
+
+  /** s22 damping factor ×100 (d = 0.85). */
+  val PageRankDampE2 = 85L
+
+  /** s22: PageRank centrality over the directed s09 kNN graph — the
+    * importance signal of graph-based curation: a document whose
+    * embedding is linked FROM many well-linked neighbors is central
+    * to its region of the corpus, the substrate of
+    * representativeness sampling (keep central docs), outlier mining
+    * (bottom ranks), and graph-weighted mixture tuning. Exact-integer
+    * e9 fixed point: pr₀ = 1e9 div n; each of [[PageRankIters]]
+    * unrolled iterations computes pr' = (0.15e9 div n) + (85·Σ
+    * floor(pr(u) div outdeg(u))) div 100 with every division floored
+    * identically in both engines, so the 3-step vector hash-compares
+    * exactly. Dangling mass (vectors with no kNN list) is dropped,
+    * not redistributed — the documented simplification; node set is
+    * ALL corpus vectors, so isolated vectors carry teleport-only
+    * mass.
+    *
+    * Scale shape: per iteration ONE n·k-row equi-join (contributions:
+    * graph ⋈ current ranks on the source key) feeding ONE partial-agg
+    * groupBy on the destination key, then a left join back to the
+    * n-row node frame — no corpus-quadratic stage, no driver-side
+    * loop state beyond the fixed unroll. The graph and out-degree
+    * frames build once ([[knnGraph]]'s persisted band join) and are
+    * reused by every iteration. */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .persist() // n·k edges, read by all 3 iterations
+    val outDeg = g.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      .persist() // ≤ n rows of (src, ≤k) — joined per iteration
+    val nodes = emb(s, dir).select("vec_id")
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nRow)) // 1-row corpus size
+      .select(col("vec_id"), expr("1000000000L div n").as("pr_e9"))
+    for (_ <- 1 to PageRankIters) {
+      val inflow = g.join(outDeg, "src")
+        .join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr("pr_e9 div out_deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      pr = nodes
+        .join(inflow.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("vec_id"),
+          expr(s"(150000000L div n) + " +
+            s"($PageRankDampE2 * coalesce(inflow, 0L)) div 100L")
+            .as("pr_e9"))
+    }
+    pr.join(outDeg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        col("pr_e9"))
+      .orderBy("vec_id")
+    // no global pr_rank column on purpose: a full-corpus row_number
+    // is a single-task window at 100 TB; consumers wanting "top-N
+    // central" run orderBy(pr_e9).limit(N) — TakeOrdered, scale-safe
+  }
 }

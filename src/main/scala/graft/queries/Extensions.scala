@@ -108,6 +108,9 @@ object Extensions {
     // Matryoshka prefix-dim (8/16/32) recall@5 vs the exact top-k
     "s21_matryoshka_recall" -> ((s: SparkSession, d: String) =>
       Similarity.matryoshkaRecall(s, d)),
+    // 3-iteration e9 integer PageRank over the s09 kNN graph
+    "s22_pagerank" -> ((s: SparkSession, d: String) =>
+      Similarity.pageRank(s, d)),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -1820,6 +1823,31 @@ object Extensions {
                 .mkString("[", ", ", "]")}) AS dims) m) g
       LEFT JOIN hits USING (dims, query_id)
       ORDER BY dims, query_id""",
+    // unrolled 3-step integer PageRank over the s09 graph `g`;
+    // teleport 0.15e9 div n, damp 85//100, every division floored at
+    // the same point as the Spark side; dangling mass dropped
+    "s22_pagerank" -> s"""
+      WITH $mutualKnnCtes,
+      nodes AS (SELECT vec_id FROM embeddings),
+      nn2 AS (SELECT count(*) AS n FROM embeddings),
+      od AS (SELECT vec_id AS src, count(*) AS out_deg FROM g GROUP BY 1),
+      p0 AS (SELECT vec_id, 1000000000 // n AS pr FROM nodes, nn2),
+      ${(1 to Similarity.PageRankIters).map { i =>
+        s"""c$i AS (SELECT g.neighbor_id AS dst,
+                 sum(p.pr // od.out_deg) AS inflow
+               FROM g JOIN od ON g.vec_id = od.src
+                 JOIN p${i - 1} p ON p.vec_id = g.vec_id GROUP BY 1),
+      p$i AS (SELECT nodes.vec_id, (150000000 // n) +
+                 (${Similarity.PageRankDampE2} * coalesce(inflow, 0)) // 100
+                 AS pr
+               FROM nodes CROSS JOIN nn2
+               LEFT JOIN c$i ON c$i.dst = nodes.vec_id)"""
+      }.mkString(",\n      ")}
+      SELECT p.vec_id, CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg,
+        CAST(p.pr AS BIGINT) AS pr_e9
+      FROM p${Similarity.PageRankIters} p
+      LEFT JOIN od ON od.src = p.vec_id
+      ORDER BY p.vec_id""",
     // partitioned bloom mirrored lane-for-lane: set bits are DISTINCT
     // (lane, hash) pairs, probes are the anti-joined absent keys, and
     // depth-k positivity is the AND of the first k lane hits

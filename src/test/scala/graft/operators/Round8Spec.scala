@@ -232,6 +232,27 @@ class Round8Spec extends AnyFunSuite {
       s"recall not improving with width: $mean")
   }
 
+  test("s22: PageRank mass stays bounded, isolated vectors carry " +
+      "teleport-only mass, linked ones always beat it") {
+    val rows = Similarity.pageRank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val teleport = 150000000L / n
+    val total = rows.map(_.getAs[Long]("pr_e9")).sum
+    // floors only lose mass; dangling mass is dropped by design
+    assert(total <= 1000000000L, s"mass $total exceeds 1e9")
+    assert(total > 500000000L, s"mass $total collapsed — damping broken?")
+    rows.foreach { r =>
+      val pr = r.getAs[Long]("pr_e9")
+      if (r.getAs[Long]("out_deg") == 0L)
+        assert(pr == teleport,
+          s"isolated ${r.getAs[Long]("vec_id")} pr $pr != $teleport")
+      else assert(pr >= teleport)
+    }
+    // the graph must actually move mass: some vector ends above base
+    assert(rows.map(_.getAs[Long]("pr_e9")).max > 1000000000L / n)
+  }
+
   test("x25: allocation conserves the budget cap, epochs never exceed " +
       "the cap, realized <= target per source") {
     val rows = Curation.epochAllocation(spark, dir).collect()

@@ -805,4 +805,46 @@ object TextAnalysis {
       .drop("td")
       .orderBy("q_term", "source", "lang")
   }
+
+  /** i09 diversification quota: at most 2 results per source survive
+    * into the final ranking — the search-engine "host crowding" rule
+    * (Google's classic two-per-domain). Interpolated into the
+    * oracle. */
+  val DiversifyPerSource = 2
+
+  /** i09 final result count. */
+  val DiversifiedK = 10
+
+  /** i09: source-diversified retrieval — re-rank the i03 BM25
+    * shortlist under a per-source quota ([[DiversifyPerSource]]) and
+    * keep the top [[DiversifiedK]]: the result-diversification stage
+    * between ranking (i03) and presentation (i05 snippets), and — in
+    * a training-data pipeline — the "don't let one mirror dominate
+    * the retrieved context" rule of retrieval-augmented dataset
+    * construction. Within a source, candidates are ordered by the
+    * same (score desc, doc_id) tie-break as the global ranking, so
+    * the quota keeps each source's best two; survivors re-rank
+    * globally with the identical ordering.
+    *
+    * Scale shape: everything downstream of the BM25 shortlist
+    * operates on ≤ 100 rows (the shortlist is a TakeOrdered, i03's
+    * posture) — the source join hits the documents table on the
+    * shortlist's doc_ids (broadcast of the ≤100-row side), and both
+    * windows partition ≤ 100 rows. Corpus-scale cost is exactly
+    * i03's. */
+  def diversifiedSearch(s: SparkSession, dir: String): DataFrame = {
+    val short = bm25(s, dir).select("doc_id", "n_matched", "score_e6")
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    val wAll = Window.orderBy(col("score_e6").desc, col("doc_id"))
+    src.join(broadcast(short), "doc_id") // ≤100-row shortlist side
+      .withColumn("src_rank", row_number().over(wSrc))
+      .filter(col("src_rank") <= DiversifyPerSource)
+      .withColumn("rank", row_number().over(wAll))
+      .filter(col("rank") <= DiversifiedK)
+      .select(col("rank"), col("doc_id"), col("source"),
+        col("src_rank"), col("n_matched"), col("score_e6"))
+      .orderBy("rank")
+  }
 }

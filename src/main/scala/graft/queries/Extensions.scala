@@ -72,6 +72,8 @@ object Extensions {
     "i07_more_like_this" -> (TextAnalysis.moreLikeThis _),
     // per-(term, source, lang) facet cells with exact result-set share
     "i08_facets" -> (TextAnalysis.facets _),
+    // two-per-source diversified re-rank of the i03 shortlist
+    "i09_diversified_search" -> (TextAnalysis.diversifiedSearch _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -423,6 +425,33 @@ object Extensions {
                    ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
                  WHERE f.vec_id < f.neighbor_id)"""
 
+  /** CTE chain ending in `sc(doc_id, n_matched, score_e6)` — the
+    * unranked BM25 scores over the standing query terms, shared by
+    * i03 (ranked shortlist) and i09 (diversified re-rank) so the two
+    * oracles cannot drift. Mirrors
+    * [[graft.operators.TextAnalysis.bm25]]. */
+  private lazy val bm25Ctes = s"""$tkCte,
+      base AS (SELECT doc_id, len(tk)::BIGINT AS dl,
+                 list_filter(tk, x -> list_contains(
+                   $qTermsList, x)) AS qtk
+               FROM tk),
+      stats AS (SELECT count(*) AS nn, sum(dl) AS ll FROM base),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(qtk) AS term FROM base
+                   WHERE len(qtk) > 0) u
+             GROUP BY doc_id, dl, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      contrib AS (SELECT doc_id,
+          ((22::HUGEINT * tf * ll * 1000000)
+            // (10::HUGEINT * tf * ll + 3::HUGEINT * ll
+               + 9::HUGEINT * dl * nn)
+           * ((2::HUGEINT * (nn - df) + 1) * 1000000 // (2 * df + 1)))
+            // 1000000 AS contrib_e6
+        FROM tf JOIN dfq USING (term), stats),
+      sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
+               CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+             FROM contrib GROUP BY doc_id)"""
+
   /** x07/x08/x09 oracle bodies, extracted so the x10 composition
     * embeds the exact same SQL (no drift between the standalone
     * queries and the card). */
@@ -652,31 +681,29 @@ object Extensions {
     // denominators; RSJ ratio idf) — HUGEINT intermediates mirror the
     // Spark side's DECIMAL(38,0)
     "i03_bm25" -> s"""
-      WITH $tkCte,
-      base AS (SELECT doc_id, len(tk)::BIGINT AS dl,
-                 list_filter(tk, x -> list_contains(
-                   $qTermsList, x)) AS qtk
-               FROM tk),
-      stats AS (SELECT count(*) AS nn, sum(dl) AS ll FROM base),
-      tf AS (SELECT doc_id, dl, term, count(*) AS tf
-             FROM (SELECT doc_id, dl, unnest(qtk) AS term FROM base
-                   WHERE len(qtk) > 0) u
-             GROUP BY doc_id, dl, term),
-      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      contrib AS (SELECT doc_id,
-          ((22::HUGEINT * tf * ll * 1000000)
-            // (10::HUGEINT * tf * ll + 3::HUGEINT * ll
-               + 9::HUGEINT * dl * nn)
-           * ((2::HUGEINT * (nn - df) + 1) * 1000000 // (2 * df + 1)))
-            // 1000000 AS contrib_e6
-        FROM tf JOIN dfq USING (term), stats),
-      sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
-               CAST(sum(contrib_e6) AS BIGINT) AS score_e6
-             FROM contrib GROUP BY doc_id)
+      WITH $bm25Ctes
       SELECT doc_id, n_matched, score_e6,
         CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS INTEGER)
           AS rank
       FROM sc QUALIFY rank <= 100 ORDER BY rank""",
+    // the i03 shortlist under the two-per-source quota, survivors
+    // re-ranked with the identical (score desc, doc_id) ordering
+    "i09_diversified_search" -> s"""
+      WITH $bm25Ctes,
+      short AS (SELECT doc_id, n_matched, score_e6,
+                  row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS r
+                FROM sc QUALIFY r <= 100),
+      j AS (SELECT s.doc_id, d.source, s.n_matched, s.score_e6,
+              row_number() OVER (PARTITION BY d.source
+                ORDER BY s.score_e6 DESC, s.doc_id) AS src_rank
+            FROM short s JOIN documents d USING (doc_id)
+            QUALIFY src_rank <= ${TextAnalysis.DiversifyPerSource})
+      SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+          AS INTEGER) AS rank,
+        doc_id, source, CAST(src_rank AS INTEGER) AS src_rank,
+        n_matched, score_e6
+      FROM j QUALIFY rank <= ${TextAnalysis.DiversifiedK}
+      ORDER BY rank""",
     "d04_dedup_simhash" -> s"""
       WITH $tkCte,
       hs AS (SELECT doc_id, [${rh("t", 4294967296L)} for t in tk] AS hv FROM tk),

@@ -253,6 +253,26 @@ class Round8Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("pr_e9")).max > 1000000000L / n)
   }
 
+  test("i09: quota holds per source, result is the best quota-legal " +
+      "subset of the i03 shortlist") {
+    val short = TextAnalysis.bm25(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_e6")).toMap
+    val rows = TextAnalysis.diversifiedSearch(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.DiversifiedK)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      assert(rs.length <= TextAnalysis.DiversifyPerSource,
+        s"source $s exceeds the quota")
+    }
+    rows.foreach { r =>
+      assert(short.contains(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} not in the i03 shortlist")
+      assert(short(r.getAs[Long]("doc_id")) == r.getAs[Long]("score_e6"))
+    }
+    val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score_e6"))
+    assert(scores.toSeq == scores.sorted.reverse.toSeq)
+  }
+
   test("x25: allocation conserves the budget cap, epochs never exceed " +
       "the cap, realized <= target per source") {
     val rows = Curation.epochAllocation(spark, dir).collect()

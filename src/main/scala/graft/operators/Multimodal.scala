@@ -342,4 +342,78 @@ object Multimodal {
     import s.implicits._
     audioFrames(mediaTable(s, dir)).toDF().orderBy("doc_id")
   }
+
+  /** Real container magic numbers, checked in fixed order by
+    * [[sniffFormat]]. The PUBLIC byte signatures (PNG/JPEG/GIF/RIFF)
+    * every ingestion router matches on. */
+  val MagicNumbers: Seq[(String, Array[Byte])] = Seq(
+    "png" -> Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+    "jpeg" -> Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+    "gif" -> "GIF89a".getBytes("US-ASCII"),
+    "riff" -> "RIFF".getBytes("US-ASCII"))
+
+  /** Byte-walking magic-number sniff — first matching signature wins,
+    * "unknown" otherwise. This is the REAL router logic (spec-tested
+    * on genuine headers); the gated corpus feeds it deterministically
+    * tagged payloads ([[taggedMedia]]). */
+  def sniffFormat(payload: Array[Byte]): String = {
+    MagicNumbers.collectFirst {
+      case (name, magic) if payload.length >= magic.length &&
+        magic.indices.forall(i => payload(i) == magic(i)) => name
+    }.getOrElse("unknown")
+  }
+
+  /** The corpus media table with a deterministic container tag:
+    * doc_id mod 7 selects a real magic prefix (png/jpeg/gif) or no
+    * prefix — the synthetic stand-in for a mixed-container ingest
+    * directory, same posture as m01's fake codec (the ROUTING logic
+    * is real; the payloads are the stand-in). Mod SEVEN, not a divisor
+    * of 20: the corpus assigns source = src(doc_id mod 20), so any
+    * tag modulus sharing a factor with 20 would freeze each source on
+    * one format (measured: the mod-4 rule produced exactly one format
+    * per source) — coprime 7 spreads all four routing classes across
+    * every source. */
+  val TagMod = 7L
+
+  def taggedMedia(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    val prefixes = MagicNumbers.take(3).map(_._2)
+    graft.operators.TextHash.fanOut(graft.engine.Tables.t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("body"))
+      .map { r =>
+        val id = r.getLong(0)
+        val body = r.getAs[Array[Byte]]("body")
+        val payload = (id % TagMod) match {
+          case m if m < 3 => prefixes(m.toInt) ++ body
+          case _ => body
+        }
+        MediaRow(id, payload, r.getString(1), payload.length.toLong)
+      } // media_type field carries the SOURCE here (routing dimension)
+  }
+
+  /** m06: format sniffing / modality routing — the FIRST stage of any
+    * multimodal ingest: walk each payload's leading bytes against the
+    * real container magic numbers ([[MagicNumbers]]) and report the
+    * routing card per (source, sniffed format): object count, total
+    * and max payload bytes. Production replaces [[taggedMedia]] with
+    * the real blob column and keeps [[sniffFormat]] and this
+    * aggregation verbatim; the downstream decode stages (m01 image,
+    * m02 video, m05 audio) are what the router fans out to.
+    *
+    * Scale shape: the sniff is per-row CPU inside mapPartitions —
+    * payload bytes never shuffle; what moves is the (source, format)
+    * pair and two longs, and the rollup is a partial-agg groupBy on a
+    * (sources × 5)-bounded key space. */
+  def formatRouting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    taggedMedia(s, dir)
+      .mapPartitions { rows =>
+        rows.map(r => (r.media_type, sniffFormat(r.payload), r.byte_len))
+      }
+      .toDF("source", "format", "byte_len")
+      .groupBy("source", "format")
+      .agg(count(lit(1)).as("n_docs"), sum(col("byte_len")).as("total_bytes"),
+        max(col("byte_len")).as("max_bytes"))
+      .orderBy("source", "format")
+  }
 }

@@ -158,6 +158,8 @@ object Extensions {
     "m04_ahash_neardup" -> (Multimodal.ahashPairs _),
     // audio-modality frame card: energy / silence / zero crossings
     "m05_audio_frames" -> (Multimodal.audioCards _),
+    // magic-number modality routing card per (source, format)
+    "m06_format_routing" -> (Multimodal.formatRouting _),
     "x01_sessionize" -> (Sessionize.sessionizeBatch _),
     "x02_funnel" -> (Funnel.viewClickPurchase _),
     // weekly cohort-retention matrix over the events stream
@@ -1585,6 +1587,26 @@ object Extensions {
         CAST(coalesce(zcr, 0) AS BIGINT) AS zcr
       FROM documents d LEFT JOIN fc USING (doc_id)
       LEFT JOIN zc USING (doc_id) ORDER BY d.doc_id""",
+    // the deterministic tag rule (doc_id mod TagMod → real magic
+    // prefix; 7 is coprime with the source assignment's mod 20)
+    // mirrored arithmetically; untagged payloads still sniff the
+    // ASCII-expressible signatures, exactly like the byte walk
+    "m06_format_routing" -> s"""
+      WITH p AS (SELECT doc_id, source,
+          CASE doc_id % ${Multimodal.TagMod}
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+            ELSE (CASE WHEN starts_with(text, 'GIF89a') THEN 'gif'
+                       WHEN starts_with(text, 'RIFF') THEN 'riff'
+                       ELSE 'unknown' END) END AS format,
+          strlen(text) + (CASE doc_id % ${Multimodal.TagMod}
+            WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 6 ELSE 0 END)
+            AS byte_len
+        FROM documents)
+      SELECT source, format,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        CAST(max(byte_len) AS BIGINT) AS max_bytes
+      FROM p GROUP BY 1, 2 ORDER BY source, format""",
     "m01_multimodal_features" -> """
       WITH s AS (SELECT doc_id, strlen(text) AS byte_len,
         list_reduce(list_prepend(0::BIGINT,

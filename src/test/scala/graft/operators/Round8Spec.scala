@@ -253,6 +253,29 @@ class Round8Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("pr_e9")).max > 1000000000L / n)
   }
 
+  test("m06: the sniffer recognizes genuine container headers and the " +
+      "routing card covers the corpus exactly once") {
+    // the router logic itself, on real magic bytes (not the tag rule)
+    val realPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a, 1, 2, 3)
+    assert(Multimodal.sniffFormat(realPng) == "png")
+    assert(Multimodal.sniffFormat(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) == "jpeg")
+    assert(Multimodal.sniffFormat("GIF89a-data".getBytes("US-ASCII")) == "gif")
+    assert(Multimodal.sniffFormat("RIFFxxxxWAVE".getBytes("US-ASCII")) == "riff")
+    assert(Multimodal.sniffFormat("plain text".getBytes("US-ASCII")) == "unknown")
+    assert(Multimodal.sniffFormat(Array.empty[Byte]) == "unknown")
+    val rows = Multimodal.formatRouting(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "routing cells must partition the corpus")
+    assert(rows.map(_.getAs[String]("format")).distinct.toSet
+      .subsetOf(Set("png", "jpeg", "gif", "riff", "unknown")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_bytes") <= r.getAs[Long]("total_bytes"))
+    }
+  }
+
   test("i09: quota holds per source, result is the best quota-legal " +
       "subset of the i03 shortlist") {
     val short = TextAnalysis.bm25(spark, dir).collect()

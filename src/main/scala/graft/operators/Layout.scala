@@ -118,6 +118,65 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** z04 probe grid: 16 mid-band time probes (tb = 64j + 32), one per
+    * 64-hour slab of the 1024-hour key space. */
+  val DepthProbes = 16L
+  val DepthProbeStride = 64L
+
+  /** z04: clustering-depth report — the OPTIMIZE-effectiveness metric
+    * of a Delta/Iceberg table: for a point query on the TIME key, how
+    * many simulated files' [tb_min, tb_max] ranges contain the probe?
+    * z02 prices one box query; THIS sweeps [[DepthProbes]] point
+    * probes across the whole key space and reports, per layout, the
+    * average and worst overlap depth plus how many probes hit a
+    * perfectly clustered (depth ≤ 1) slab. depth ≈ 1 everywhere means
+    * the layout is fully clustered on time (the `time` sort); depth ≈
+    * n_files means time is unclustered (the `value` sort); Z-order
+    * sits between — the measured cost of buying the second dimension.
+    * The number a table-maintenance scheduler compares against its
+    * re-OPTIMIZE threshold.
+    *
+    * Scale shape: file stats aggregate from the same one-pass
+    * simulated layout frame as z02 (per-file min/max, a partial-agg
+    * groupBy); the containment join is files × a STATIC
+    * [[DepthProbes]]-row probe grid (broadcast nested loop over ≤
+    * 4·[[PruneFiles]] file-stat rows — metadata scale, the file
+    * COUNT, never row scale). */
+  def clusteringDepth(s: SparkSession, dir: String): DataFrame = {
+    val mx = zorderKeys(s, dir).agg(max(col("event_id")).as("me"),
+      max(col("tb")).as("mt"), max(col("vb")).as("mv"),
+      max(col("zkey")).as("mz"))
+    val rows = zorderKeys(s, dir).crossJoin(broadcast(mx))
+      .select(col("tb"),
+        expr(s"event_id * $PruneFiles div (me + 1L)").as("f_natural"),
+        expr(s"tb * $PruneFiles div (mt + 1L)").as("f_time"),
+        expr(s"vb * $PruneFiles div (mv + 1L)").as("f_value"),
+        expr(s"zkey * $PruneFiles div (mz + 1L)").as("f_zorder"))
+      .persist() // four per-layout file aggregations share one pass
+    val probes = s.range(DepthProbes)
+      .select((col("id") * DepthProbeStride + DepthProbeStride / 2).as("p"))
+    def layer(name: String, f: String): DataFrame = {
+      val files = rows.groupBy(col(f).as("f"))
+        .agg(min(col("tb")).as("tb_min"), max(col("tb")).as("tb_max"))
+      val depth = broadcast(probes)
+        .join(files, col("tb_min") <= col("p") && col("p") <= col("tb_max"),
+          "left")
+        .groupBy("p")
+        .agg(count(col("f")).as("depth"))
+      depth.agg(count(lit(1)).as("n_probes"), sum(col("depth")).as("td"),
+          max(col("depth")).as("max_depth"),
+          sum((col("depth") <= 1L).cast("long")).as("n_clustered"))
+        .select(lit(name).as("layout"), col("n_probes"),
+          expr(s"(1000000L * td) div n_probes").as("avg_depth_e6"),
+          col("max_depth"), col("n_clustered"))
+    }
+    layer("natural", "f_natural")
+      .unionByName(layer("time", "f_time"))
+      .unionByName(layer("value", "f_value"))
+      .unionByName(layer("zorder", "f_zorder"))
+      .orderBy("layout")
+  }
+
   /** x20 compaction geometry: an ingest file is "small" below
     * [[SmallFileBytes]]; small files pack greedily (in file order)
     * into groups targeting [[CompactTargetBytes]]. */

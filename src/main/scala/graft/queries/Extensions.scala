@@ -198,6 +198,8 @@ object Extensions {
     "z01_zorder" -> (Layout.zorderKeys _),
     // min/max file-stats pruning under 4 layouts of the same rows
     "z02_pruning_report" -> (Layout.pruningReport _),
+    // point-probe overlap depth per layout (OPTIMIZE effectiveness)
+    "z04_clustering_depth" -> (Layout.clusteringDepth _),
     // partitioned-bloom membership skipping: FP rate at depth k = 1..4
     "z03_bloom_report" -> (Layout.bloomReport _),
   )
@@ -426,6 +428,32 @@ object Extensions {
                  FROM g f JOIN g r
                    ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
                  WHERE f.vec_id < f.neighbor_id)"""
+
+  /** CTE chain ending in `lay(layout, f, tb, vb)` — every event's
+    * simulated file assignment under the four z01/z02 layouts, shared
+    * by z02 (box-query pruning) and z04 (point-probe clustering
+    * depth) so the layout simulation cannot drift. Mirrors the frame
+    * built inside [[graft.operators.Layout.pruningReport]] /
+    * [[graft.operators.Layout.clusteringDepth]]. */
+  private lazy val layoutLayCtes = s"""h AS (SELECT event_id,
+              epoch_us(ts) // 3600000000 AS hr,
+              greatest(0, least(CAST(floor(coalesce(value, 0.0)) AS BIGINT), 1023)) AS vb
+            FROM events),
+      b AS (SELECT event_id,
+              (hr - (SELECT min(hr) FROM h)) % 1024 AS tb, vb FROM h),
+      z AS (SELECT event_id, tb, vb, ${Layout.zkeyExpr("tb", "vb")} AS zkey FROM b),
+      mx AS (SELECT max(event_id) AS me, max(tb) AS mt, max(vb) AS mv,
+               max(zkey) AS mz FROM z),
+      wf AS (SELECT tb, vb,
+               (event_id * ${Layout.PruneFiles}) // (me + 1) AS f_natural,
+               (tb * ${Layout.PruneFiles}) // (mt + 1) AS f_time,
+               (vb * ${Layout.PruneFiles}) // (mv + 1) AS f_value,
+               (zkey * ${Layout.PruneFiles}) // (mz + 1) AS f_zorder
+             FROM z, mx),
+      lay AS (SELECT 'natural' AS layout, f_natural AS f, tb, vb FROM wf
+              UNION ALL SELECT 'time', f_time, tb, vb FROM wf
+              UNION ALL SELECT 'value', f_value, tb, vb FROM wf
+              UNION ALL SELECT 'zorder', f_zorder, tb, vb FROM wf)"""
 
   /** CTE chain ending in `sc(doc_id, n_matched, score_e6)` — the
     * unranked BM25 scores over the standing query terms, shared by
@@ -2372,24 +2400,7 @@ object Extensions {
     // 64 equal-width key-range files per layout; a file is scanned
     // when its [min,max] box intersects the (time × value) query box
     "z02_pruning_report" -> s"""
-      WITH h AS (SELECT event_id, epoch_us(ts) // 3600000000 AS hr,
-              greatest(0, least(CAST(floor(coalesce(value, 0.0)) AS BIGINT), 1023)) AS vb
-            FROM events),
-      b AS (SELECT event_id,
-              (hr - (SELECT min(hr) FROM h)) % 1024 AS tb, vb FROM h),
-      z AS (SELECT event_id, tb, vb, ${Layout.zkeyExpr("tb", "vb")} AS zkey FROM b),
-      mx AS (SELECT max(event_id) AS me, max(tb) AS mt, max(vb) AS mv,
-               max(zkey) AS mz FROM z),
-      wf AS (SELECT tb, vb,
-               (event_id * ${Layout.PruneFiles}) // (me + 1) AS f_natural,
-               (tb * ${Layout.PruneFiles}) // (mt + 1) AS f_time,
-               (vb * ${Layout.PruneFiles}) // (mv + 1) AS f_value,
-               (zkey * ${Layout.PruneFiles}) // (mz + 1) AS f_zorder
-             FROM z, mx),
-      lay AS (SELECT 'natural' AS layout, f_natural AS f, tb, vb FROM wf
-              UNION ALL SELECT 'time', f_time, tb, vb FROM wf
-              UNION ALL SELECT 'value', f_value, tb, vb FROM wf
-              UNION ALL SELECT 'zorder', f_zorder, tb, vb FROM wf),
+      WITH $layoutLayCtes,
       fs AS (SELECT layout, f, min(tb) AS tb_min, max(tb) AS tb_max,
                min(vb) AS vb_min, max(vb) AS vb_max, count(*) AS n_rows,
                sum(CASE WHEN tb BETWEEN ${Layout.PruneTbLo} AND ${Layout.PruneTbHi}
@@ -2405,6 +2416,27 @@ object Extensions {
             THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
         CAST(sum(n_box) AS BIGINT) AS n_rows_box
       FROM fs GROUP BY layout ORDER BY layout""",
+    // 16 mid-band time probes against per-file [tb_min, tb_max];
+    // depth = containing files; clustered slab = depth <= 1
+    "z04_clustering_depth" -> s"""
+      WITH $layoutLayCtes,
+      fr AS (SELECT layout, f, min(tb) AS tb_min, max(tb) AS tb_max
+             FROM lay GROUP BY layout, f),
+      pr AS (SELECT (j * ${Layout.DepthProbeStride} +
+                ${Layout.DepthProbeStride / 2}) AS p
+             FROM generate_series(0, ${Layout.DepthProbes - 1}) t(j)),
+      dp AS (SELECT ls.layout, pr.p, count(fr.f) AS depth
+             FROM pr CROSS JOIN (SELECT DISTINCT layout FROM fr) ls
+             LEFT JOIN fr ON fr.layout = ls.layout
+               AND fr.tb_min <= pr.p AND pr.p <= fr.tb_max
+             GROUP BY ls.layout, pr.p)
+      SELECT layout,
+        CAST(count(*) AS BIGINT) AS n_probes,
+        CAST((1000000 * sum(depth)) // count(*) AS BIGINT) AS avg_depth_e6,
+        CAST(max(depth) AS BIGINT) AS max_depth,
+        CAST(sum(CASE WHEN depth <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clustered
+      FROM dp GROUP BY layout ORDER BY layout""",
     // α=0.5 temperature over the (skewed) language mix: integer weight
     // w=floor(√n·1000) per lang, rate_e6 = min(1e6,
     // (1e6·(N div 2)·w) div (Σw·n)); keep when the decorrelated P3

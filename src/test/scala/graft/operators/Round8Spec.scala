@@ -276,6 +276,29 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("z04: time layout is perfectly clustered, value layout is " +
+      "maximally unclustered, zorder sits between") {
+    val rows = Layout.clusteringDepth(spark, dir).collect()
+    assert(rows.length == 4)
+    val byLayout = rows.map(r =>
+      r.getAs[String]("layout") -> r.getAs[Long]("avg_depth_e6")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_probes") == Layout.DepthProbes)
+      assert(r.getAs[Long]("max_depth") <= Layout.PruneFiles)
+      assert(r.getAs[Long]("n_clustered") <= Layout.DepthProbes)
+    }
+    // a time sort tiles the time key, so no probe sees depth > 1 (at
+    // small SFs the event span undershoots the probe grid and some
+    // probes miss entirely — avg can drop BELOW 1e6, never above).
+    // Ordering: time <= zorder <= value — the value sort leaves time
+    // fully unclustered, z-order pays a bounded premium over the pure
+    // time sort for its second dimension. (natural is NOT compared:
+    // synthetic event_ids correlate with ts, making it time-like.)
+    assert(byLayout("time") <= 1000000L, s"time layout not tiled: $byLayout")
+    assert(byLayout("time") <= byLayout("zorder"), s"$byLayout")
+    assert(byLayout("zorder") < byLayout("value"), s"$byLayout")
+  }
+
   test("i09: quota holds per source, result is the best quota-legal " +
       "subset of the i03 shortlist") {
     val short = TextAnalysis.bm25(spark, dir).collect()

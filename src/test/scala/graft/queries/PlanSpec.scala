@@ -309,7 +309,8 @@ class PlanSpec extends AnyFunSuite {
       "s21_matryoshka_recall", // s01 ground truth + ≤10-row query side
       "x25_epoch_allocation", // 1-row corpus-totals scalar crossJoin
       "s22_pagerank", // 1-row corpus-size scalar per iteration
-      "i09_diversified_search" // i03's 1-row corpus-stats scalar
+      "i09_diversified_search", // i03's 1-row corpus-stats scalar
+      "z04_clustering_depth" // static 16-probe grid × file METADATA rows
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

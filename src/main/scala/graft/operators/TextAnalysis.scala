@@ -806,6 +806,66 @@ object TextAnalysis {
       .orderBy("q_term", "source", "lang")
   }
 
+  /** i10 probe typos: each standing query term with its middle
+    * character dropped — the deterministic stand-in for the query-log
+    * misspellings a fuzzy matcher serves. Derived (not hand-listed)
+    * from [[graft.operators.Similarity.HybridQueryTerms]] so the two
+    * term sets cannot drift; interpolated into the oracle. */
+  lazy val FuzzyProbes: Seq[String] =
+    Similarity.HybridQueryTerms.map { t =>
+      val m = t.length / 2
+      t.substring(0, m) + t.substring(m + 1)
+    }
+
+  val FuzzyTopK = 5
+
+  /** The 1-deletion neighborhood as a SQL expression over a string
+    * column — `{t} ∪ { t minus char j }`. ONE definition feeds the
+    * vocabulary and probe sides (and, textually mirrored, the DuckDB
+    * oracle), because SymSpell's correctness rests on both sides
+    * generating byte-identical keys. */
+  private def deletionKeysExpr(t: String): String =
+    s"""array_union(array($t), transform(sequence(1, length($t)),
+       j -> concat(substring($t, 1, j - 1),
+                   substring($t, j + 1, length($t)))))"""
+
+  /** i10: typo-tolerant term matching (SymSpell) — resolve misspelled
+    * query terms against the corpus vocabulary via the symmetric-
+    * deletion trick: term T matches probe Q at edit distance ≤ 1
+    * (insert/delete/substitute) iff their 1-deletion neighborhoods
+    * {T}∪D₁(T) and {Q}∪D₁(Q) intersect. The matcher every search box
+    * runs on zero-hit queries, and — in a curation pipeline — the
+    * "which vocabulary variants is this blocklist/keyword actually
+    * hitting" expansion. Candidates rank by document frequency (the
+    * "did you mean" prior), top [[FuzzyTopK]] per probe.
+    *
+    * Scale shape: the deletion index is VOCABULARY-bounded, not
+    * corpus-bounded — |vocab|·(len+1) short keys, the SymSpell
+    * memory/speed trade — and matching is one equi-join on those keys
+    * against the ≤|probes|·(len+1)-row broadcast probe side, never an
+    * all-pairs edit-distance scan. The df prior reuses the (term, df)
+    * aggregate every retrieval operator already computes. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val probesSql = FuzzyProbes.map(p => s"'$p'").mkString("(", ", ", ")")
+    val vocab = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val vkeys = vocab
+      .select(col("term"), col("df"),
+        explode(expr(deletionKeysExpr("term"))).as("k"))
+    val pkeys = s.sql(s"SELECT explode(array$probesSql) AS probe")
+      .select(col("probe"), explode(expr(deletionKeysExpr("probe"))).as("k"))
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("df").desc, col("term"))
+    vkeys.join(broadcast(pkeys), "k")
+      .select("probe", "term", "df").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= FuzzyTopK)
+      .orderBy("probe", "rank")
+  }
+
   /** i09 diversification quota: at most 2 results per source survive
     * into the final ranking — the search-engine "host crowding" rule
     * (Google's classic two-per-domain). Interpolated into the

@@ -74,6 +74,8 @@ object Extensions {
     "i08_facets" -> (TextAnalysis.facets _),
     // two-per-source diversified re-rank of the i03 shortlist
     "i09_diversified_search" -> (TextAnalysis.diversifiedSearch _),
+    // SymSpell ed<=1 typo matching via deletion-key equi-join
+    "i10_fuzzy_match" -> (TextAnalysis.fuzzyMatch _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -2255,6 +2257,29 @@ object Extensions {
               ORDER BY score_e3 DESC, neighbor_id) AS rnk FROM sc) z
       WHERE rnk <= ${TextAnalysis.MoreLikeThisK}
       ORDER BY probe_id, rnk""",
+    // symmetric-deletion (SymSpell) match: both sides' 1-deletion
+    // neighborhoods from the same textual rule; df prior ranks
+    "i10_fuzzy_match" -> s"""
+      WITH $tkCte,
+      vocab AS (SELECT term, count(*) AS df
+                FROM (SELECT doc_id, unnest(list_distinct(tk)) AS term
+                      FROM tk) u
+                WHERE length(term) > 0 GROUP BY term),
+      vk AS (SELECT term, df, unnest(list_distinct(list_prepend(term,
+               [substr(term, 1, j - 1) || substr(term, j + 1, length(term))
+                for j in generate_series(1, length(term))]))) AS k
+             FROM vocab),
+      pk AS (SELECT probe, unnest(list_distinct(list_prepend(probe,
+               [substr(probe, 1, j - 1) || substr(probe, j + 1, length(probe))
+                for j in generate_series(1, length(probe))]))) AS k
+             FROM (SELECT unnest([${TextAnalysis.FuzzyProbes
+                 .map(p => s"'$p'").mkString(", ")}]) AS probe)),
+      m AS (SELECT DISTINCT probe, term, df FROM vk JOIN pk USING (k))
+      SELECT probe, term, CAST(df AS BIGINT) AS df,
+        CAST(row_number() OVER (PARTITION BY probe ORDER BY df DESC, term)
+          AS INTEGER) AS rank
+      FROM m QUALIFY rank <= ${TextAnalysis.FuzzyTopK}
+      ORDER BY probe, rank""",
     // facet cells over query-term hits; share denominator is the
     // term-level doc total, exact integer div
     "i08_facets" -> s"""

@@ -276,6 +276,38 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("i10: every match is within the symmetric-deletion criterion of " +
+      "its probe, the original query terms are all recovered, ranks follow df") {
+    // independent recompute of the SymSpell criterion: {a} ∪ D1(a)
+    // intersects {b} ∪ D1(b) — edit distance <= 1, plus the
+    // one-char-move pairs a shared deletion admits by construction
+    def delSet(t: String): Set[String] =
+      Set(t) ++ t.indices.map(j => t.substring(0, j) + t.substring(j + 1))
+    def ed1(a: String, b: String): Boolean =
+      (delSet(a) & delSet(b)).nonEmpty
+    val rows = TextAnalysis.fuzzyMatch(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(ed1(r.getAs[String]("probe"), r.getAs[String]("term")),
+        s"${r.getAs[String]("probe")} -> ${r.getAs[String]("term")} is not ed<=1")
+      assert(r.getAs[Long]("df") >= 1)
+    }
+    // dropping the middle char of a corpus term must still find it
+    val found = rows.map(r =>
+      r.getAs[String]("probe") -> r.getAs[String]("term"))
+    Similarity.HybridQueryTerms.zip(TextAnalysis.FuzzyProbes).foreach {
+      case (orig, probe) =>
+        assert(found.contains(probe -> orig),
+          s"probe $probe fails to recover $orig")
+    }
+    rows.groupBy(_.getAs[String]("probe")).foreach { case (p, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      val dfs = byRank.map(_.getAs[Long]("df"))
+      assert(dfs.toSeq == dfs.sorted.reverse.toSeq, s"probe $p df order")
+    }
+  }
+
   test("z04: time layout is perfectly clustered, value layout is " +
       "maximally unclustered, zorder sits between") {
     val rows = Layout.clusteringDepth(spark, dir).collect()

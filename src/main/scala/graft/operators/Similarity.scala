@@ -872,6 +872,43 @@ object Similarity {
       .orderBy("dims", "query_id")
   }
 
+  /** s23 relatedness bar: a vector whose k-th neighbor sits below
+    * cs 0.4 — d09's "related" threshold, reused so the two operators
+    * agree on what counts as a semantic tie — is an outlier. */
+  val OutlierCsE6 = 400000L
+
+  /** s23: kNN-distance outlier report — the embedding-space anomaly
+    * signal of curation pipelines (ESA/SemDeDup-style "prune points
+    * with no close neighbors"): per corpus vector, its neighbor-list
+    * size, best and k-th neighbor cosine (e6), and the outlier flag —
+    * isolated vectors (no LSH candidate at all) or vectors whose
+    * k-th neighbor falls below [[OutlierCsE6]]. Bottom-of-graph
+    * points are mislabeled/garbled/off-distribution documents; the
+    * flag is the row a quality reviewer samples.
+    *
+    * Scale shape: one aggregation over the s09 graph (n·k rows) plus
+    * a left join from the n-row vector roster — nothing beyond the
+    * kNN build itself, whose banded candidate generation is the
+    * measured-linear path. kth cosine = min(cs) of the ranked list
+    * (ranks are cs-descending), so no second window is needed. */
+  def knnOutliers(s: SparkSession, dir: String): DataFrame = {
+    val agg = knnGraph(s, dir)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).cast("long").as("n_neighbors"),
+        max(col("cs_e6")).as("best_cs_e6"),
+        min(col("cs_e6")).as("kth_cs_e6"))
+    emb(s, dir).select("vec_id")
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("best_cs_e6"), lit(-1L)).as("best_cs_e6"),
+        coalesce(col("kth_cs_e6"), lit(-1L)).as("kth_cs_e6"))
+      .withColumn("is_outlier",
+        (col("n_neighbors") < 3 || col("kth_cs_e6") < OutlierCsE6)
+          .cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** s22 fixed iteration count. Full PageRank iterates to an epsilon;
     * the unrolled-3 form is the gated, oracle-exact demonstration —
     * each extra iteration is one more copy of the same two-shuffle

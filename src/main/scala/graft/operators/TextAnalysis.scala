@@ -806,6 +806,47 @@ object TextAnalysis {
       .orderBy("q_term", "source", "lang")
   }
 
+  /** t30: out-of-vocabulary rate across the t07 hash split — the
+    * tokenizer-coverage number a training run checks before freezing
+    * a vocab: build the vocabulary from the TRAIN split only (t07's
+    * exact content-hash rule, reused so the splits cannot drift) and
+    * measure, per (split, source) over val/test, the token mass,
+    * OOV token count, distinct OOV types, and the exact e6 OOV rate.
+    * A source whose val OOV rate is high relative to the rest is
+    * distribution-shifted against the train mix — the signal that
+    * triggers vocab growth (t24/t25's sizing pair) or re-mixing.
+    *
+    * Scale shape: the train vocabulary is a distinct-terms aggregate
+    * (vocab-bounded); the membership probe is one equi-join on the
+    * term key over the eval splits' token stream; the rollup is a
+    * partial-agg groupBy on (split, source). No corpus² anything. */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"), lower(col("text")).as("t"),
+        tokens(col("text")).as("tk"))
+      .withColumn("h_mod",
+        expr(graft.operators.TextHash.rollingHashExpr(
+          "t", graft.operators.TextHash.P)) % 100)
+      .withColumn("split", graft.operators.TextHash.splitOf(col("h_mod")))
+      .persist() // train-vocab build + eval-token probe share the pass
+    val trainVocab = d.filter(col("split") === "train")
+      .select(explode(col("tk")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .withColumn("in_vocab", lit(1))
+    d.filter(col("split") =!= "train")
+      .select(col("split"), col("source"), explode(col("tk")).as("term"))
+      .filter(length(col("term")) > 0)
+      .join(trainVocab, Seq("term"), "left")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("term")))
+          .as("n_oov_types"))
+      .withColumn("oov_rate_e6", expr("(1000000L * n_oov) div n_tokens"))
+      .orderBy("split", "source")
+  }
+
   /** i10 probe typos: each standing query term with its middle
     * character dropped — the deterministic stand-in for the query-log
     * misspellings a fuzzy matcher serves. Derived (not hand-listed)

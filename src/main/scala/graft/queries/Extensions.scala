@@ -76,6 +76,8 @@ object Extensions {
     "i09_diversified_search" -> (TextAnalysis.diversifiedSearch _),
     // SymSpell ed<=1 typo matching via deletion-key equi-join
     "i10_fuzzy_match" -> (TextAnalysis.fuzzyMatch _),
+    // train-vocab OOV rate per (split, source) over val/test
+    "t30_oov_rate" -> (TextAnalysis.oovRate _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -115,6 +117,8 @@ object Extensions {
     // 3-iteration e9 integer PageRank over the s09 kNN graph
     "s22_pagerank" -> ((s: SparkSession, d: String) =>
       Similarity.pageRank(s, d)),
+    // kNN-distance outliers: isolated or kth-neighbor cs < 0.4
+    "s23_knn_outliers" -> (Similarity.knnOutliers _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -1902,6 +1906,23 @@ object Extensions {
                 .mkString("[", ", ", "]")}) AS dims) m) g
       LEFT JOIN hits USING (dims, query_id)
       ORDER BY dims, query_id""",
+    // one aggregation over the s09 graph: kth cosine = min over the
+    // ranked list; isolated vectors get the -1 sentinel
+    "s23_knn_outliers" -> s"""
+      WITH $mutualKnnCtes,
+      agg AS (SELECT vec_id, count(*) AS n_neighbors,
+                max(CAST(floor(cs * 1000000) AS BIGINT)) AS best_cs_e6,
+                min(CAST(floor(cs * 1000000) AS BIGINT)) AS kth_cs_e6
+              FROM g GROUP BY vec_id)
+      SELECT e.vec_id,
+        CAST(coalesce(n_neighbors, 0) AS BIGINT) AS n_neighbors,
+        CAST(coalesce(best_cs_e6, -1) AS BIGINT) AS best_cs_e6,
+        CAST(coalesce(kth_cs_e6, -1) AS BIGINT) AS kth_cs_e6,
+        CAST(CASE WHEN coalesce(n_neighbors, 0) < 3
+              OR coalesce(kth_cs_e6, -1) < ${Similarity.OutlierCsE6}
+            THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+      FROM embeddings e LEFT JOIN agg USING (vec_id)
+      ORDER BY e.vec_id""",
     // unrolled 3-step integer PageRank over the s09 graph `g`;
     // teleport 0.15e9 div n, damp 85//100, every division floored at
     // the same point as the Spark side; dangling mass dropped
@@ -2257,6 +2278,34 @@ object Extensions {
               ORDER BY score_e3 DESC, neighbor_id) AS rnk FROM sc) z
       WHERE rnk <= ${TextAnalysis.MoreLikeThisK}
       ORDER BY probe_id, rnk""",
+    // t07's exact split rule builds the train vocab; membership is
+    // one term-key join over the eval token stream
+    "t30_oov_rate" -> s"""
+      WITH f AS (SELECT doc_id, source, lower(text) AS t,
+              string_split_regex(lower(text), '\\s+') AS tk
+            FROM documents),
+      g AS (SELECT doc_id, source, tk,
+              CASE WHEN (${rh("t", 1000000007L)} % 100) < 80 THEN 'train'
+                   WHEN (${rh("t", 1000000007L)} % 100) < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM f),
+      tv AS (SELECT DISTINCT term FROM (
+               SELECT unnest(tk) AS term FROM g WHERE split = 'train') u
+             WHERE length(term) > 0),
+      ev AS (SELECT split, source, term,
+               (term IN (SELECT term FROM tv)) AS in_vocab
+             FROM (SELECT split, source, unnest(tk) AS term FROM g
+                   WHERE split <> 'train') u
+             WHERE length(term) > 0)
+      SELECT split, source,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN term END) AS BIGINT)
+          AS n_oov_types,
+        CAST((1000000 * sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END))
+          // count(*) AS BIGINT) AS oov_rate_e6
+      FROM ev GROUP BY 1, 2 ORDER BY split, source""",
     // symmetric-deletion (SymSpell) match: both sides' 1-deletion
     // neighborhoods from the same textual rule; df prior ranks
     "i10_fuzzy_match" -> s"""

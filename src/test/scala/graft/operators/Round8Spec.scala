@@ -276,6 +276,43 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("s23: outlier card covers every vector, flags agree with the " +
+      "documented rule, kth never beats best") {
+    val rows = Similarity.knnOutliers(spark, dir).collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length.toLong == nVecs, "one card row per corpus vector")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_neighbors")
+      val best = r.getAs[Long]("best_cs_e6")
+      val kth = r.getAs[Long]("kth_cs_e6")
+      assert(n >= 0 && n <= 3)
+      assert(kth <= best)
+      if (n == 0) assert(best == -1L && kth == -1L)
+      val expected = n < 3 || kth < Similarity.OutlierCsE6
+      assert(r.getAs[Int]("is_outlier") == (if (expected) 1 else 0))
+    }
+  }
+
+  test("t30: eval splits only, every source present, OOV counts bounded " +
+      "by token counts and rates exact") {
+    val rows = TextAnalysis.oovRate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("split")).distinct.toSet
+      .subsetOf(Set("val", "test")))
+    rows.foreach { r =>
+      val toks = r.getAs[Long]("n_tokens")
+      val oov = r.getAs[Long]("n_oov")
+      assert(toks >= 1 && oov >= 0 && oov <= toks)
+      assert(r.getAs[Long]("n_oov_types") <= oov)
+      assert(r.getAs[Long]("oov_rate_e6") == 1000000L * oov / toks)
+    }
+    // the synthetic corpus shares one template vocabulary: with an
+    // 80% train split the eval OOV mass must be a small minority
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val oovSum = rows.map(_.getAs[Long]("n_oov")).sum
+    assert(oovSum * 5 < total, s"OOV mass $oovSum/$total implausibly high")
+  }
+
   test("i10: every match is within the symmetric-deletion criterion of " +
       "its probe, the original query terms are all recovered, ranks follow df") {
     // independent recompute of the SymSpell criterion: {a} ∪ D1(a)

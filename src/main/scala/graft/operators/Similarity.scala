@@ -40,6 +40,12 @@ object Similarity {
   private def cosExpr(a: String, b: String): String =
     s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
 
+  /** Public corpus-with-norm frame + dot kernel for cross-module
+    * composition (i11 scores a BM25 shortlist in embedding space). */
+  def vecsWithNorm(s: SparkSession, dir: String): DataFrame =
+    withNorm(emb(s, dir))
+  def dotSql(a: String, b: String): String = dotExpr(a, b)
+
   /** (vec_id, nrm) for every corpus vector — the quality signal
     * [[graft.operators.DupCluster.keepBestEmbedding]] ranks cluster
     * members by. */

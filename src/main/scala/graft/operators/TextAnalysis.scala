@@ -907,6 +907,45 @@ object TextAnalysis {
       .orderBy("probe", "rank")
   }
 
+  /** i11 result size: the mined hard negatives per query. */
+  val HardNegK = 10
+
+  /** i11: hard-negative mining — the contrastive-training data
+    * primitive: documents the LEXICAL retriever ranks highly (i03's
+    * BM25 shortlist) but the EMBEDDING space places far from the
+    * standing query vector (s08's vec 0 identity, doc_id = vec_id)
+    * are exactly the "hard negatives" an embedding model trains
+    * against — lexically confusable, semantically wrong. Ranked by
+    * ascending cosine (most-negative first), top [[HardNegK]], each
+    * row carrying both signals (BM25 score + cosine e6) so the
+    * training-pair builder can threshold either.
+    *
+    * Scale shape: everything past the i03 shortlist is ≤ 100 rows —
+    * the shortlist broadcasts into an equi-join against the corpus
+    * embeddings (doc_id = vec_id hash join, not a scan of all
+    * vectors), the query vector is a 1-row broadcast, and the rank
+    * window partitions ≤ 100 rows. Docs without a stored vector
+    * cannot be scored and drop out (inner join) — documented: a
+    * production run mines negatives from the embedded subset by
+    * construction. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val short = bm25(s, dir).select("doc_id", "n_matched", "score_e6")
+    val e = Similarity.vecsWithNorm(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.orderBy(col("cs_e6").asc, col("doc_id"))
+    e.join(broadcast(short), col("vec_id") === col("doc_id"))
+      .filter(col("vec_id") =!= 0) // the query doc is never its own negative
+      .crossJoin(broadcast(q)) // 1-row standing query vector
+      .select(col("doc_id"), col("n_matched"), col("score_e6"),
+        floor(expr(Similarity.dotSql("qv", "embedding")) /
+          (col("qnrm") * col("nrm")) * 1000000).cast("long").as("cs_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .select("rank", "doc_id", "n_matched", "score_e6", "cs_e6")
+      .orderBy("rank")
+  }
+
   /** i09 diversification quota: at most 2 results per source survive
     * into the final ranking — the search-engine "host crowding" rule
     * (Google's classic two-per-domain). Interpolated into the

@@ -78,6 +78,8 @@ object Extensions {
     "i10_fuzzy_match" -> (TextAnalysis.fuzzyMatch _),
     // train-vocab OOV rate per (split, source) over val/test
     "t30_oov_rate" -> (TextAnalysis.oovRate _),
+    // lexically-strong, semantically-distant docs (contrastive mining)
+    "i11_hard_negatives" -> (TextAnalysis.hardNegatives _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -2306,6 +2308,25 @@ object Extensions {
         CAST((1000000 * sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END))
           // count(*) AS BIGINT) AS oov_rate_e6
       FROM ev GROUP BY 1, 2 ORDER BY split, source""",
+    // BM25 shortlist scored against the standing query vector
+    // (doc_id = vec_id identity, s08's convention); ascending cosine
+    "i11_hard_negatives" -> s"""
+      WITH $bm25Ctes,
+      short AS (SELECT doc_id, n_matched, score_e6,
+                  row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS r
+                FROM sc QUALIFY r <= 100),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (SELECT s.doc_id, s.n_matched, s.score_e6,
+                   CAST(floor(${cos("qv", "e.embedding")} * 1000000)
+                     AS BIGINT) AS cs_e6
+                 FROM short s JOIN embeddings e ON e.vec_id = s.doc_id
+                 CROSS JOIN q
+                 WHERE e.vec_id <> 0)
+      SELECT CAST(row_number() OVER (ORDER BY cs_e6 ASC, doc_id)
+          AS INTEGER) AS rank,
+        doc_id, n_matched, score_e6, cs_e6
+      FROM scored QUALIFY rank <= ${TextAnalysis.HardNegK}
+      ORDER BY rank""",
     // symmetric-deletion (SymSpell) match: both sides' 1-deletion
     // neighborhoods from the same textual rule; df prior ranks
     "i10_fuzzy_match" -> s"""

@@ -276,6 +276,23 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("i11: negatives come from the BM25 shortlist, ranked by ascending " +
+      "cosine, and are semantically worse than the shortlist's best") {
+    val shortIds = TextAnalysis.bm25(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val rows = TextAnalysis.hardNegatives(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.HardNegK)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    rows.foreach { r =>
+      assert(shortIds.contains(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("doc_id") != 0L)
+      assert(r.getAs[Long]("cs_e6") >= -1000000L &&
+        r.getAs[Long]("cs_e6") <= 1000000L)
+    }
+    val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cs_e6"))
+    assert(cs.toSeq == cs.sorted.toSeq, "not ascending in cosine")
+  }
+
   test("s23: outlier card covers every vector, flags agree with the " +
       "documented rule, kth never beats best") {
     val rows = Similarity.knnOutliers(spark, dir).collect()

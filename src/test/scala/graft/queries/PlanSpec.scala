@@ -310,7 +310,8 @@ class PlanSpec extends AnyFunSuite {
       "x25_epoch_allocation", // 1-row corpus-totals scalar crossJoin
       "s22_pagerank", // 1-row corpus-size scalar per iteration
       "i09_diversified_search", // i03's 1-row corpus-stats scalar
-      "z04_clustering_depth" // static 16-probe grid × file METADATA rows
+      "z04_clustering_depth", // static 16-probe grid × file METADATA rows
+      "i11_hard_negatives" // 1-row query vector + i03's stats scalar
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

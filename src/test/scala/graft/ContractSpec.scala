@@ -69,8 +69,13 @@ class ContractSpec extends AnyFunSuite {
     // a new query forces the doc refresh in the same commit
     val n = SparkEntry.queries.size
     val readme = scala.io.Source.fromFile("README.md", "UTF-8")
-    val text = try readme.mkString finally readme.close()
-    val stale = "\\b1[0-9]{2} quer".r.findAllIn(text).toSeq
+    // whitespace-normalize BEFORE matching: the round-8 README carried
+    // "…163\nqueries" across a hard wrap and the raw-text regex sailed
+    // past it — the guard must see prose the way a reader does, one
+    // space between words regardless of line breaks
+    val text = (try readme.mkString finally readme.close())
+      .replaceAll("\\s+", " ")
+    val stale = "\\b[1-9][0-9]{2,3} quer".r.findAllIn(text).toSeq
       .filterNot(_.startsWith(s"$n quer"))
     assert(text.contains(s"$n queries"),
       s"README never states the current census of $n queries")

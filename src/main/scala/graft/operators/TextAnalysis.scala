@@ -713,43 +713,73 @@ object TextAnalysis {
     * range with both engines flooring at the same point, so scores
     * hash-compare exactly.
     *
-    * Scale shape: the probe roster (~n/211 docs) aggregates to a
-    * broadcast term list; corpus tokens stream through ONE narrow
-    * explode and only tokens matching a probe term survive the
-    * broadcast semi-join BEFORE the (doc, term) tf groupBy — shuffle
-    * volume is matched postings, not the token stream. The
-    * max_query_terms window prunes each probe's query to its 8
-    * rarest terms BEFORE the scoring join (the window runs over
-    * probe-side rows only — |probes|·|doc terms|, never postings),
-    * and the per-probe top-k is a window over candidate rows bounded
-    * by the selected terms' postings. At 100 TB this is the i01
-    * inverted-index probe pattern: per-term posting joins, never a
-    * corpus×corpus product. */
-  def moreLikeThis(s: SparkSession, dir: String): DataFrame = {
-    val k = MoreLikeThisK
-    val postings = docs(s, dir)
+    * Scale shape: document frequency comes from the corpus-level
+    * (term, df) aggregate — i01's inverted-index build, one
+    * partial-agg'd shuffle whose OUTPUT is Heaps-bounded vocabulary —
+    * so each probe's query can be cut to its 8 rarest terms BEFORE
+    * anything is broadcast. (df restricted to probe terms equals
+    * corpus df for those terms — the restriction is on TERMS, not
+    * documents — so the oracle's restricted-postings df is the same
+    * number and the hash gate is unchanged.) Only then does the
+    * candidate side materialize: corpus tokens stream through ONE
+    * narrow explode and only tokens matching a SELECTED term survive
+    * the broadcast semi-join before the (doc, term) tf groupBy — the
+    * broadcast carries ≤ |probes|·8 terms (the round-8 version
+    * broadcast every distinct term any probe contained, a
+    * corpus-proportional set that made i07 the census's most
+    * expensive sf1 query), and scoring-side shuffle volume is matched
+    * postings, not the token stream. At 100 TB this is the i01
+    * inverted-index probe pattern: the df aggregate is the index you
+    * already maintain, per-term posting joins, never a corpus×corpus
+    * product. */
+  private def mltPostings(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
-    val nDocs = docs(s, dir).agg(count(lit(1)).as("nn"))
-    // probe-side distinct terms (tf kept for the scoring join)
+
+  /** i07's probe-side selection AFTER the rarest-8 cut: per (probe,
+    * term) rows with tf_p, corpus df, and the rank that survived the
+    * [[MoreLikeThisMaxQueryTerms]] window — at most |probes|·8 rows,
+    * whose distinct terms are the ONLY set i07 ever broadcasts.
+    * Package-private so the plan spec can pin the cap executably. */
+  private[graft] def moreLikeThisSelection(
+      s: SparkSession, dir: String): DataFrame = {
+    val postings = mltPostings(s, dir)
+    // corpus-level (term, df): distinct (doc, term) then count per
+    // term — i01's aggregate, vocabulary-sized output
+    val dfreq = postings.distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // probe-side per-(probe, term) tf (tf kept for the scoring join)
     val probeTf = postings.filter(col("doc_id") % MoreLikeThisProbeMod === 0)
       .groupBy(col("doc_id").as("probe_id"), col("term"))
       .agg(count(lit(1)).as("tf_p"))
-    // corpus postings restricted to probe terms, then per-(doc, term) tf
-    val candTf = postings
-      .join(broadcast(probeTf.select("term").distinct()), Seq("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf_c"))
-      .persist() // feeds the exact df count AND the scoring join
-    val dfreq = candTf.groupBy("term").agg(count(lit(1)).as("df"))
     val wTerm = Window.partitionBy(col("probe_id"))
       .orderBy(col("df"), col("term"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score_e3").desc, col("neighbor_id"))
+    // prune FIRST: term-keyed equi-join (probe rows meet one df row
+    // each — both sides are aggregates, AQE picks the strategy), then
+    // the max_query_terms window over probe-side rows only
     probeTf
-      .join(broadcast(dfreq), Seq("term"))
+      .join(dfreq, Seq("term"))
       .withColumn("trk", row_number().over(wTerm))
       .filter(col("trk") <= MoreLikeThisMaxQueryTerms)
+  }
+
+  def moreLikeThis(s: SparkSession, dir: String): DataFrame = {
+    val k = MoreLikeThisK
+    val postings = mltPostings(s, dir)
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("nn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_e3").desc, col("neighbor_id"))
+    val sel = moreLikeThisSelection(s, dir)
+      .persist() // feeds the term-roster broadcast AND the scoring join
+    // candidate postings restricted to the PRUNED term roster
+    // (≤ |probes|·8 terms — the broadcast is now query-budget-bounded,
+    // not corpus-proportional), then per-(doc, term) tf
+    val candTf = postings
+      .join(broadcast(sel.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf_c"))
+    sel
       .crossJoin(broadcast(nDocs)) // 1-row corpus size (allowlisted NLJ)
       .withColumn("idf_e6",
         expr("""cast((cast(2 as decimal(38,0)) * (nn - df) + 1) * 1000000

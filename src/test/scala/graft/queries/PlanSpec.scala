@@ -256,6 +256,33 @@ class PlanSpec extends AnyFunSuite {
         s"(win=${winNum.get}, aggs=$aggNums):\n$p")
   }
 
+  test("i07 broadcasts only the pruned probe-term roster") {
+    // round-8 regression target: the candidate semi-join broadcast the
+    // UN-pruned probe-term set — corpus-proportional (Heaps-bounded
+    // but uncapped) and the sf1 census's most expensive query. The
+    // fix derives df from the corpus-level (term, df) aggregate
+    // (i01's shape) and cuts each probe to its rarest
+    // MoreLikeThisMaxQueryTerms terms BEFORE anything is broadcast.
+    // Pin both halves: the roster semi-join stays an explicit
+    // broadcast, and the roster is executably query-budget-bounded.
+    val ta = graft.operators.TextAnalysis
+    val p = plan(ta.moreLikeThis(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"pruned-roster semi-join lost its broadcast:\n$p")
+    import org.apache.spark.sql.functions.{count, countDistinct, lit}
+    val r = ta.moreLikeThisSelection(spark, dir)
+      .agg(countDistinct("probe_id").as("probes"),
+        countDistinct("term").as("roster"),
+        count(lit(1)).as("rows")).collect()(0)
+    val (probes, roster, rows) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(probes > 0, "probe roster is empty — the pin checks nothing")
+    assert(roster <= probes * ta.MoreLikeThisMaxQueryTerms,
+      s"broadcast roster $roster outgrew |probes|·max_query_terms " +
+        s"(${probes * ta.MoreLikeThisMaxQueryTerms})")
+    assert(rows <= probes * ta.MoreLikeThisMaxQueryTerms,
+      s"selection carries $rows rows past the per-probe term budget")
+  }
+
   test("s08 shortlists are distributed TakeOrdered, not global sorts") {
     // the hybrid fusion's scale contract: each retrieval side reduces
     // the corpus via per-partition top-N (TakeOrderedAndProject, P·N

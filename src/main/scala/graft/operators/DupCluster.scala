@@ -359,7 +359,7 @@ object DupCluster {
     }
     val cl = clustersOf(labels, "vec_id")
     val lab = cl.select(col("vec_id"), col("cluster_id"))
-    val g = Similarity.knnGraph(s, dir)
+    val g = Similarity.knnGraphMemo(s, dir)
       .select(col("vec_id"), col("neighbor_id"))
     val e = g.join(lab, "vec_id") // source must be labeled
       .join(lab.select(col("vec_id").as("neighbor_id"),

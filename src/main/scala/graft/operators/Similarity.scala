@@ -246,8 +246,11 @@ object Similarity {
         floor(col("cs") * 1000000).cast("long").as("cs_e6"))
       .orderBy("vec_id", "rank")
       .localCheckpoint() // eager: materializes the n·k graph NOW
-    scored.unpersist(false)
-    handles.foreach(_.unpersist(false))
+    // blocking: the spec that pins "the build leaves only the n·k
+    // checkpoint resident" must not race an async block drop, and the
+    // frames being freed were just materialized (cheap to remove)
+    scored.unpersist(true)
+    handles.foreach(_.unpersist(true))
     lastKnnGraph = Some((s, dir, k, g))
     g
   }

@@ -122,6 +122,14 @@ object Similarity {
   /** Target expected bucket width for [[lshBandBits]]. */
   val LshTargetBucket = 64L
 
+  /** Shared top-k for the recall-eval family (s14/s18/s20/s21) — the
+    * single operating-point knob. The DuckDB oracles interpolate BOTH
+    * the rank cutoff and the exact recall multiplier (1e6 div k) from
+    * this constant, so changing it cannot desynchronize engine and
+    * oracle (the ADVICE r8 finding: the oracles hardcoded 200000
+    * while the Spark side computed 1000000/k from the parameter). */
+  val RecallK = 5
+
   /** Dense-band-bucket cap for d08 — same production rule (and same
     * oracle QUALIFY mirror) as d04's SimHash cap: a bucket holding
     * more vectors than this is a degenerate mass-duplication cell
@@ -464,7 +472,7 @@ object Similarity {
     * Ground truth is the brute-force pass — at production scale it
     * runs on a sampled query set, which is exactly what the vec_id<10
     * query side is. recall_e6 is exact (hits · 1e6/k with k | 1e6). */
-  def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annRecall(s: SparkSession, dir: String, k: Int = RecallK): DataFrame = {
     require(1000000 % k == 0, s"recall_e6 exactness needs k | 1e6, got $k")
     val exact = annTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
       .persist() // ground truth feeds both overlap joins + the query list
@@ -590,7 +598,7 @@ object Similarity {
     * codebook, ADC quantization error (s16's report) dominates the
     * ranking, which is precisely the decision this eval exists to
     * surface: train the codebook (s04's M-step) or raise nprobe. */
-  def ivfPqRecallSweep(s: SparkSession, dir: String, k: Int = 5,
+  def ivfPqRecallSweep(s: SparkSession, dir: String, k: Int = RecallK,
       nprobes: Seq[Int] = RecallSweepNprobes): DataFrame = {
     require(1000000 % k == 0, s"recall_e6 exactness needs k | 1e6, got $k")
     val e = emb(s, dir)
@@ -816,7 +824,7 @@ object Similarity {
     * per-query top-k window (TakeOrdered shape, queries broadcast).
     * At 100 TB the decoded corpus is never materialized — the decode
     * expression fuses into the scoring projection. */
-  def sq8Recall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def sq8Recall(s: SparkSession, dir: String, k: Int = RecallK): DataFrame = {
     require(1000000 % k == 0, s"recall_e6 exactness needs k | 1e6, got $k")
     val e = emb(s, dir)
     // per-dim corpus min/max, gathered into two 64-slot arrays
@@ -893,7 +901,7 @@ object Similarity {
     * operating points share the s01 ground-truth pass (persisted).
     * At 100 TB the m-dim prefix frame is the thing a deployment would
     * materialize as its serving index — 4m bytes/vector. */
-  def matryoshkaRecall(s: SparkSession, dir: String, k: Int = 5,
+  def matryoshkaRecall(s: SparkSession, dir: String, k: Int = RecallK,
       dims: Seq[Int] = MatryoshkaDims): DataFrame = {
     require(1000000 % k == 0, s"recall_e6 exactness needs k | 1e6, got $k")
     val e = emb(s, dir)

@@ -971,7 +971,7 @@ object Extensions {
         CAST(floor(sum(v_e6) / count(*)) AS BIGINT) AS mean_e6
       FROM ex GROUP BY bucket, dim ORDER BY bucket, dim""",
     // recall@5 vs exact: the s01 (k=5), s02, s03 chains re-run with
-    // renamed CTEs, overlap counted per query; recall_e6 = hits·200000
+    // renamed CTEs, overlap counted per query; recall_e6 = hits·(1e6/RecallK)
     "s14_ann_recall" -> s"""
       WITH ex AS (SELECT vec_id AS query_id, embedding AS qv
                   FROM embeddings WHERE vec_id < 10),
@@ -981,7 +981,7 @@ object Extensions {
       e5 AS (SELECT query_id, neighbor_id
              FROM (SELECT query_id, neighbor_id, row_number() OVER
                      (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
-                   FROM esc) t WHERE rnk <= 5),
+                   FROM esc) t WHERE rnk <= ${Similarity.RecallK}),
       lsg AS (SELECT vec_id, embedding,
         CAST(list_sum([CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
           [(embedding[d]::DOUBLE) * (((1103515245::BIGINT * (j*64 + d) + 12345) % 2147483648)
@@ -1000,7 +1000,7 @@ object Extensions {
       l5 AS (SELECT query_id, neighbor_id
              FROM (SELECT query_id, neighbor_id, row_number() OVER
                      (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
-                   FROM lsc) t WHERE rnk <= 5),
+                   FROM lsc) t WHERE rnk <= ${Similarity.RecallK}),
       icn AS (SELECT k, [((1103515245::BIGINT * (k*64 + d) + 54321) % 2147483648)
             / 2147483648.0 - 0.5 for d in generate_series(1, 64)] AS cv
           FROM generate_series(0, 15) t(k)),
@@ -1022,7 +1022,7 @@ object Extensions {
       i5 AS (SELECT query_id, neighbor_id
              FROM (SELECT query_id, neighbor_id, row_number() OVER
                      (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
-                   FROM isc) t WHERE rnk <= 5),
+                   FROM isc) t WHERE rnk <= ${Similarity.RecallK}),
       lh AS (SELECT query_id, count(*) AS h FROM e5
              JOIN l5 USING (query_id, neighbor_id) GROUP BY 1),
       ih AS (SELECT query_id, count(*) AS h FROM e5
@@ -1031,8 +1031,8 @@ object Extensions {
       SELECT ql.query_id,
         CAST(COALESCE(lh.h, 0) AS BIGINT) AS lsh_hits,
         CAST(COALESCE(ih.h, 0) AS BIGINT) AS ivf_hits,
-        CAST(COALESCE(lh.h, 0) * 200000 AS BIGINT) AS lsh_recall_e6,
-        CAST(COALESCE(ih.h, 0) * 200000 AS BIGINT) AS ivf_recall_e6
+        CAST(COALESCE(lh.h, 0) * ${1000000L / Similarity.RecallK} AS BIGINT) AS lsh_recall_e6,
+        CAST(COALESCE(ih.h, 0) * ${1000000L / Similarity.RecallK} AS BIGINT) AS ivf_recall_e6
       FROM ql LEFT JOIN lh USING (query_id) LEFT JOIN ih USING (query_id)
       ORDER BY ql.query_id""",
     // per-subspace rollup of the s05 encoding's quantization error
@@ -1122,7 +1122,7 @@ object Extensions {
              FROM (SELECT query_id, neighbor_id, row_number() OVER
                      (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
                      AS rnk
-                   FROM esc) t WHERE rnk <= 5),
+                   FROM esc) t WHERE rnk <= ${Similarity.RecallK}),
       cents AS (SELECT k,
           [((1103515245::BIGINT * (k*64 + d) + 54321) % 2147483648)
             / 2147483648.0 - 0.5 for d in generate_series(1, 64)] AS cv
@@ -1160,13 +1160,13 @@ object Extensions {
              FROM (SELECT *, row_number() OVER
                      (PARTITION BY nprobe, query_id
                       ORDER BY adc_e6, neighbor_id) AS rnk
-                   FROM adc) z WHERE rnk <= 5),
+                   FROM adc) z WHERE rnk <= ${Similarity.RecallK}),
       hits AS (SELECT a.nprobe, a.query_id, count(*) AS n_hit
                FROM a5 a JOIN e5 USING (query_id, neighbor_id)
                GROUP BY 1, 2)
       SELECT n.nprobe, q.query_id,
         CAST(coalesce(h.n_hit, 0) AS BIGINT) AS hits,
-        CAST(coalesce(h.n_hit, 0) * ${1000000 / 5} AS BIGINT) AS recall_e6
+        CAST(coalesce(h.n_hit, 0) * ${1000000L / Similarity.RecallK} AS BIGINT) AS recall_e6
       FROM np n CROSS JOIN (SELECT DISTINCT query_id FROM ex) q
       LEFT JOIN hits h ON h.nprobe = n.nprobe AND h.query_id = q.query_id
       ORDER BY n.nprobe, q.query_id""",
@@ -1626,7 +1626,14 @@ object Extensions {
     // the deterministic tag rule (doc_id mod TagMod → real magic
     // prefix; 7 is coprime with the source assignment's mod 20)
     // mirrored arithmetically; untagged payloads still sniff the
-    // ASCII-expressible signatures, exactly like the byte walk
+    // ASCII-expressible signatures, exactly like the byte walk.
+    // CORPUS ASSUMPTION (same as m01, restated per ADVICE r8): the
+    // documents text is pure ASCII, so the only signatures an
+    // untagged payload can open with are GIF89a/RIFF — Spark's
+    // sniffFormat also checks the 0x89-PNG and 0xFF-JPEG magic bytes,
+    // which no ASCII payload can start with. A future non-ASCII
+    // corpus must extend the starts_with arms below or the engines
+    // diverge silently.
     "m06_format_routing" -> s"""
       WITH p AS (SELECT doc_id, source,
           CASE doc_id % ${Multimodal.TagMod}
@@ -1860,20 +1867,20 @@ object Extensions {
       ak AS (SELECT query_id, neighbor_id
              FROM (SELECT query_id, neighbor_id, row_number() OVER
                      (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
-                     AS r FROM sq) z WHERE r <= 5),
+                     AS r FROM sq) z WHERE r <= ${Similarity.RecallK}),
       esc AS (SELECT query_id, c.vec_id AS neighbor_id,
                 ${cos("qv", "c.embedding")} AS cs
               FROM embeddings c JOIN q ON query_id <> c.vec_id),
       e5 AS (SELECT query_id, neighbor_id
              FROM (SELECT query_id, neighbor_id, row_number() OVER
                      (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
-                     AS r FROM esc) z WHERE r <= 5),
+                     AS r FROM esc) z WHERE r <= ${Similarity.RecallK}),
       hits AS (SELECT query_id, count(*) AS sq8_hits
                FROM e5 JOIN ak USING (query_id, neighbor_id)
                GROUP BY query_id)
       SELECT query_id,
         CAST(coalesce(sq8_hits, 0) AS BIGINT) AS sq8_hits,
-        CAST(coalesce(sq8_hits, 0) * 200000 AS BIGINT) AS sq8_recall_e6
+        CAST(coalesce(sq8_hits, 0) * ${1000000L / Similarity.RecallK} AS BIGINT) AS sq8_recall_e6
       FROM q LEFT JOIN hits USING (query_id) ORDER BY query_id""",
     // Matryoshka sweep: per prefix width m the top-5 by prefix cosine
     // (dotM — same fold order as Spark's float_dot over slice),
@@ -1888,21 +1895,21 @@ object Extensions {
       e5 AS (SELECT query_id, neighbor_id
              FROM (SELECT query_id, neighbor_id, row_number() OVER
                      (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
-                     AS r FROM esc) z WHERE r <= 5),
+                     AS r FROM esc) z WHERE r <= ${Similarity.RecallK}),
       arms AS (${Similarity.MatryoshkaDims.map { m =>
         s"""SELECT $m AS dims, query_id, neighbor_id
              FROM (SELECT query_id, c.vec_id AS neighbor_id, row_number()
                      OVER (PARTITION BY query_id ORDER BY
                        ${cosM("qv", "c.embedding", m)} DESC, c.vec_id) AS r
                    FROM embeddings c JOIN q ON query_id <> c.vec_id) z
-             WHERE r <= 5"""
+             WHERE r <= ${Similarity.RecallK}"""
       }.mkString("\n        UNION ALL\n        ")}),
       hits AS (SELECT dims, query_id, count(*) AS hits
                FROM e5 JOIN arms USING (query_id, neighbor_id)
                GROUP BY dims, query_id)
       SELECT dims, query_id,
         CAST(coalesce(hits, 0) AS BIGINT) AS hits,
-        CAST(coalesce(hits, 0) * 200000 AS BIGINT) AS recall_e6
+        CAST(coalesce(hits, 0) * ${1000000L / Similarity.RecallK} AS BIGINT) AS recall_e6
       FROM (SELECT m.dims, query_id FROM q CROSS JOIN (
               SELECT unnest(${Similarity.MatryoshkaDims
                 .mkString("[", ", ", "]")}) AS dims) m) g

@@ -2,7 +2,7 @@ package graft.lineage
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction, UnresolvedRelation, UnresolvedStar, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar, UnresolvedSubqueryColumnAliases}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans._
@@ -169,7 +169,7 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
   private def isQueryShape(p: LogicalPlan): Boolean = p match {
     case _: Project | _: Aggregate | _: Union | _: Distinct | _: Sort |
         _: GlobalLimit | _: LocalLimit | _: Filter | _: SubqueryAlias |
-        _: SetOperation => true
+        _: SetOperation | _: UnresolvedHaving | _: WithWindowDefinition => true
     case _ => false
   }
 
@@ -319,6 +319,22 @@ class LineParser(meta: MetaStore = EmptyMetaStore) {
       conditions += "WHERE:" + render(cond,
         Env(Seq((None, ScopeRef(scope)))), stmt)
       scope
+    case UnresolvedHaving(cond, child) =>
+      // HAVING above an aggregate parses as its own node (not Filter);
+      // same treatment: record the condition as WHERE, pass the
+      // aggregate's columns through. (Found by the corpus output-
+      // column assertion: q35's lineage was silently empty — the node
+      // fell to the cols-less fallback below.)
+      val scope = walkQuery(child, stmt)
+      conditions += "WHERE:" + render(cond,
+        Env(Seq((None, ScopeRef(scope)))), stmt)
+      scope
+    case WithWindowDefinition(_, child, _) =>
+      // WINDOW w AS (...) clause: a name→spec map with no lineage of
+      // its own; output columns come from the child projection whose
+      // window expressions reference the named spec. (Same corpus
+      // finding: q42/q50/q54 had empty column lineage.)
+      walkQuery(child, stmt)
     case other =>
       val env = walkFrom(other, stmt)
       Scope(env.tablesInOrder, Nil)

@@ -365,12 +365,44 @@ object Dedup {
     * deterministic integer math, so it is oracle-checkable — unusual
     * for MinHash implementations, which normally bake in an engine
     * hash. At 100 TB only (band_idx, band_key) pairs shuffle. */
+  /** The last built d03 pair frame, keyed by (session, dir) — the
+    * [[graft.operators.Similarity.knnGraph]] build-once convention:
+    * the gated d03 entry always rebuilds (its bench cost stays
+    * honest) and refreshes this; [[DupCluster]]'s d06 fixpoint
+    * consumes [[minhashLshPairsMemo]] instead of re-deriving the
+    * identical signature/band/rerank pipeline. Same immutable-dir +
+    * single-threaded-driver assumptions as the other memos. */
+  @volatile private var lastMinhashPairs
+      : Option[(SparkSession, String, DataFrame)] = None
+
+  /** Memoized [[minhashLshPairs]] for derived consumers (d06's CC
+    * fixpoint): returns the same-(session, dir) checkpointed pair
+    * frame when one exists, builds otherwise. */
+  private[operators] def minhashLshPairsMemo(
+      s: SparkSession, dir: String): DataFrame =
+    lastMinhashPairs match {
+      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir => g
+      case _ => minhashLshPairs(s, dir)
+    }
+
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    // persisted: feeds band explosion + both signature-compare sides
-    val sigs = shingleHashes(docs(s, dir))
+    // persisted only for the build: feeds band explosion + both
+    // signature-compare sides; dropped once the (tiny) pair list is
+    // checkpoint-materialized
+    val sigs = minhashSignatures(s, dir).persist()
+    val g = minhashPairsFrom(sigs)
+      .localCheckpoint() // eager: materializes the pair list NOW
+    sigs.unpersist(true)
+    lastMinhashPairs = Some((s, dir, g))
+    g
+  }
+
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    shingleHashes(docs(s, dir))
       .filter(col("n_sh") > 0)
       .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
-      .persist()
+
+  private def minhashPairsFrom(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
           "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
@@ -391,6 +423,13 @@ object Dedup {
       .filter(col("n_match") * 2 >= MinhashK)
       .orderBy("ida", "idb")
   }
+
+  /** Lazy (un-checkpointed) d03 frame for plan inspection — the gated
+    * entry materializes eagerly, which hides the band equi-join from
+    * plan specs behind a checkpoint scan. Never memoized. */
+  private[graft] def minhashLshPairsLazy(
+      s: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(minhashSignatures(s, dir))
 
   /** d11: incremental ingest dedup — the steady-state production shape
     * at 100 TB, where a small new batch arrives against a large

@@ -124,7 +124,7 @@ object DupCluster {
   /** MinHash-pair labels for (session, dir), memoized for [[keepBest]]. */
   private def computeLabels(s: SparkSession, dir: String): DataFrame = {
     val labels =
-      fixpointLabels(Dedup.minhashLshPairs(s, dir).select("ida", "idb"))
+      fixpointLabels(Dedup.minhashLshPairsMemo(s, dir).select("ida", "idb"))
     lastLabels = Some((s, dir, labels))
     labels
   }
@@ -149,7 +149,7 @@ object DupCluster {
 
   private def computeEmbLabels(s: SparkSession, dir: String): DataFrame = {
     val labels = fixpointLabels(
-      Similarity.embeddingNearDupsBucketed(s, dir).select("ida", "idb"))
+      Similarity.embeddingNearDupsBucketedMemo(s, dir).select("ida", "idb"))
     lastEmbLabels = Some((s, dir, labels))
     labels
   }

@@ -154,12 +154,44 @@ object Similarity {
     * baseline is the documented LSH trade (OperatorsSpec's
     * "bucketed embedding near-dups are a non-empty subset of brute
     * force" pins containment: no invented pairs). */
-  def embeddingNearDupsBucketed(s: SparkSession, dir: String): DataFrame =
-    bucketedScoredPairs(s, dir)
+  def embeddingNearDupsBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (scored, handles) = bucketedScoredPairsTracked(s, dir)
+    val g = thresholdedPairs(scored)
+      .localCheckpoint() // eager: the thresholded pair list is tiny
+    handles.foreach(_.unpersist(true))
+    lastNearDupPairs = Some((s, dir, g))
+    g
+  }
+
+  private def thresholdedPairs(scored: DataFrame): DataFrame =
+    scored
       .filter(col("cs") >= 0.4)
       .select(col("ida"), col("idb"),
         floor(col("cs") * 1000000).cast("long").as("cs_e6"))
       .orderBy("ida", "idb")
+
+  /** Lazy (un-checkpointed) d08 frame: the gated entry materializes
+    * eagerly, which would hide the candidate equi-join from the plan
+    * specs behind a checkpoint scan — PlanSpec pins the physical
+    * shape through THIS. Never registered in the memo. */
+  private[graft] def embeddingNearDupsBucketedLazy(
+      s: SparkSession, dir: String): DataFrame =
+    thresholdedPairs(bucketedScoredPairs(s, dir))
+
+  /** The last built d08 pair frame, keyed by (session, dir) — the
+    * [[knnGraph]] build-once convention: the gated d08 entry always
+    * rebuilds and refreshes this; [[DupCluster]]'s d09 fixpoint
+    * consumes [[embeddingNearDupsBucketedMemo]]. */
+  @volatile private var lastNearDupPairs
+      : Option[(SparkSession, String, DataFrame)] = None
+
+  /** Memoized [[embeddingNearDupsBucketed]] for derived consumers. */
+  private[operators] def embeddingNearDupsBucketedMemo(
+      s: SparkSession, dir: String): DataFrame =
+    lastNearDupPairs match {
+      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir => g
+      case _ => embeddingNearDupsBucketed(s, dir)
+    }
 
   /** Shared core of d08 and s09: exact cosine over the LSH-band
     * candidate pairs (ida < idb, un-thresholded). ONE definition of
@@ -242,17 +274,7 @@ object Similarity {
     // dead weight and are unpersisted before returning
     val (scored0, handles) = bucketedScoredPairsTracked(s, dir)
     val scored = scored0.persist()
-    val edges = scored.select(
-        col("ida").as("vec_id"), col("idb").as("neighbor_id"), col("cs"))
-      .union(scored.select(
-        col("idb").as("vec_id"), col("ida").as("neighbor_id"), col("cs")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("neighbor_id"))
-    val g = edges.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("rank"),
-        floor(col("cs") * 1000000).cast("long").as("cs_e6"))
-      .orderBy("vec_id", "rank")
+    val g = rankedGraph(scored, k)
       .localCheckpoint() // eager: materializes the n·k graph NOW
     // blocking: the spec that pins "the build leaves only the n·k
     // checkpoint resident" must not race an async block drop, and the
@@ -262,6 +284,26 @@ object Similarity {
     lastKnnGraph = Some((s, dir, k, g))
     g
   }
+
+  private def rankedGraph(scored: DataFrame, k: Int): DataFrame = {
+    val edges = scored.select(
+        col("ida").as("vec_id"), col("idb").as("neighbor_id"), col("cs"))
+      .union(scored.select(
+        col("idb").as("vec_id"), col("ida").as("neighbor_id"), col("cs")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    edges.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        floor(col("cs") * 1000000).cast("long").as("cs_e6"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Lazy (un-checkpointed) s09 frame for plan inspection — same role
+    * as [[embeddingNearDupsBucketedLazy]]. */
+  private[graft] def knnGraphLazy(
+      s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    rankedGraph(bucketedScoredPairs(s, dir), k)
 
   /** The last built s09 graph, keyed by (session, dir, k) — same
     * memo contract, lifetime, and single-threaded-driver assumption

@@ -122,9 +122,22 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bucketed near-dup candidates come from an equi-join, not a cross join") {
-    val p = plan(graft.operators.Similarity.embeddingNearDupsBucketed(spark, dir))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"bucketed near-dup must never plan an all-pairs join:\n$p")
+    // through the LAZY variants: the gated d03/d08/s09 entries
+    // checkpoint-materialize (build-once memo convention), so their
+    // returned plans are checkpoint scans — the join shapes must be
+    // pinned on the un-checkpointed builds or this spec sees nothing
+    for (q <- Seq(
+        graft.operators.Similarity.embeddingNearDupsBucketedLazy(spark, dir),
+        graft.operators.Similarity.knnGraphLazy(spark, dir),
+        graft.operators.Dedup.minhashLshPairsLazy(spark, dir))) {
+      val p = plan(q)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"banded candidate generation lost its equi-join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"banded candidate generation must never plan an all-pairs join:\n$p")
+    }
   }
 
   // FormattedMode prints each Exchange's partitioning on a detail line:

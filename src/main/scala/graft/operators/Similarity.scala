@@ -386,6 +386,53 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** s24: triangle count + local clustering coefficient over the s10
+    * mutual-kNN graph — the local-density signal that separates a
+    * vector sitting inside a tight semantic clique (neighbors that
+    * are also each other's neighbors → candidate redundancy for
+    * SemDeDup-style pruning, s12's unit) from one on a sparse chain
+    * (bridge/outlier — the s23 complement). Per edge-bearing vector:
+    * its mutual degree, the number of mutual triangles through it,
+    * and the exact-integer coefficient floor(2e6·t / (d·(d−1)))
+    * (0 when d < 2).
+    *
+    * Scale shape: the textbook ordered-wedge join — edges are kept
+    * (ida < idb), wedges form at each pair's LOWEST vertex via one
+    * equi-self-join on ida (b < c orders the wedge), and each wedge
+    * is closed by one equi-join against the edge list on (b, c), so
+    * every triangle is found exactly once as a < b < c. Because
+    * mutual edges are a subset of the per-vector top-k, degree ≤ k
+    * by construction — wedge fanout is ≤ C(k,2) per vertex and the
+    * whole computation is LINEAR in corpus size, not the m^1.5 of
+    * general graphs. Consumes the memoized s09 graph via
+    * [[mutualKnn]]; nothing here touches the corpus itself. */
+  def knnTriangles(s: SparkSession, dir: String): DataFrame = {
+    val m = mutualKnn(s, dir).select(col("ida"), col("idb"))
+    val tri = m.as("e1")
+      .join(m.as("e2"),
+        col("e1.ida") === col("e2.ida") && col("e1.idb") < col("e2.idb"))
+      .select(col("e1.ida").as("a"), col("e1.idb").as("b"),
+        col("e2.idb").as("c"))
+      .join(m.as("e3"),
+        col("b") === col("e3.ida") && col("c") === col("e3.idb"))
+      .select(col("a"), col("b"), col("c"))
+    val tcnt = tri.select(col("a").as("vec_id"))
+      .union(tri.select(col("b").as("vec_id")))
+      .union(tri.select(col("c").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("triangles"))
+    val deg = m.select(col("ida").as("vec_id"))
+      .union(m.select(col("idb").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    deg.join(tcnt, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lc_e6",
+        when(col("deg") >= 2,
+          expr("(2000000L * triangles) div (deg * (deg - 1))"))
+          .otherwise(0L))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force cosine top-k: queries (vec_id < 10) against the whole
     * corpus. The query side is tiny → broadcast; the corpus streams
     * through one narrow stage; ranking shuffles only (q, k) rows. */

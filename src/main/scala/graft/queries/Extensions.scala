@@ -121,6 +121,9 @@ object Extensions {
       Similarity.pageRank(s, d)),
     // kNN-distance outliers: isolated or kth-neighbor cs < 0.4
     "s23_knn_outliers" -> (Similarity.knnOutliers _),
+    // mutual-graph triangles + local clustering coefficient (ordered
+    // wedge join; degree ≤ k makes it linear by construction)
+    "s24_knn_triangles" -> (Similarity.knnTriangles _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -1932,6 +1935,29 @@ object Extensions {
             THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
       FROM embeddings e LEFT JOIN agg USING (vec_id)
       ORDER BY e.vec_id""",
+    // ordered-wedge triangle closure over the mutual edges (a<b<c,
+    // wedges at the lowest vertex), per-corner counts, exact-integer
+    // coefficient floored at the same point as the Spark side
+    "s24_knn_triangles" -> s"""
+      WITH $mutualKnnCtes,
+      m AS (SELECT ida, idb FROM mpairs),
+      tri AS (SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
+              FROM m e1 JOIN m e2
+                ON e1.ida = e2.ida AND e1.idb < e2.idb
+              JOIN m e3 ON e3.ida = e1.idb AND e3.idb = e2.idb),
+      tv AS (SELECT a AS vec_id FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri),
+      tcnt AS (SELECT vec_id, count(*) AS triangles FROM tv GROUP BY 1),
+      dv AS (SELECT ida AS vec_id FROM m UNION ALL SELECT idb FROM m),
+      degs AS (SELECT vec_id, count(*) AS deg FROM dv GROUP BY 1)
+      SELECT d.vec_id, CAST(d.deg AS BIGINT) AS deg,
+        CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+        CAST(CASE WHEN d.deg >= 2 THEN
+            (2000000 * coalesce(t.triangles, 0)) // (d.deg * (d.deg - 1))
+          ELSE 0 END AS BIGINT) AS lc_e6
+      FROM degs d LEFT JOIN tcnt t USING (vec_id)
+      ORDER BY d.vec_id""",
     // unrolled 3-step integer PageRank over the s09 graph `g`;
     // teleport 0.15e9 div n, damp 85//100, every division floored at
     // the same point as the Spark side; dangling mass dropped

@@ -1017,4 +1017,44 @@ object TextAnalysis {
         col("src_rank"), col("n_matched"), col("score_e6"))
       .orderBy("rank")
   }
+
+  /** t31: source-pair content overlap — exact Jaccard between each
+    * pair of sources' DISTINCT shingle-hash sets (the d02 5-gram
+    * shingles). This is the corpus-level companion of the
+    * document-level dedup family: where d02/d03 find duplicate
+    * DOCUMENTS, this reports which SOURCES carry each other's content
+    * (mirrors, scraped re-posts, syndication) — the signal a mixture
+    * designer (x11/x25) reads before weighting two sources as if they
+    * were independent.
+    *
+    * Scale shape: one distinct on (source, shingle-hash) — a
+    * partial-agg'd corpus-scale shuffle whose OUTPUT is the per-source
+    * fingerprint set union; the intersection self-join is keyed on the
+    * hash and fans out at most C(|sources|, 2) rows per hash
+    * (|sources| is catalog-bounded, ~20), so candidate volume is
+    * LINEAR in corpus size; everything aggregates to a |sources|²
+    * matrix. No document text ever shuffles — hashes only (d02's
+    * posture). */
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sp = shingleHashes(d)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("hv")).as("h"))
+      .distinct()
+      .persist() // sizes + both intersection sides share one pass
+    val sizes = sp.groupBy("source").agg(count(lit(1)).as("n"))
+    sp.as("a")
+      .join(sp.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "na"), "source_a")
+      .join(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "nb"), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("union_sz"))
+      .withColumn("jac_e6", expr("(1000000L * inter) div union_sz"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -124,6 +124,9 @@ object Extensions {
     // mutual-graph triangles + local clustering coefficient (ordered
     // wedge join; degree ≤ k makes it linear by construction)
     "s24_knn_triangles" -> (Similarity.knnTriangles _),
+    // source-pair shingle Jaccard: which sources carry each other's
+    // content — hashes shuffle, per-hash fanout ≤ C(|sources|,2)
+    "t31_source_similarity" -> (TextAnalysis.sourceSimilarity _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -1935,6 +1938,27 @@ object Extensions {
             THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
       FROM embeddings e LEFT JOIN agg USING (vec_id)
       ORDER BY e.vec_id""",
+    // source-pair Jaccard over DISTINCT (source, shingle-hash): d02's
+    // 5-gram shingles + rolling hash, inclusion-exclusion union
+    "t31_source_similarity" -> s"""
+      WITH $tkCte, $shCte,
+      hv AS (SELECT doc_id, [${rh("s", 1000000007L)} for s in shs] AS hv
+             FROM sh),
+      sp AS (SELECT DISTINCT d.source, h
+             FROM (SELECT doc_id, unnest(hv) AS h FROM hv) x
+             JOIN documents d USING (doc_id)),
+      sizes AS (SELECT source, count(*) AS n FROM sp GROUP BY 1),
+      i AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS inter
+            FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+        CAST(sa.n + sb.n - inter AS BIGINT) AS union_sz,
+        CAST((1000000 * inter) // (sa.n + sb.n - inter) AS BIGINT)
+          AS jac_e6
+      FROM i JOIN sizes sa ON source_a = sa.source
+      JOIN sizes sb ON source_b = sb.source
+      ORDER BY source_a, source_b""",
     // ordered-wedge triangle closure over the mutual edges (a<b<c,
     // wedges at the lowest vertex), per-corner counts, exact-integer
     // coefficient floored at the same point as the Spark side

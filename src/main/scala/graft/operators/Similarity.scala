@@ -433,6 +433,55 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Fixed synchronous label-propagation rounds for s25 — shared with
+    * the unrolled DuckDB oracle so engine and oracle cannot drift. A
+    * fixed count (not convergence) keeps the result deterministic and
+    * the oracle expressible; 3 rounds spread labels over a diameter-3
+    * neighborhood, enough to agree with s11's components on tight
+    * cliques while still splitting chains the CC relation glues. */
+  val LpaIters = 3
+
+  /** s25: community detection by synchronous label propagation
+    * (Raghavan et al. 2007) over the s10 mutual-kNN graph — the
+    * modularity-style grouping that complements s11's connected
+    * components: CC glues everything reachable (one stray mutual edge
+    * merges two topics), while LPA's majority vote keeps densely
+    * intra-linked regions separate. Deterministic variant: labels
+    * start as vec_id; each round every edge-bearing vertex adopts the
+    * most frequent label among its mutual neighbors, ties broken by
+    * the smallest label; exactly [[LpaIters]] synchronous rounds.
+    *
+    * Scale shape: s22's per-iteration discipline — each round is one
+    * equi-join of the n·k symmetric edge list against the n-row label
+    * frame followed by a partial-agg'd count and a per-vertex
+    * row_number window (all keyed on vertex id, never corpus-
+    * quadratic, no driver-side state). The edge list is built once
+    * from the memoized s09 graph and persisted across rounds. */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val m = mutualKnn(s, dir).select(col("ida"), col("idb"))
+    val edges = m.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(m.select(col("idb").as("src"), col("ida").as("dst")))
+      .persist() // one materialization feeds all LpaIters rounds
+    // symmetric list ⇒ distinct src IS the edge-bearing vertex set
+    var labels = edges.select(col("src").as("vec_id")).distinct()
+      .withColumn("lab", col("vec_id"))
+    for (_ <- 1 to LpaIters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("n").desc, col("lab"))
+      labels = edges.join(labels, edges("src") === labels("vec_id"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("n"))
+        .select(col("dst").as("vec_id"), col("lab"), col("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("lab"))
+    }
+    labels
+      .withColumn("comm_n",
+        count(lit(1)).over(Window.partitionBy(col("lab"))))
+      .select(col("vec_id"), col("lab").as("comm"), col("comm_n"))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force cosine top-k: queries (vec_id < 10) against the whole
     * corpus. The query side is tiny → broadcast; the corpus streams
     * through one narrow stage; ranking shuffles only (q, k) rows. */

@@ -1057,4 +1057,41 @@ object TextAnalysis {
       .withColumn("jac_e6", expr("(1000000L * inter) div union_sz"))
       .orderBy("source_a", "source_b")
   }
+
+  /** t32: source-pair Jaccard ESTIMATE from mergeable per-source
+    * MinHash sketches — t31's 100 TB path. t31's exact answer needs a
+    * corpus-scale DISTINCT on (source, shingle-hash); this replaces it
+    * with the d03 signature algebra (k=32 affine MinHash) exploiting
+    * the sketch's mergeability: min_i over a UNION of shingle sets =
+    * min of the per-doc mins, so the per-doc signature (a narrow,
+    * codegen'd map — no shuffle) reduces per source with a plain
+    * partial-agg'd groupBy min.
+    *
+    * Scale shape: the only corpus-scale shuffle is |docs|·k skinny
+    * (source, i, v) long rows, map-side-combined down to |sources|·k
+    * before the reduce — vs t31's |distinct shingles| rows. The pair
+    * stage is |sources|·k self-joined on the component index: bounded
+    * by the source catalog, independent of corpus size. Estimator:
+    * matching components / k (the standard MinHash collision
+    * estimate); docs with no shingles (< 5 tokens) carry no signature
+    * in either engine. */
+  def sourceSimilaritySketch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merged = shingleHashes(d)
+      .filter(col("n_sh") > 0)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"),
+        posexplode(expr(minhashExpr("hv", Dedup.MinhashK))).as(Seq("i", "v")))
+      .groupBy("source", "i").agg(min("v").as("v"))
+      .persist() // both sides of the pair join share one reduce
+    merged.as("a")
+      .join(merged.as("b"),
+        col("a.i") === col("b.i") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(when(col("a.v") === col("b.v"), 1L).otherwise(0L))
+        .as("match_k"))
+      .withColumn("est_jac_e6",
+        expr(s"(1000000L * match_k) div ${Dedup.MinhashK}"))
+      .orderBy("source_a", "source_b")
+  }
 }

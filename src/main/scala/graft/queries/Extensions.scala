@@ -124,9 +124,16 @@ object Extensions {
     // mutual-graph triangles + local clustering coefficient (ordered
     // wedge join; degree ≤ k makes it linear by construction)
     "s24_knn_triangles" -> (Similarity.knnTriangles _),
+    // synchronous 3-round label propagation: majority-vote communities
+    // over the mutual graph (per round: one n·k equi-join + partial
+    // agg + per-vertex window — s22's iteration discipline)
+    "s25_label_propagation" -> (Similarity.labelPropagation _),
     // source-pair shingle Jaccard: which sources carry each other's
     // content — hashes shuffle, per-hash fanout ≤ C(|sources|,2)
     "t31_source_similarity" -> (TextAnalysis.sourceSimilarity _),
+    // t31's 100 TB path: mergeable per-source MinHash sketches — the
+    // only corpus-scale shuffle is |docs|·k skinny long rows
+    "t32_source_minhash" -> (TextAnalysis.sourceSimilaritySketch _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -1959,6 +1966,29 @@ object Extensions {
       FROM i JOIN sizes sa ON source_a = sa.source
       JOIN sizes sb ON source_b = sb.source
       ORDER BY source_a, source_b""",
+    // mergeable MinHash estimate of t31: per-source component-wise min
+    // of the d03 signature algebra (k=32), matched-component estimator.
+    // Docs with no shingles (< 5 tokens) carry no signature in either
+    // engine (WHERE n_sh > 0 here = the Spark-side filter).
+    "t32_source_minhash" -> s"""
+      WITH $tkCte, $shCte,
+      hv AS (SELECT doc_id, [${rh("s", 1000000007L)} for s in shs] AS hv,
+             len(shs) AS n_sh FROM sh),
+      sigc AS (SELECT d.source, t.i,
+               min(((2*t.i+1)*x.h + 7919*(t.i+1)) % 1000000007) AS v
+               FROM (SELECT doc_id, unnest(hv) AS h FROM hv
+                     WHERE n_sh > 0) x
+               JOIN documents d USING (doc_id),
+               generate_series(0, 31) t(i)
+               GROUP BY 1, 2)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
+          AS match_k,
+        CAST((1000000 * sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)) // 32
+          AS BIGINT) AS est_jac_e6
+      FROM sigc a JOIN sigc b ON a.i = b.i AND a.source < b.source
+      GROUP BY 1, 2
+      ORDER BY source_a, source_b""",
     // ordered-wedge triangle closure over the mutual edges (a<b<c,
     // wedges at the lowest vertex), per-corner counts, exact-integer
     // coefficient floored at the same point as the Spark side
@@ -2007,6 +2037,25 @@ object Extensions {
       FROM p${Similarity.PageRankIters} p
       LEFT JOIN od ON od.src = p.vec_id
       ORDER BY p.vec_id""",
+    // synchronous LPA unrolled LpaIters times: per round, each vertex
+    // adopts the most frequent neighbor label (ties → smallest label)
+    "s25_label_propagation" -> s"""
+      WITH $mutualKnnCtes,
+      e AS (SELECT ida AS src, idb AS dst FROM mpairs
+            UNION ALL SELECT idb AS src, ida AS dst FROM mpairs),
+      l0 AS (SELECT DISTINCT src AS vec_id, src AS lab FROM e),
+      ${(1 to Similarity.LpaIters).map { i =>
+        s"""l$i AS (SELECT vec_id, lab FROM (
+             SELECT vec_id, lab, row_number() OVER
+               (PARTITION BY vec_id ORDER BY n DESC, lab) AS rn
+             FROM (SELECT e.dst AS vec_id, l.lab, count(*) AS n
+                   FROM e JOIN l${i - 1} l ON e.src = l.vec_id
+                   GROUP BY 1, 2)) WHERE rn = 1)"""
+      }.mkString(",\n      ")}
+      SELECT vec_id, CAST(lab AS BIGINT) AS comm,
+        CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS comm_n
+      FROM l${Similarity.LpaIters}
+      ORDER BY vec_id""",
     // partitioned bloom mirrored lane-for-lane: set bits are DISTINCT
     // (lane, hash) pairs, probes are the anti-joined absent keys, and
     // depth-k positivity is the AND of the first k lane hits

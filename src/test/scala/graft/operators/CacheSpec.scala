@@ -76,7 +76,12 @@ class CacheSpec extends AnyFunSuite {
       "d14_hot_ngrams",       // 160.6 MB at sf1 — census max
       "s11_knn_components",   // 105.7 MB at sf1 (CC fixpoint checkpoints)
       "d16_cosine_prefix",    // capped-bucket scale path
-      "i07_more_like_this")   // round-9 rewrite: pruned-roster persist
+      "i07_more_like_this",   // round-9 rewrite: pruned-roster persist
+      "t31_source_similarity", // persists the (source, hash) distinct —
+                               // the census's one corpus-scale persist
+                               // by design (t32 is its sketch path)
+      "t32_source_minhash",   // persists only |sources|·k component rows
+      "s25_label_propagation") // persists the n·k symmetric edge list
     heavies.foreach { name =>
       spark.catalog.clearCache()
       val floor = storageBytes()

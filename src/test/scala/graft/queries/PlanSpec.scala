@@ -385,4 +385,51 @@ class PlanSpec extends AnyFunSuite {
         s"document text must never shuffle through a join: [$cols]")
     }
   }
+
+  private def hashExchangeCols(p: String): Seq[String] =
+    raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning"
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+
+  test("t31/t32 source-overlap pair shuffles hashes only, never text") {
+    // the d02 posture extended to the source level: every hash
+    // exchange in both plans carries (source, hash/sig component)
+    // longs — a text column appearing in a shuffle would make the
+    // pair stage corpus-bandwidth-bound at 100 TB
+    for ((name, q) <- Seq(
+        "t31" -> graft.operators.TextAnalysis.sourceSimilarity _,
+        "t32" -> graft.operators.TextAnalysis.sourceSimilaritySketch _)) {
+      val p = plan(q(spark, dir))
+      val cols = hashExchangeCols(p)
+      assert(cols.nonEmpty, s"$name: expected hash exchanges in:\n$p")
+      cols.foreach(c => assert(!c.contains("text"),
+        s"$name shuffles document text: [$c]"))
+    }
+  }
+
+  test("t32 sketch reduce combines map-side before the shuffle") {
+    // mergeability only pays if the |docs|·k explode is partially
+    // aggregated per input partition: the plan must show the
+    // partial/final HashAggregate pair around the (source, i) min
+    val p = plan(
+      graft.operators.TextAnalysis.sourceSimilaritySketch(spark, dir))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2,
+      s"expected partial+final aggregate pair in the sketch reduce:\n$p")
+  }
+
+  test("s25 LPA rounds stay equi-join + window — no label-frame blowup") {
+    // each synchronous round is one equi-join of the n·k edge list
+    // against the n-row label frame; a nested-loop or cartesian here
+    // would be quadratic per ROUND. (The census-wide inventory also
+    // sweeps this; the dedicated pin keeps the failure local.)
+    val p = plan(
+      graft.operators.Similarity.labelPropagation(spark, dir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"LPA round joined non-equi:\n$p")
+    // LpaIters windows: one per-vertex argmax per round, plus the
+    // final community-size window
+    val windows = raw"\(\d+\) Window\n".r.findAllIn(p).size
+    assert(windows >= graft.operators.Similarity.LpaIters,
+      s"expected a per-round window argmax, found $windows in:\n$p")
+  }
 }

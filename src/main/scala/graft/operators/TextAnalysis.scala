@@ -1094,4 +1094,64 @@ object TextAnalysis {
         expr(s"(1000000L * match_k) div ${Dedup.MinhashK}"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Vocabulary cut for t33: drift is measured over the corpus's
+    * DriftTopV most frequent terms (ties → term asc) plus one "rest"
+    * bucket, making the statistic a true total-variation distance
+    * over a (V+1)-category partition of the token stream. */
+  val DriftTopV = 200
+
+  /** t33: per-source distribution drift — the total-variation
+    * distance between each source's unigram distribution and the
+    * corpus distribution, over the top-[[DriftTopV]] terms + rest
+    * bucket, with the per-source argmax-drift term as the diagnostic.
+    * The curation read: a source whose token distribution sits far
+    * from the corpus (machine-generated text, boilerplate farms,
+    * wrong-domain scrapes) shows a high tv_e6 long before any
+    * document-level quality score moves; the drift term says WHY.
+    *
+    * Exact-integer discipline: probabilities are floored at e9 by the
+    * SAME integer division in both engines (p_e9 = scnt·1e9 div
+    * tot_s), so the sum and the final div 2000 are deterministic —
+    * no doubles, no log. Magnitude bound: cnt·1e9 needs tot ≤ 9.2e9
+    * tokens for BIGINT (≈ 50 GB of text in one local run); past that
+    * the accumulators move to DECIMAL(38,0) (q48's convention).
+    *
+    * Scale shape: ONE tokenize pass feeds a single partial-agg'd
+    * (source, term) count — the only corpus-scale shuffle, output
+    * bounded by |sources|·vocab (Heaps) and persisted; corpus counts,
+    * per-source totals, and the distributed top-V cut (TakeOrdered)
+    * all reduce from it; the dense compare grid is |sources|·V rows
+    * against two broadcast scalars. */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val perSrcAll = docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("scnt"))
+      .persist() // corpus counts, totals, and the top-V cut share it
+    val corpus = perSrcAll.groupBy("term").agg(sum("scnt").as("cnt"))
+    val tot = corpus.agg(sum("cnt").as("tot"))
+    val topV = corpus.orderBy(col("cnt").desc, col("term")).limit(DriftTopV)
+    val totS = perSrcAll.groupBy("source").agg(sum("scnt").as("tot_s"))
+    val grid = totS.crossJoin(broadcast(topV))
+      .join(perSrcAll, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("scnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_e9", expr("(scnt * 1000000000L) div tot_s"))
+      .withColumn("q_e9", expr("(cnt * 1000000000L) div tot"))
+      .withColumn("contrib", abs(col("p_e9") - col("q_e9")))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("contrib").desc, col("term"))
+    val drift = grid.withColumn("rn", row_number().over(wTop))
+    drift.groupBy(col("source"), col("tot_s"), col("tot"))
+      .agg(sum("contrib").as("sum_top"),
+        sum("scnt").as("scnt_top"), sum("cnt").as("cnt_top"),
+        max(when(col("rn") === 1, col("term"))).as("drift_term"))
+      .withColumn("rest_contrib", abs(
+        expr("((tot_s - scnt_top) * 1000000000L) div tot_s") -
+          expr("((tot - cnt_top) * 1000000000L) div tot")))
+      .select(col("source"), col("tot_s").as("n_tokens"),
+        expr("(sum_top + rest_contrib) div 2000").as("tv_e6"),
+        col("drift_term"))
+      .orderBy("source")
+  }
 }

@@ -134,6 +134,9 @@ object Extensions {
     // t31's 100 TB path: mergeable per-source MinHash sketches — the
     // only corpus-scale shuffle is |docs|·k skinny long rows
     "t32_source_minhash" -> (TextAnalysis.sourceSimilaritySketch _),
+    // per-source total-variation drift vs the corpus unigram
+    // distribution (top-V + rest bucket, e9-floored integer probs)
+    "t33_source_drift" -> (TextAnalysis.sourceDrift _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -2037,6 +2040,40 @@ object Extensions {
       FROM p${Similarity.PageRankIters} p
       LEFT JOIN od ON od.src = p.vec_id
       ORDER BY p.vec_id""",
+    // per-source TV drift: e9-floored integer probabilities over the
+    // corpus top-V terms + rest bucket, same integer divisions as the
+    // Spark side (all dividends non-negative, so // == div)
+    "t33_source_drift" -> s"""
+      WITH $tkCte,
+      psa AS (SELECT d.source, term, count(*) AS scnt
+              FROM (SELECT doc_id, unnest(tk) AS term FROM tk) u
+              JOIN documents d USING (doc_id)
+              GROUP BY 1, 2),
+      corpus AS (SELECT term, sum(scnt) AS cnt FROM psa GROUP BY 1),
+      tot AS (SELECT sum(cnt) AS tot FROM corpus),
+      topv AS (SELECT term, cnt FROM corpus
+               ORDER BY cnt DESC, term LIMIT ${TextAnalysis.DriftTopV}),
+      tots AS (SELECT source, sum(scnt) AS tot_s FROM psa GROUP BY 1),
+      grid AS (SELECT s.source, v.term, s.tot_s, t.tot,
+                 coalesce(p.scnt, 0) AS scnt, v.cnt
+               FROM tots s CROSS JOIN topv v CROSS JOIN tot t
+               LEFT JOIN psa p ON p.source = s.source AND p.term = v.term),
+      g2 AS (SELECT *, (scnt * 1000000000) // tot_s AS p_e9,
+               (cnt * 1000000000) // tot AS q_e9 FROM grid),
+      g3 AS (SELECT *, abs(p_e9 - q_e9) AS contrib,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY abs(p_e9 - q_e9) DESC, term) AS rn
+             FROM g2),
+      a AS (SELECT source, tot_s, tot, sum(contrib) AS sum_top,
+              sum(scnt) AS scnt_top, sum(cnt) AS cnt_top,
+              max(CASE WHEN rn = 1 THEN term END) AS drift_term
+            FROM g3 GROUP BY 1, 2, 3)
+      SELECT source, CAST(tot_s AS BIGINT) AS n_tokens,
+        CAST((sum_top + abs(((tot_s - scnt_top) * 1000000000) // tot_s
+            - ((tot - cnt_top) * 1000000000) // tot)) // 2000 AS BIGINT)
+          AS tv_e6,
+        drift_term
+      FROM a ORDER BY source""",
     // synchronous LPA unrolled LpaIters times: per round, each vertex
     // adopts the most frequent neighbor label (ties → smallest label)
     "s25_label_propagation" -> s"""

@@ -558,6 +558,70 @@ object Similarity {
         floor(col("sum_e6") / col("n_vectors")).cast("long").as("mean_e6"))
       .orderBy("bucket", "dim")
 
+  /** s26 geometry, shared with the unrolled oracle. */
+  val KmeansK = 8
+  val KmeansRounds = 2
+
+  /** s26: full Lloyd k-means — [[KmeansRounds]] complete EM rounds
+    * (assignment + M-step), where s04/[[ivfCentroids]] is the M-step
+    * alone. First-K init (centroids = the e6-floored embeddings of
+    * vec_id 0..K−1 — deterministic and SQL-expressible, unlike a
+    * seeded k-means++); per round every vector joins the broadcast
+    * K-row centroid table, takes the argmin squared distance (ties →
+    * smallest bucket), and the M-step reduces (bucket, dim, x_e6)
+    * triples with partial aggregation. An empty cluster keeps its
+    * previous centroid (n_vectors = 0 in the output).
+    *
+    * Exact-integer discipline: components are floored at e6 ONCE
+    * (x_e6 = floor(v·1e6)), distances are Σ(x−c)² in BIGINT (≤ 64 ·
+    * (2e6)² ≈ 2.6e14), means are floor(sum/n) — identical arithmetic
+    * in DuckDB, so a 2-round fixed point crosses the hash gate.
+    *
+    * Scale shape: the canonical distributed EM loop — per round ONE
+    * narrow assignment pass over the corpus (K-row broadcast, no
+    * shuffle) and ONE partial-agg'd shuffle of (bucket, dim) keys;
+    * centroid state lives in the plan (K·dims rows), never on the
+    * driver. At a billion vectors this is exactly the Spark MLlib
+    * KMeans shape, minus the driver-side collect it does per round. */
+  def kmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    val x = graft.operators.TextHash.fanOut(emb(s, dir))
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("x"))
+      .persist() // both assignment rounds scan the e6 components
+    // loop state: (bucket, dim, n_vectors, mean_e6) — first-K init
+    // with n_vectors = 0 (nothing assigned yet)
+    var stats = x.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("bucket"),
+        posexplode(col("x")).as(Seq("dim", "mean_e6")))
+      .withColumn("n_vectors", lit(0L))
+    for (_ <- 1 to KmeansRounds) {
+      val cent = stats.groupBy("bucket").agg(expr(
+        "transform(array_sort(collect_list(struct(dim, mean_e6))), p -> p.mean_e6)")
+        .as("c"))
+      val assigned = x.crossJoin(broadcast(cent))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("bucket"))))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("bucket"), posexplode(col("x")).as(Seq("dim", "xv")))
+        .groupBy("bucket", "dim")
+        .agg(count(lit(1)).as("n"), sum("xv").as("sm"))
+      stats = stats.select(col("bucket"), col("dim"),
+          col("mean_e6").as("prev"))
+        .join(means, Seq("bucket", "dim"), "left")
+        .select(col("bucket"), col("dim"),
+          coalesce(col("n"), lit(0L)).as("n_vectors"),
+          coalesce(floor(col("sm") / col("n")).cast("long"), col("prev"))
+            .as("mean_e6"))
+    }
+    stats.select(col("bucket"), col("dim").cast("int").as("dim"),
+        col("n_vectors"), col("mean_e6"))
+      .orderBy("bucket", "dim")
+  }
+
   /** Random-hyperplane signature: bit j of a 16-bit signature is the
     * sign of emb · r_j, with r_j[d] derived from an LCG on (j·64+d) —
     * deterministic, engine-independent pseudo-randomness. */

@@ -128,6 +128,10 @@ object Extensions {
     // over the mutual graph (per round: one n·k equi-join + partial
     // agg + per-vertex window — s22's iteration discipline)
     "s25_label_propagation" -> (Similarity.labelPropagation _),
+    // full Lloyd k-means (2 EM rounds, first-K init): per round one
+    // broadcast-K assignment pass + one partial-agg'd (bucket, dim)
+    // shuffle — centroid state never touches the driver
+    "s26_kmeans_lloyd" -> (Similarity.kmeansLloyd _),
     // source-pair shingle Jaccard: which sources carry each other's
     // content — hashes shuffle, per-hash fanout ≤ C(|sources|,2)
     "t31_source_similarity" -> (TextAnalysis.sourceSimilarity _),
@@ -2040,6 +2044,36 @@ object Extensions {
       FROM p${Similarity.PageRankIters} p
       LEFT JOIN od ON od.src = p.vec_id
       ORDER BY p.vec_id""",
+    // Lloyd k-means unrolled KmeansRounds times: first-K init, argmin
+    // integer squared distance (ties → smallest bucket), floor(sum/n)
+    // means, empty clusters carry the previous centroid
+    "s26_kmeans_lloyd" -> s"""
+      WITH x AS (SELECT vec_id,
+             [floor(e::DOUBLE * 1000000)::BIGINT for e in embedding] AS x
+           FROM embeddings),
+      st0 AS (SELECT vec_id::INT AS bucket, i - 1 AS dim, x[i] AS mean_e6,
+                0::BIGINT AS n_vectors
+              FROM x, generate_series(1, 64) t(i)
+              WHERE vec_id < ${Similarity.KmeansK}),
+      ${(1 to Similarity.KmeansRounds).map { r =>
+        s"""c$r AS (SELECT bucket, list(mean_e6 ORDER BY dim) AS c
+              FROM st${r - 1} GROUP BY bucket),
+      a$r AS (SELECT vec_id, bucket, x FROM (
+              SELECT x.vec_id, c.bucket, x.x, row_number() OVER (
+                PARTITION BY x.vec_id ORDER BY
+                  list_sum([(x.x[i] - c.c[i]) * (x.x[i] - c.c[i])
+                            for i in generate_series(1, 64)]), c.bucket)
+                AS rn
+              FROM x CROSS JOIN c$r c) WHERE rn = 1),
+      m$r AS (SELECT bucket, i - 1 AS dim, count(*) AS n, sum(x[i]) AS sm
+              FROM a$r, generate_series(1, 64) t(i) GROUP BY 1, 2),
+      st$r AS (SELECT p.bucket, p.dim,
+                 coalesce(m.n, 0)::BIGINT AS n_vectors,
+                 coalesce(floor(m.sm / m.n)::BIGINT, p.mean_e6) AS mean_e6
+               FROM st${r - 1} p LEFT JOIN m$r m USING (bucket, dim))"""
+      }.mkString(",\n      ")}
+      SELECT bucket, CAST(dim AS INTEGER) AS dim, n_vectors, mean_e6
+      FROM st${Similarity.KmeansRounds} ORDER BY bucket, dim""",
     // per-source TV drift: e9-floored integer probabilities over the
     // corpus top-V terms + rest bucket, same integer divisions as the
     // Spark side (all dividends non-negative, so // == div)

@@ -93,6 +93,18 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("s26: every vector is assigned exactly once per round") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.kmeansLloyd(spark, dir)
+    val n = graft.engine.Tables.t(spark, dir, "embeddings").count()
+    // per dim, the bucket member counts partition the corpus
+    out.groupBy("dim").agg(sum("n_vectors").as("s")).collect()
+      .foreach(r => assert(r.getAs[Long]("s") == n,
+        s"dim ${r.get(0)}: assignments sum to ${r.get(1)}, corpus is $n"))
+    // K buckets × 64 dims, no empty-cluster carry at the gate SF
+    assert(out.count() == Similarity.KmeansK * 64L)
+  }
+
   test("s25: LPA communities refine s11's connected components") {
     // labels only travel along mutual edges, so every LPA community
     // must sit inside ONE connected component — the executable form

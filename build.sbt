@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (getOrCreate in each lazy val), and
+// CacheSpec asserts on the GLOBAL block-manager storage — a suite
+// running concurrently with it makes that measurement racy (observed
+// as a rare CacheSpec-only failure in full-suite runs). Storage
+// accounting needs the JVM to itself; the serialization costs ~1 min
+// of wall on the full suite.
+Test / parallelExecution := false
 run / fork := true
 // Pass the forked JVM's stdout/stderr through verbatim instead of
 // routing them through sbt's logger: the logger prefixes every line

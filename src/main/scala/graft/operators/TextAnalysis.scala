@@ -345,6 +345,33 @@ object TextAnalysis {
     * df is a broadcast-sized aggregate over the matched set; the
     * top-100 is TakeOrderedAndProject — per-partition local top-k,
     * never a full sort. */
+  /** i03's exact-integer BM25 fragments, factored so i12's
+    * second-round scorer is the SAME expression text — a drifted copy
+    * would desynchronize the feedback rescoring from the gated
+    * first-round form. Columns referenced: tf, dl, df (per term-doc)
+    * and nn, ll (corpus stats). */
+  private val Bm25TfPartExpr =
+    """cast((cast(22 as decimal(38,0)) * tf * ll * 1000000)
+             div (cast(10 as decimal(38,0)) * tf * ll
+                + cast(3 as decimal(38,0)) * ll
+                + cast(9 as decimal(38,0)) * dl * nn) as long)"""
+  private val Bm25IdfExpr =
+    """cast((cast(2 as decimal(38,0)) * (nn - df) + 1) * 1000000
+             div (2 * df + 1) as long)"""
+
+  /** The i03 contribution stage over any (doc_id, dl, term, tf) frame
+    * with a (term, df) side and the 1-row corpus stats. */
+  private def bm25ContribOf(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame): DataFrame =
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr(Bm25TfPartExpr).as("tfpart_e6"),
+        expr(Bm25IdfExpr).as("idf_e6"))
+      .select(col("doc_id"),
+        expr("""cast((cast(tfpart_e6 as decimal(38,0)) * idf_e6)
+             div 1000000 as long)""").as("contrib_e6"))
+
   def bm25(s: SparkSession, dir: String, shortlist: Int = 100): DataFrame = {
     val termsIn = Similarity.HybridQueryTerms
       .map(t => s"'$t'").mkString("(", ", ", ")")
@@ -358,19 +385,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        expr("""cast((cast(22 as decimal(38,0)) * tf * ll * 1000000)
-             div (cast(10 as decimal(38,0)) * tf * ll
-                + cast(3 as decimal(38,0)) * ll
-                + cast(9 as decimal(38,0)) * dl * nn) as long)""")
-          .as("tfpart_e6"),
-        expr("""cast((cast(2 as decimal(38,0)) * (nn - df) + 1) * 1000000
-             div (2 * df + 1) as long)""").as("idf_e6"))
-      .select(col("doc_id"),
-        expr("""cast((cast(tfpart_e6 as decimal(38,0)) * idf_e6)
-             div 1000000 as long)""").as("contrib_e6"))
+    val contrib = bm25ContribOf(tf, dfreq, stats)
     val sc = contrib.groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_matched"),
         sum("contrib_e6").as("score_e6"))
@@ -1153,5 +1168,89 @@ object TextAnalysis {
         expr("(sum_top + rest_contrib) div 2000").as("tv_e6"),
         col("drift_term"))
       .orderBy("source")
+  }
+
+  /** i12 geometry, shared with the oracle: R pseudo-relevant docs, E
+    * expansion terms, and the Rocchio β as an integer divisor (the
+    * expansion half-weights into the final score). */
+  val RocchioTopR = 3
+  val RocchioExpTerms = 5
+  val RocchioBetaDen = 2
+
+  /** i12: Rocchio pseudo-relevance feedback — the classic two-round
+    * retrieval loop (Rocchio 1971, the PRF baseline every IR stack
+    * ships): round 1 ranks with i03's exact-integer BM25; the top
+    * [[RocchioTopR]] documents are ASSUMED relevant; their
+    * highest-weight non-query terms (tf · idf-ratio, corpus df) form
+    * a [[RocchioExpTerms]]-term expansion; round 2 rescores the
+    * corpus against the expansion with the SAME BM25 form and blends
+    * `score = orig + exp div `[[RocchioBetaDen]]. Documents matching
+    * only expansion terms enter the final ranking — the recall gain
+    * that motivates PRF.
+    *
+    * Scale shape: round 1 is i03's plan verbatim (filter before
+    * explode, matched rows only). The feedback stages key every
+    * corpus-scale pass on a BROADCAST term set: candidate terms come
+    * from [[RocchioTopR]] docs (their vocabulary, bounded by R·dl),
+    * so the df pass and the round-2 tf pass are narrow explodes
+    * probing a broadcast hash side — O(1) per token, matched rows
+    * only in the shuffle. No stage depends on corpus² or on an
+    * uncapped broadcast. */
+  def rocchioFeedback(s: SparkSession, dir: String,
+      shortlist: Int = 10): DataFrame = {
+    val termsIn = Similarity.HybridQueryTerms
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+    val base = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        col("tk"))
+    val qbase = base
+      .select(col("doc_id"), col("dl"),
+        expr(s"filter(tk, x -> x IN $termsIn)").as("qtk"))
+      .persist() // round-1 stats + tf share it (i03's persist)
+    val stats = qbase.agg(count(lit(1)).as("nn"), sum("dl").as("ll"))
+    val tf1 = qbase.filter(size(col("qtk")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df1 = tf1.groupBy("term").agg(count(lit(1)).as("df"))
+    val sc1 = bm25ContribOf(tf1, df1, stats).groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_orig"),
+        sum("contrib_e6").as("orig_e6"))
+    val topR = sc1.orderBy(col("orig_e6").desc, col("doc_id"))
+      .limit(RocchioTopR)
+    // candidate expansion vocabulary: the R docs' non-query terms
+    val rtf = base.join(broadcast(topR.select("doc_id")), "doc_id")
+      .select(explode(col("tk")).as("term"))
+      .filter(!col("term").isin(Similarity.HybridQueryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("rtf"))
+    // corpus df for the candidates: narrow distinct-explode probing
+    // the broadcast candidate set
+    val dfCand = base
+      .select(col("doc_id"), explode(array_distinct(col("tk"))).as("term"))
+      .join(broadcast(rtf.select("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val expTerms = rtf.join(dfCand, "term").crossJoin(broadcast(stats))
+      .select(col("term"), col("df"),
+        (col("rtf") * expr(Bm25IdfExpr)).as("w"))
+      .orderBy(col("w").desc, col("term")).limit(RocchioExpTerms)
+    // round 2: same scorer over the expansion term set
+    val tf2 = base
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .join(broadcast(expTerms.select("term")), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val sc2 = bm25ContribOf(tf2, dfCand, stats).groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_exp"),
+        sum("contrib_e6").as("exp_e6"))
+    val w = Window.orderBy(col("score_e6").desc, col("doc_id"))
+    sc1.join(sc2, Seq("doc_id"), "full")
+      .na.fill(0L, Seq("orig_e6", "exp_e6"))
+      .na.fill(0, Seq("n_orig", "n_exp"))
+      .withColumn("score_e6",
+        col("orig_e6") + expr(s"exp_e6 div $RocchioBetaDen"))
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(shortlist)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("n_orig"), col("n_exp"),
+        col("orig_e6"), col("exp_e6"), col("score_e6"))
+      .orderBy("rank")
   }
 }

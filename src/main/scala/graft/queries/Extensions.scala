@@ -80,6 +80,11 @@ object Extensions {
     "t30_oov_rate" -> (TextAnalysis.oovRate _),
     // lexically-strong, semantically-distant docs (contrastive mining)
     "i11_hard_negatives" -> (TextAnalysis.hardNegatives _),
+    // Rocchio pseudo-relevance feedback: BM25 round 1 → top-R docs'
+    // best non-query terms → half-weighted BM25 round 2; every
+    // feedback pass probes a broadcast term set, matched rows only
+    "i12_rocchio_feedback" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.rocchioFeedback(s, d)),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
@@ -744,6 +749,63 @@ object Extensions {
         CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS INTEGER)
           AS rank
       FROM sc QUALIFY rank <= 100 ORDER BY rank""",
+    // Rocchio PRF: sc is round 1 verbatim; candidates are the top-R
+    // docs' non-query vocabulary weighted rtf·idf-ratio over CORPUS
+    // df; round 2 reuses the identical integer BM25 with expt's df
+    "i12_rocchio_feedback" -> s"""
+      WITH $bm25Ctes,
+      topr AS (SELECT doc_id FROM sc
+               ORDER BY score_e6 DESC, doc_id
+               LIMIT ${TextAnalysis.RocchioTopR}),
+      rtf AS (SELECT term, count(*) AS rtf
+              FROM (SELECT doc_id, unnest(tk) AS term FROM tk
+                    WHERE doc_id IN (SELECT doc_id FROM topr)) z
+              WHERE NOT list_contains($qTermsList, term)
+              GROUP BY term),
+      dfc AS (SELECT term, count(*) AS df
+              FROM (SELECT doc_id, unnest(list_distinct(tk)) AS term
+                    FROM tk) u
+              JOIN rtf USING (term)
+              GROUP BY term),
+      expt AS (SELECT term, df FROM (
+                SELECT r.term, d.df,
+                  r.rtf * ((2::HUGEINT * (nn - d.df) + 1) * 1000000
+                           // (2 * d.df + 1)) AS w
+                FROM rtf r JOIN dfc d USING (term), stats)
+               ORDER BY w DESC, term
+               LIMIT ${TextAnalysis.RocchioExpTerms}),
+      tf2 AS (SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, len(tk)::BIGINT AS dl,
+                      unnest(tk) AS term FROM tk) u
+              JOIN expt USING (term)
+              GROUP BY doc_id, dl, term),
+      c2 AS (SELECT doc_id,
+               ((22::HUGEINT * tf * ll * 1000000)
+                 // (10::HUGEINT * tf * ll + 3::HUGEINT * ll
+                    + 9::HUGEINT * dl * nn)
+                * ((2::HUGEINT * (nn - df) + 1) * 1000000
+                   // (2 * df + 1)))
+                 // 1000000 AS contrib_e6
+             FROM tf2 JOIN expt USING (term), stats),
+      sc2 AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_exp,
+                CAST(sum(contrib_e6) AS BIGINT) AS exp_e6
+              FROM c2 GROUP BY doc_id),
+      f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+              coalesce(a.n_matched, 0) AS n_orig,
+              coalesce(b.n_exp, 0) AS n_exp,
+              coalesce(a.score_e6, 0) AS orig_e6,
+              coalesce(b.exp_e6, 0) AS exp_e6
+            FROM sc a FULL JOIN sc2 b ON a.doc_id = b.doc_id)
+      SELECT CAST(row_number() OVER (ORDER BY
+          orig_e6 + exp_e6 // ${TextAnalysis.RocchioBetaDen} DESC, doc_id)
+          AS INTEGER) AS rank,
+        doc_id, CAST(n_orig AS INTEGER) AS n_orig,
+        CAST(n_exp AS INTEGER) AS n_exp,
+        CAST(orig_e6 AS BIGINT) AS orig_e6,
+        CAST(exp_e6 AS BIGINT) AS exp_e6,
+        CAST(orig_e6 + exp_e6 // ${TextAnalysis.RocchioBetaDen} AS BIGINT)
+          AS score_e6
+      FROM f ORDER BY rank LIMIT 10""",
     // the i03 shortlist under the two-per-source quota, survivors
     // re-ranked with the identical (score desc, doc_id) ordering
     "i09_diversified_search" -> s"""

@@ -354,7 +354,8 @@ class PlanSpec extends AnyFunSuite {
       "i11_hard_negatives", // 1-row query vector + i03's stats scalar
       "t33_source_drift", // |sources| × broadcast top-V (≤200-row) grid
                           // + 1-row corpus-total scalar — both bounded
-      "s26_kmeans_lloyd" // broadcast K-row (8) centroid side per round
+      "s26_kmeans_lloyd", // broadcast K-row (8) centroid side per round
+      "i12_rocchio_feedback" // i03's 1-row corpus-stats scalar, both rounds
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

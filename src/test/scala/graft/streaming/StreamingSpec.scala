@@ -466,4 +466,68 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(serving.toMap == Map(1L -> 20L, 2L -> 5L, 3L -> 7L))
   }
+
+  test("streamed drift cells reproduce the gated t33 distances") {
+    // the live form of t33: stream the sf0.001 corpus through the
+    // bounded-state cell fill, then derive the TV distances from the
+    // final cell table with t33's integer math — they must equal the
+    // gated batch operator exactly
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.engine.Tables.t(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // the reference: t33's top-V rule, recomputed batch-side
+    val topTerms = rows.toSeq.toDF("source", "text")
+      .select(explode(graft.operators.TextHash.tokens(col("text")))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(graft.operators.TextAnalysis.DriftTopV)
+      .persist()
+    val refCnt = topTerms.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[(String, String)]
+    val q = StreamDrift
+      .driftCellsStream(mem.toDF().toDF("source", "text"), topTerms)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").start()
+    rows.grouped(math.max(rows.length / 3, 1))
+      .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+    val cells = spark.table("drift_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    // state stayed bounded: at most |sources|·(V+1) rows
+    val nSources = cells.keys.map(_._1).toSet.size
+    assert(cells.size <=
+      nSources * (graft.operators.TextAnalysis.DriftTopV + 1))
+    // batch equivalence of the cell fill itself
+    val batchCells = StreamDrift
+      .driftCellsStream(rows.toSeq.toDF("source", "text"), topTerms)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells == batchCells)
+    // derive tv_e6 from the cells (t33's integer divisions verbatim)
+    val tot = cells.values.sum
+    val corpusTop = refCnt.values.sum
+    val totS = cells.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val got = totS.map { case (src, ts) =>
+      val sumTop = refCnt.map { case (t, cnt) =>
+        val scnt = cells.getOrElse((src, t), 0L)
+        math.abs(scnt * 1000000000L / ts - cnt * 1000000000L / tot)
+      }.sum
+      // keysIterator, NOT keys.map: keys is a Set, so mapping to the
+      // counts would deduplicate equal values before the sum
+      val scntTop = refCnt.keysIterator
+        .map(t => cells.getOrElse((src, t), 0L)).sum
+      val rest = math.abs((ts - scntTop) * 1000000000L / ts -
+        (tot - corpusTop) * 1000000000L / tot)
+      src -> (sumTop + rest) / 2000L
+    }
+    val exp = graft.operators.TextAnalysis.sourceDrift(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("tv_e6")).toMap
+    assert(got == exp,
+      s"streamed cells diverge from the gated t33: $got vs $exp")
+  }
 }

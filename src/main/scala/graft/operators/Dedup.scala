@@ -660,4 +660,32 @@ object Dedup {
       .filter(col("n_match") * 2 >= MinhashK)
       .orderBy("test_id", "train_id")
   }
+
+  /** d17: duplicate-provenance matrix — d03's confirmed near-dup
+    * pairs aggregated by (source, source): WHO duplicates WHOM. The
+    * companion diagnostic to t31/t32: those measure raw shingle
+    * overlap between sources; this counts the pairs the production
+    * dedup path actually confirms, so a mixture designer can see
+    * whether "src5 mirrors src8" survives the ≥50 % signature bar or
+    * was only boilerplate-level overlap. Diagonal rows
+    * (source_a = source_b) are intra-source duplication — the feed
+    * re-posting itself.
+    *
+    * Scale shape: consumes the memoized d03 pair frame (checkpoint-
+    * materialized, tiny — confirmed pairs only); the two provenance
+    * lookups broadcast that small side against the corpus doc→source
+    * projection, and the output is at most |sources|² rows. */
+  def dupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val p = minhashLshPairsMemo(s, dir)
+    broadcast(p)
+      .join(d.select(col("doc_id").as("ida"), col("source").as("sa")), "ida")
+      .join(d.select(col("doc_id").as("idb"), col("source").as("sb")), "idb")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("n_match"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("n_match").as("sum_match"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -146,6 +146,9 @@ object Extensions {
     // per-source total-variation drift vs the corpus unigram
     // distribution (top-V + rest bucket, e9-floored integer probs)
     "t33_source_drift" -> (TextAnalysis.sourceDrift _),
+    // duplicate-provenance matrix: d03's confirmed pairs rolled up by
+    // (source, source) — who duplicates whom (t31's confirmed twin)
+    "d17_dup_source_matrix" -> (Dedup.dupSourceMatrix _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -2106,6 +2109,17 @@ object Extensions {
       FROM p${Similarity.PageRankIters} p
       LEFT JOIN od ON od.src = p.vec_id
       ORDER BY p.vec_id""",
+    // d03's pairs CTE rolled up by normalized source pair; diagonal
+    // rows are intra-source duplication
+    "d17_dup_source_matrix" -> s"""
+      WITH $minhashPairCtes
+      SELECT least(da.source, db.source) AS source_a,
+        greatest(da.source, db.source) AS source_b,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(n_match) AS BIGINT) AS sum_match
+      FROM pairs JOIN documents da ON ida = da.doc_id
+      JOIN documents db ON idb = db.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     // Lloyd k-means unrolled KmeansRounds times: first-K init, argmin
     // integer squared distance (ties → smallest bucket), floor(sum/n)
     // means, empty clusters carry the previous centroid

@@ -661,6 +661,42 @@ object Dedup {
       .orderBy("test_id", "train_id")
   }
 
+  /** d18: LSH banding recall/precision report — the s14-style
+    * evaluation culture applied to the dedup family: how much of the
+    * exact capped-postings Jaccard truth (d02's standard) does d03's
+    * MinHash+LSH banding actually capture, per Jaccard decile? The
+    * universe is every pair sharing a capped shingle (d02's candidate
+    * population, threshold OFF) FULL-joined with d03's confirmed
+    * pairs; per bucket = floor(jac_e6/1e5): the pair count, how many
+    * d03 captured, and the capture rate. Buckets ≥ 5 read as recall
+    * of true near-dups (the theory curve for 8×4 banding at J=0.5 is
+    * 1−(1−0.5⁴)⁸ ≈ 0.42, rising steeply — the report shows where the
+    * measured curve sits); buckets < 5 read as the false-positive
+    * rate the ≥50 % signature re-check lets through. The tuning
+    * diagnostic a dedup owner reads before moving MinhashBands.
+    *
+    * Scale shape: the truth side is d02's plan with the same df cap
+    * (candidate fanout bounded per stop-shingle rule); the candidate
+    * side is the memoized d03 frame; the report is ≤ 11 rows. */
+  def lshRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val (ex, sizes) = shinglePostings(s, dir, Some(JaccardDfCap))
+    val truth = commonCounts(ex)
+      .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("idb") === col("sb.doc_id"))
+      .select(col("ida"), col("idb"),
+        expr("(1000000L * common) div (sa.n_sh + sb.n_sh - common)")
+          .as("jac_e6"))
+    val cand = minhashLshPairsMemo(s, dir)
+      .select(col("ida"), col("idb"), lit(1L).as("c"))
+    truth.join(cand, Seq("ida", "idb"), "full")
+      .na.fill(0L, Seq("jac_e6", "c"))
+      .withColumn("bucket", expr("cast(jac_e6 div 100000 as int)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum("c").as("n_cand"))
+      .withColumn("cap_e6", expr("(1000000L * n_cand) div n_pairs"))
+      .orderBy("bucket")
+  }
+
   /** d17: duplicate-provenance matrix — d03's confirmed near-dup
     * pairs aggregated by (source, source): WHO duplicates WHOM. The
     * companion diagnostic to t31/t32: those measure raw shingle

@@ -149,6 +149,9 @@ object Extensions {
     // duplicate-provenance matrix: d03's confirmed pairs rolled up by
     // (source, source) — who duplicates whom (t31's confirmed twin)
     "d17_dup_source_matrix" -> (Dedup.dupSourceMatrix _),
+    // LSH banding recall/precision per Jaccard decile: d03's capture
+    // rate against d02's capped-postings exact truth
+    "d18_lsh_recall" -> (Dedup.lshRecallReport _),
     "t01_langid" -> (TextAnalysis.langId _),
     "t02_quality" -> (TextAnalysis.quality _),
     "t03_token_stats" -> (TextAnalysis.tokenStats _),
@@ -2109,6 +2112,32 @@ object Extensions {
       FROM p${Similarity.PageRankIters} p
       LEFT JOIN od ON od.src = p.vec_id
       ORDER BY p.vec_id""",
+    // full join of the capped-postings exact-Jaccard universe (d02's
+    // chain, threshold OFF) with d03's confirmed pairs, bucketed by
+    // Jaccard decile — capture rate per bucket
+    "d18_lsh_recall" -> s"""
+      WITH $minhashPairCtes,
+      dhv AS (SELECT doc_id, list_distinct(hv) AS dh, n_sh FROM hv),
+      ex0 AS (SELECT doc_id, unnest(dh) AS h FROM dhv),
+      ex AS (SELECT doc_id, h FROM ex0
+             QUALIFY count(*) OVER (PARTITION BY h) <= ${Dedup.JaccardDfCap}),
+      common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+                 FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      truth AS (SELECT ida, idb,
+                  (1000000 * common) // (sa.n_sh + sb.n_sh - common)
+                    AS jac_e6
+                FROM common JOIN dhv sa ON ida = sa.doc_id
+                JOIN dhv sb ON idb = sb.doc_id),
+      u AS (SELECT coalesce(t.jac_e6, 0) AS jac_e6,
+              CASE WHEN p.ida IS NOT NULL THEN 1 ELSE 0 END AS c
+            FROM truth t FULL JOIN pairs p
+              ON t.ida = p.ida AND t.idb = p.idb)
+      SELECT CAST(jac_e6 // 100000 AS INTEGER) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(c) AS BIGINT) AS n_cand,
+        CAST((1000000 * sum(c)) // count(*) AS BIGINT) AS cap_e6
+      FROM u GROUP BY 1 ORDER BY 1""",
     // d03's pairs CTE rolled up by normalized source pair; diagonal
     // rows are intra-source duplication
     "d17_dup_source_matrix" -> s"""

@@ -583,7 +583,11 @@ object Similarity {
     * centroid state lives in the plan (K·dims rows), never on the
     * driver. At a billion vectors this is exactly the Spark MLlib
     * KMeans shape, minus the driver-side collect it does per round. */
-  def kmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+  /** The Lloyd loop state shared by s26 (centroid output) and s27
+    * (assignment-quality output): returns the final per-(bucket, dim)
+    * stats AND the final-round assignment (vec_id, bucket, d2). */
+  private def lloydState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val x = graft.operators.TextHash.fanOut(emb(s, dir))
       .select(col("vec_id"), expr(
         "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
@@ -595,6 +599,7 @@ object Similarity {
       .select(col("vec_id").cast("int").as("bucket"),
         posexplode(col("x")).as(Seq("dim", "mean_e6")))
       .withColumn("n_vectors", lit(0L))
+    var lastAssigned: DataFrame = null
     for (_ <- 1 to KmeansRounds) {
       val cent = stats.groupBy("bucket").agg(expr(
         "transform(array_sort(collect_list(struct(dim, mean_e6))), p -> p.mean_e6)")
@@ -605,6 +610,7 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("bucket"))))
         .filter(col("rn") === 1)
+      lastAssigned = assigned
       val means = assigned
         .select(col("bucket"), posexplode(col("x")).as(Seq("dim", "xv")))
         .groupBy("bucket", "dim")
@@ -617,9 +623,45 @@ object Similarity {
           coalesce(floor(col("sm") / col("n")).cast("long"), col("prev"))
             .as("mean_e6"))
     }
+    (stats, lastAssigned.select(col("vec_id"), col("bucket"), col("d2")))
+  }
+
+  def kmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    val (stats, _) = lloydState(s, dir)
     stats.select(col("bucket"), col("dim").cast("int").as("dim"),
         col("n_vectors"), col("mean_e6"))
       .orderBy("bucket", "dim")
+  }
+
+  /** s27: k-means assignment-quality report — the evaluation half of
+    * s26 (the s15/s14 pattern applied to the trained clustering): per
+    * bucket of the FINAL Lloyd assignment, the member count, the
+    * inertia (within-cluster sum of squared distances — the quantity
+    * an elbow plot tracks across K), and the tightest/loosest member.
+    * Inertia sums `d2 div 1000` PER MEMBER before the aggregate: each
+    * d2 ≤ 64·(2e6)² ≈ 2.6e14, so the scaled per-bucket sum stays
+    * inside BIGINT to ~3×10¹⁵ members — and the element-wise floor is
+    * the same integer op in both engines, keeping the gate exact
+    * (summing raw d2 would overflow BIGINT near 35k members).
+    *
+    * Scale shape: one aggregate over the assignment frame s26 already
+    * computes (K-row broadcast, no extra shuffle class); output is K
+    * rows. Empty clusters report n_vectors = 0. */
+  def kmeansQuality(s: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = lloydState(s, dir)
+    val perBucket = assigned.groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(expr("d2 div 1000")).as("inertia_k"),
+        min("d2").as("min_d2"), max("d2").as("max_d2"))
+    val roster = emb(s, dir).sparkSession.range(KmeansK)
+      .select(col("id").cast("int").as("bucket"))
+    roster.join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        coalesce(col("inertia_k"), lit(0L)).as("inertia_k"),
+        coalesce(col("min_d2"), lit(0L)).as("min_d2"),
+        coalesce(col("max_d2"), lit(0L)).as("max_d2"))
+      .orderBy("bucket")
   }
 
   /** Random-hyperplane signature: bit j of a 16-bit signature is the

@@ -137,6 +137,9 @@ object Extensions {
     // broadcast-K assignment pass + one partial-agg'd (bucket, dim)
     // shuffle — centroid state never touches the driver
     "s26_kmeans_lloyd" -> (Similarity.kmeansLloyd _),
+    // the evaluation half of s26: per-bucket member count, scaled
+    // inertia, tightest/loosest member of the final assignment
+    "s27_kmeans_quality" -> (Similarity.kmeansQuality _),
     // source-pair shingle Jaccard: which sources carry each other's
     // content — hashes shuffle, per-hash fanout ≤ C(|sources|,2)
     "t31_source_similarity" -> (TextAnalysis.sourceSimilarity _),
@@ -378,6 +381,35 @@ object Extensions {
   /** CTE chain ending in `pairs(ida, idb, n_match)` — the MinHash-LSH
     * near-dup pairs of d03, shared by the d06 connected-components
     * oracle. */
+  /** The s26 unrolled-Lloyd CTE chain ending in `st<R>` (per-round
+    * centroid state) and `a<R>` (final assignment with its winning
+    * d2), shared by s26 and the s27 quality report so the loop
+    * definition cannot drift between training and evaluation. */
+  private lazy val kmeansCtes = s"""x AS (SELECT vec_id,
+             [floor(e::DOUBLE * 1000000)::BIGINT for e in embedding] AS x
+           FROM embeddings),
+      st0 AS (SELECT vec_id::INT AS bucket, i - 1 AS dim, x[i] AS mean_e6,
+                0::BIGINT AS n_vectors
+              FROM x, generate_series(1, 64) t(i)
+              WHERE vec_id < ${Similarity.KmeansK}),
+      ${(1 to Similarity.KmeansRounds).map { r =>
+        s"""c$r AS (SELECT bucket, list(mean_e6 ORDER BY dim) AS c
+              FROM st${r - 1} GROUP BY bucket),
+      a$r AS (SELECT vec_id, bucket, x, d2 FROM (
+              SELECT vec_id, bucket, x, d2, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, bucket) AS rn
+              FROM (SELECT x.vec_id, c.bucket, x.x,
+                      list_sum([(x.x[i] - c.c[i]) * (x.x[i] - c.c[i])
+                                for i in generate_series(1, 64)]) AS d2
+                    FROM x CROSS JOIN c$r c)) WHERE rn = 1),
+      m$r AS (SELECT bucket, i - 1 AS dim, count(*) AS n, sum(x[i]) AS sm
+              FROM a$r, generate_series(1, 64) t(i) GROUP BY 1, 2),
+      st$r AS (SELECT p.bucket, p.dim,
+                 coalesce(m.n, 0)::BIGINT AS n_vectors,
+                 coalesce(floor(m.sm / m.n)::BIGINT, p.mean_e6) AS mean_e6
+               FROM st${r - 1} p LEFT JOIN m$r m USING (bucket, dim))"""
+      }.mkString(",\n      ")}"""
+
   private val minhashPairCtes = s"""$minhashBandCtes,
       cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                FROM bands a JOIN bands b ON a.band_idx = b.band_idx
@@ -2153,32 +2185,27 @@ object Extensions {
     // integer squared distance (ties → smallest bucket), floor(sum/n)
     // means, empty clusters carry the previous centroid
     "s26_kmeans_lloyd" -> s"""
-      WITH x AS (SELECT vec_id,
-             [floor(e::DOUBLE * 1000000)::BIGINT for e in embedding] AS x
-           FROM embeddings),
-      st0 AS (SELECT vec_id::INT AS bucket, i - 1 AS dim, x[i] AS mean_e6,
-                0::BIGINT AS n_vectors
-              FROM x, generate_series(1, 64) t(i)
-              WHERE vec_id < ${Similarity.KmeansK}),
-      ${(1 to Similarity.KmeansRounds).map { r =>
-        s"""c$r AS (SELECT bucket, list(mean_e6 ORDER BY dim) AS c
-              FROM st${r - 1} GROUP BY bucket),
-      a$r AS (SELECT vec_id, bucket, x FROM (
-              SELECT x.vec_id, c.bucket, x.x, row_number() OVER (
-                PARTITION BY x.vec_id ORDER BY
-                  list_sum([(x.x[i] - c.c[i]) * (x.x[i] - c.c[i])
-                            for i in generate_series(1, 64)]), c.bucket)
-                AS rn
-              FROM x CROSS JOIN c$r c) WHERE rn = 1),
-      m$r AS (SELECT bucket, i - 1 AS dim, count(*) AS n, sum(x[i]) AS sm
-              FROM a$r, generate_series(1, 64) t(i) GROUP BY 1, 2),
-      st$r AS (SELECT p.bucket, p.dim,
-                 coalesce(m.n, 0)::BIGINT AS n_vectors,
-                 coalesce(floor(m.sm / m.n)::BIGINT, p.mean_e6) AS mean_e6
-               FROM st${r - 1} p LEFT JOIN m$r m USING (bucket, dim))"""
-      }.mkString(",\n      ")}
+      WITH $kmeansCtes
       SELECT bucket, CAST(dim AS INTEGER) AS dim, n_vectors, mean_e6
       FROM st${Similarity.KmeansRounds} ORDER BY bucket, dim""",
+    // the evaluation half of s26: per final-assignment bucket the
+    // member count, scaled inertia (d2 // 1000 per member before the
+    // sum — same element-wise floor as the Spark side), and the
+    // tightest/loosest member; empty clusters report zeros
+    "s27_kmeans_quality" -> s"""
+      WITH $kmeansCtes,
+      pb AS (SELECT bucket, count(*) AS n_vectors,
+               sum(d2 // 1000) AS inertia_k,
+               min(d2) AS min_d2, max(d2) AS max_d2
+             FROM a${Similarity.KmeansRounds} GROUP BY bucket)
+      SELECT CAST(t.bucket AS INTEGER) AS bucket,
+        CAST(coalesce(n_vectors, 0) AS BIGINT) AS n_vectors,
+        CAST(coalesce(inertia_k, 0) AS BIGINT) AS inertia_k,
+        CAST(coalesce(min_d2, 0) AS BIGINT) AS min_d2,
+        CAST(coalesce(max_d2, 0) AS BIGINT) AS max_d2
+      FROM generate_series(0, ${Similarity.KmeansK - 1}) t(bucket)
+      LEFT JOIN pb ON pb.bucket = t.bucket
+      ORDER BY bucket""",
     // per-source TV drift: e9-floored integer probabilities over the
     // corpus top-V terms + rest bucket, same integer divisions as the
     // Spark side (all dividends non-negative, so // == div)

@@ -355,6 +355,7 @@ class PlanSpec extends AnyFunSuite {
       "t33_source_drift", // |sources| × broadcast top-V (≤200-row) grid
                           // + 1-row corpus-total scalar — both bounded
       "s26_kmeans_lloyd", // broadcast K-row (8) centroid side per round
+      "s27_kmeans_quality", // same K-row broadcast (shared Lloyd loop)
       "i12_rocchio_feedback" // i03's 1-row corpus-stats scalar, both rounds
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()

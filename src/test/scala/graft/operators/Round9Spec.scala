@@ -105,6 +105,43 @@ class Round9Spec extends AnyFunSuite {
     assert(out.count() == Similarity.KmeansK * 64L)
   }
 
+  test("d17: the provenance matrix partitions d03's confirmed pairs") {
+    val pairs = Dedup.minhashLshPairs(spark, dir).count()
+    val m = Dedup.dupSourceMatrix(spark, dir).collect()
+    assert(m.nonEmpty)
+    // every confirmed pair lands in exactly one normalized cell
+    assert(m.map(_.getAs[Long]("n_pairs")).sum == pairs,
+      "matrix cells do not partition the d03 pair set")
+    m.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"))
+      // n_match is in [16, 32] per pair (the >=50% signature bar)
+      val n = r.getAs[Long]("n_pairs"); val s = r.getAs[Long]("sum_match")
+      assert(s >= 16 * n && s <= 32 * n,
+        s"sum_match $s outside [16n, 32n] for n=$n")
+    }
+  }
+
+  test("d18: bucket geometry and capture-rate algebra hold") {
+    val rows = Dedup.lshRecallReport(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val n = r.getAs[Long]("n_pairs"); val c = r.getAs[Long]("n_cand")
+      assert(b >= 0 && b <= 10, s"bucket $b outside [0, 10]")
+      assert(c >= 0 && c <= n, s"bucket $b: captured $c of $n")
+      assert(r.getAs[Long]("cap_e6") == 1000000L * c / n)
+    }
+    // d03's >=50% signature bar should not leak pairs below J=0.5 at
+    // the gate SF (measured zero; a small allowance would be the
+    // estimator's variance if the corpus changes)
+    val leaked = rows.filter(_.getAs[Int]("bucket") < 5)
+      .map(_.getAs[Long]("n_cand")).sum
+    val below = rows.filter(_.getAs[Int]("bucket") < 5)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(below == 0 || leaked * 10 <= below,
+      s"sub-threshold capture $leaked of $below exceeds 10%")
+  }
+
   test("s25: LPA communities refine s11's connected components") {
     // labels only travel along mutual edges, so every LPA community
     // must sit inside ONE connected component — the executable form

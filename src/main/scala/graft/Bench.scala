@@ -64,7 +64,8 @@ object Bench {
     * BENCH_DETAIL.json always carries the full map. */
   def compactLine(results: Seq[(String, Double)], total: Double,
       runs: Int, failedRuns: Seq[(String, Int)], resampledTotal: Int,
-      sfDir: String, maxChars: Int = MaxLineChars): String = {
+      sfDir: String, maxChars: Int = MaxLineChars,
+      noisy: Seq[(String, (Double, Double))] = Nil): String = {
     def short(n: String): String = n.takeWhile(_ != '_')
     val ambiguous = results.map(_._1).groupBy(short).exists(_._2.size > 1)
     def key(n: String): String = if (ambiguous) n else short(n)
@@ -85,6 +86,13 @@ object Bench {
           failedRuns.map { case (k, n) => key(k) -> n })(_.toString)
       if (resampledTotal > 0)
         extras ++= s""","resampled":$resampledTotal"""
+      // per-query [min,max] spread for the queries whose samples
+      // disagree most (capped upstream): the in-line evidence that a
+      // median move is host noise (wide spread) vs a plan change
+      if (noisy.nonEmpty)
+        extras ++= ",\"spread\":" + jsonObj(noisy.map {
+          case (k, mm) => key(k) -> mm
+        }) { case (mn, mx) => s"[${fmt(mn)},${fmt(mx)}]" }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":$qs,"runs":$runs,"stat":"median"$extras,""" +
         s""""sf":"$sfDir"}"""
@@ -241,6 +249,37 @@ object Bench {
       else name -> median(times)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Per-query sample spread [min, max] — the executable attribution
+    // for round-over-round drift: a median that moved with a wide
+    // spread (and an unchanged plan fingerprint, below) is host
+    // variance; a tight spread at a new level is a real change. Full
+    // map goes to the detail file; the printed line carries only the
+    // widest few (max/min > 1.5 with a 1s absolute floor, capped at 8
+    // so the line always fits).
+    val spread = names.flatMap { n =>
+      val ts = samples(n)
+      if (ts.isEmpty) None else Some(n -> (ts.min, ts.max))
+    }
+    val noisy = spread
+      .filter { case (_, (mn, mx)) => mx > 1.5 * mn && mx - mn > 1.0 }
+      .sortBy { case (_, (mn, mx)) => -(mx - mn) }
+      .take(8)
+    // Plan fingerprint: md5 of the formatted physical plan with the
+    // volatile tokens (expr ids #123, plan id markers, [id=#n]) and
+    // the data path stripped — stable across runs of the same code,
+    // changed by any real plan-shape change. Recorded per query in the
+    // detail file so a future bench can separate "same plan, slower
+    // host" from "plan regressed" without re-reading source.
+    def planFp(name: String): String =
+      try {
+        val p = SparkEntry.queries(name)(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+          .replaceAll("#\\d+L?", "#")
+          .replaceAll("\\[id=#?\\d+\\]", "")
+          .replaceAll(java.util.regex.Pattern.quote(sfDir), "<sf>")
+        java.security.MessageDigest.getInstance("MD5").digest(
+          p.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      } catch { case _: Throwable => "err" }
 
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the JSON line out of that window (BENCH_r{1,2,4}.json all show
@@ -250,7 +289,8 @@ object Bench {
     // construction) and 3-decimal seconds; the full-name, full-
     // precision record goes to BENCH_DETAIL.json next to the build.
     val line = compactLine(results, total, runs,
-      failedRuns.toSeq.sortBy(_._1), resampled.values.sum, sfDir)
+      failedRuns.toSeq.sortBy(_._1), resampled.values.sum, sfDir,
+      noisy = noisy)
     try {
       val detail = jsonObj(results)(_.toString)
       val errDetail = jsonObj(failedRuns.toSeq.sortBy(_._1))(_.toString)
@@ -260,10 +300,17 @@ object Bench {
       val stoDetail = jsonObj(storagePeak.toSeq.filter(_._2 > 0)
         .sortBy(_._1).map { case (n, b) =>
           n -> (math.round(b / 104857.6) / 10.0) })(_.toString)
+      val spreadDetail = jsonObj(spread) { case (mn, mx) => s"[$mn,$mx]" }
+      val fpDetail = jsonObj(names.map(n => n -> planFp(n)))("\"" + _ + "\"")
       val detailLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","failed_runs":$errDetail,"resampled":$resDetail,"storage_mb":$stoDetail,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","failed_runs":$errDetail,"resampled":$resDetail,"storage_mb":$stoDetail,"spread":$spreadDetail,"plan_fp":$fpDetail,"sf":"$sfDir"}"""
+      // Scale runs write to their OWN artifact (SPARK_GRAFT_BENCH_DETAIL
+      // = e.g. BENCH_SF1.json) so the default sf0.1 driver run can't
+      // overwrite the sf1 evidence a doc cites — the round-9 finding.
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "BENCH_DETAIL.json")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        java.nio.file.Paths.get(detailPath),
         (detailLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")

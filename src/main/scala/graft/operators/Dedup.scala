@@ -78,8 +78,13 @@ object Dedup {
       case Some(cap) =>
         // the exploded postings feed three consumers here (df count +
         // both self-join sides); persist them so the cap costs one
-        // partial-aggregated count + a broadcast anti-join against the
-        // (tiny) stop-shingle list, not a re-explode per branch.
+        // partial-aggregated count + an anti-join against the stop-
+        // shingle list, not a re-explode per branch. The stop list is
+        // usually tiny but its worst case is postings/cap — corpus-
+        // proportional — so it carries no broadcast hint: AQE
+        // broadcasts it while small (it is, at every gate SF) and
+        // degrades to a shuffle anti-join on a boilerplate-heavy
+        // corpus instead of failing the driver.
         // Lifetime caveat (all persists in these builders): the frame
         // is returned lazily, so there is no in-function action to
         // unpersist after — blocks live until spark.catalog.clearCache()
@@ -89,7 +94,7 @@ object Dedup {
           .distinct().persist()
         val stop = exAll.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("h")
-        exAll.join(broadcast(stop), Seq("h"), "left_anti")
+        exAll.join(stop, Seq("h"), "left_anti")
     }
     (ex, sh.select(col("doc_id"), col("n_sh")))
   }
@@ -492,15 +497,17 @@ object Dedup {
     * against mid-sentence edits; d02/d03 cover the shifted class.)
     *
     * Shape: per-row block split (narrow) → block-hash df groupBy
-    * (8-byte longs only) → the df≥2 "boilerplate set" (tiny: the
-    * DISTINCT repeated spans, 153 of 3.4k blocks at sf0.01)
-    * broadcast-joined back → one groupBy(doc_id) reassembles the kept
-    * text in block order. That reassembly is the only shuffle carrying
-    * text, and it carries ≤ the operator's own output (the rewritten
-    * corpus) — the irreducible cost of a rewrite, not an analysis
-    * overhead. If a pathological corpus outgrows the broadcast, the
-    * mark join degrades to a shuffle hash join on the same key —
-    * semantics unchanged.
+    * (8-byte longs only) → the df≥2 "boilerplate set" (small in
+    * practice: the DISTINCT repeated spans, 153 of 3.4k blocks at
+    * sf0.01, but corpus-proportional in the worst case — hence no
+    * broadcast hint; AQE broadcasts it while it fits) joined back →
+    * one groupBy(doc_id) reassembles the kept text in block order.
+    * That reassembly is the only shuffle carrying text, and it
+    * carries ≤ the operator's own output (the rewritten corpus) — the
+    * irreducible cost of a rewrite, not an analysis overhead. If a
+    * pathological corpus outgrows the broadcast threshold, the mark
+    * join degrades to a shuffle hash join on the same key — semantics
+    * unchanged.
     *
     * Output per doc: block counts and the md5 of the kept
     * (boilerplate-stripped, order-preserved) text — integers + a
@@ -522,7 +529,7 @@ object Dedup {
       .groupBy("h").agg(count(lit(1)).as("bdf"))
       .filter(col("bdf") >= 2)
       .select(col("h"), lit(1).as("is_boiler"))
-    bl.join(broadcast(boiler), Seq("h"), "left")
+    bl.join(boiler, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("is_boiler") === 1, 1L).otherwise(0L)).as("n_shared"),
@@ -623,11 +630,13 @@ object Dedup {
     * checks against an EXTERNAL eval set; this checks the pipeline's
     * own split). Same signature algebra as d03/d11 (MinHash k=32,
     * 8×4 bands, ≥50 % agreement); the candidate join is
-    * test-bands ⨝ train-bands with the small test side (10 % of the
-    * corpus by the split rule) broadcast, so the train-side band
-    * table never shuffles — the d11 incremental shape with the t07
-    * split as the batch boundary. Output: which train doc leaks into
-    * which test doc, with the signature-agreement strength. */
+    * test-bands ⨝ train-bands on (band_idx, band_key). The test side
+    * is 10 % of the CORPUS (the split rule is a hash percentage, not
+    * a fixed benchmark), so it grows linearly and carries no
+    * broadcast hint — AQE broadcasts it while it fits and falls back
+    * to a shuffle join at scale, unlike d11 whose batch side is
+    * genuinely bounded by the increment. Output: which train doc
+    * leaks into which test doc, with signature-agreement strength. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     val sigs = shingleHashes(docs(s, dir))
       .filter(col("n_sh") > 0)
@@ -644,7 +653,7 @@ object Dedup {
           "b -> array_join(slice(sig, b * 4 + 1, 4), '-'))")))
       .toDF("doc_id", "band_idx", "band_key")
     val withSplit = sigs.join(split, "doc_id")
-    val cand = broadcast(bandsOf(withSplit.filter(col("split") === "test")))
+    val cand = bandsOf(withSplit.filter(col("split") === "test"))
       .as("a")
       .join(bandsOf(withSplit.filter(col("split") === "train")).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -708,14 +717,17 @@ object Dedup {
     * re-posting itself.
     *
     * Scale shape: consumes the memoized d03 pair frame (checkpoint-
-    * materialized, tiny — confirmed pairs only); the two provenance
-    * lookups broadcast that small side against the corpus doc→source
-    * projection, and the output is at most |sources|² rows. */
+    * materialized); confirmed pairs grow LINEARLY with the corpus
+    * (the planted-dup populations measure exactly ×10 at sf1, ×30 at
+    * sf3 — BASELINE.md), so the provenance joins carry no broadcast
+    * hint: AQE picks broadcast while the pair frame is small and
+    * degrades to a shuffle join when it isn't (the x18 precedent,
+    * Merge.scala). The output is at most |sources|² rows. */
   def dupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("source"))
     val p = minhashLshPairsMemo(s, dir)
-    broadcast(p)
+    p
       .join(d.select(col("doc_id").as("ida"), col("source").as("sa")), "ida")
       .join(d.select(col("doc_id").as("idb"), col("source").as("sb")), "idb")
       .select(least(col("sa"), col("sb")).as("source_a"),
@@ -723,5 +735,75 @@ object Dedup {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"), sum("n_match").as("sum_match"))
       .orderBy("source_a", "source_b")
+  }
+
+  /** d19 window width: 16 whitespace tokens per stride-1 window. */
+  val SubstrToks = 16
+
+  /** d19: exact-substring duplicate spans — the Lee et al. (2022)
+    * "Deduplicating Training Data Makes Language Models Better"
+    * class: find every maximal token run that appears VERBATIM in
+    * more than one document, at ANY alignment. d13 (fixed
+    * [[BlockToks]]-token blocks) only catches block-aligned
+    * boilerplate and d12 only whole-document containment; this closes
+    * the gap with a rolling window at every token position: a window
+    * is duplicated when its hash occurs in ≥ 2 distinct documents,
+    * and overlapping/adjacent duplicated windows merge into maximal
+    * spans (gaps-and-islands, break at gap > [[SubstrToks]]). The
+    * reported [span_start, span_end] token ranges are what a
+    * span-level rewrite would cut — the production form of this
+    * operator is Lee et al.'s suffix-array pass; the rolling-window
+    * chain is its shuffle-friendly equivalent at window granularity.
+    *
+    * Hashing is two-level so the corpus streams ONCE at O(chars) +
+    * O(16·positions) integer folds: per-token rolling hashes (the
+    * shared [[TextHash]] primitive), then each window hash folds the
+    * 16 token-hash longs (seed 7, base 31, mod P) — never re-reading
+    * the window's characters. Hash collisions (1-in-1e9) are treated
+    * as matches by BOTH engines — the d14 convention: the decision is
+    * deterministic and identical cross-engine.
+    *
+    * Scale shape: the stride-1 explode is |tokens| skinny
+    * (doc_id, pos, h) rows — the irreducible cost of the exact class
+    * (Lee et al. pay the same in suffix-array construction); the df
+    * pass is a partial-agg'd groupBy on 8-byte hashes; the match join
+    * is hash-keyed with NO broadcast hint (the duplicated-window set
+    * is corpus-proportional under heavy duplication — AQE decides);
+    * the island merge shuffles matched positions once on doc_id.
+    * Nothing is pairwise: a window shared by d documents costs d
+    * rows, not d². */
+  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    // token hashes once per token (narrow), then the O(16) fold per
+    // position; persisted — the df pass and the match join share it
+    val wins = fanOut(docs(s, dir))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), expr(hashArrayExpr("tk", P)).as("hv"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(hv) >= $SubstrToks THEN " +
+          s"transform(sequence(1, size(hv) - ${SubstrToks - 1}), " +
+          s"i -> aggregate(slice(hv, i, $SubstrToks), 7L, " +
+          s"(a, x) -> (a * 31 + x) % ${P}L)) " +
+          "ELSE cast(array() as array<bigint>) END")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("h"))
+      .persist()
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("wdf"))
+      .filter(col("wdf") >= 2)
+      .select("h")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    wins.join(dup, "h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("pos") - col("prev") > SubstrToks, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SubstrToks - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
   }
 }

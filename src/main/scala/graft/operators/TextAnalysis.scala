@@ -171,15 +171,20 @@ object TextAnalysis {
     * each doc against a corpus LM, drop the tail) with the float
     * log-likelihood replaced by an exact integer mean so the oracle
     * gates it bit-for-bit; a real filter swaps the scoring expression,
-    * not the plan. The model side is vocab²-bound → broadcast; the
-    * doc side is one narrow pair explosion + a key-grain groupBy. */
+    * not the plan. The model side is the OBSERVED-bigram table — it
+    * grows with the corpus, so the join carries no broadcast hint
+    * (AQE broadcasts while it fits); the doc side is one narrow pair
+    * explosion + a key-grain groupBy. */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     val model = bigramLm(s, dir).select(col("w1"), col("w2"), col("p_e6"))
     val docPairs = docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(expr(bigramsExpr("tk"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    docPairs.join(broadcast(model), Seq("w1", "w2"))
+    // no broadcast hint: the observed-bigram model grows with the
+    // corpus (≫ Heaps — pair vocabulary), so AQE decides — broadcast
+    // while the model fits, shuffle hash join when it doesn't
+    docPairs.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e6")).as("sum_p_e6"))
       .select(col("doc_id"), col("n_bigrams"),

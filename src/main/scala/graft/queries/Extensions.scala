@@ -34,6 +34,9 @@ object Extensions {
       Dedup.blockDedup(s, d)),
     // the most-duplicated 8-grams across the corpus (what d13 strips)
     "d14_hot_ngrams" -> (Dedup.hotNgrams _),
+    // Lee-et-al exact-substring spans: maximal cross-doc verbatim
+    // token runs at ANY alignment (d13 misses unaligned overlaps)
+    "d19_substring_spans" -> (Dedup.substringSpans _),
     // sparse TF-vector cosine near-dup, df-capped like d02 — the
     // exhaustive baseline over a deterministic 1-in-k doc_id stride
     // sample (k = 1, i.e. the whole corpus, at every driver SF). An
@@ -672,6 +675,34 @@ object Extensions {
     "d03_dedup_minhash_lsh" -> s"""
       WITH $minhashPairCtes
       SELECT ida, idb, n_match FROM pairs ORDER BY ida, idb""",
+    // stride-1 16-token window hashes (two-level: per-token rolling
+    // hash, then a base-31 fold over the 16 token hashes); a window
+    // duplicated when seen in >= 2 distinct docs; overlapping matched
+    // windows merge into maximal spans (gaps-and-islands, gap > 16)
+    "d19_substring_spans" -> s"""
+      WITH $tkCte,
+      hvv AS (SELECT doc_id, [${rh("t", 1000000007L)} for t in tk] AS hv
+              FROM tk),
+      wg AS (SELECT doc_id, unnest(CASE WHEN len(hv) >= ${Dedup.SubstrToks}
+               THEN [{'p': i, 'h': list_reduce(list_prepend(7::BIGINT,
+                   hv[i:i+${Dedup.SubstrToks - 1}]),
+                   (a, x) -> (a * 31 + x) % 1000000007)}
+                 for i in generate_series(1, len(hv) - ${Dedup.SubstrToks - 1})]
+               ELSE [] END) AS u FROM hvv),
+      w2 AS (SELECT doc_id, u.p AS pos, u.h AS h FROM wg),
+      dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS wdf
+              FROM w2 GROUP BY h) z WHERE wdf >= 2),
+      m AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN dup USING (h)),
+      i1 AS (SELECT doc_id, pos, lag(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+      i2 AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL
+               OR pos - prev > ${Dedup.SubstrToks} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i1)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        CAST(max(pos) + ${Dedup.SubstrToks - 1} AS BIGINT) AS span_end,
+        CAST(count(*) AS BIGINT) AS n_windows
+      FROM i2 GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
     // top-20 hot 8-grams by (df desc, total desc, hash); min(gram)
     // resolves any hash collision identically to the Spark side
     "d14_hot_ngrams" -> s"""

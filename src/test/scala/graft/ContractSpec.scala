@@ -63,6 +63,66 @@ class ContractSpec extends AnyFunSuite {
     assert(massLine.contains("\"failed_n\":300"))
   }
 
+  /** Minimal flat-JSON object extractor for the bench detail files:
+    * returns the `"key":value` pairs of the top-level object named
+    * `section` (values taken verbatim — numbers or quoted strings).
+    * Enough for the fixed shape Bench.scala writes; not a parser. */
+  private def jsonSection(text: String, section: String): Map[String, String] = {
+    val start = text.indexOf("\"" + section + "\":{")
+    if (start < 0) return Map.empty
+    val open = text.indexOf('{', start)
+    var depth = 0; var i = open
+    while ({ // bench values never contain braces, so brace-count is exact
+      if (text(i) == '{') depth += 1
+      if (text(i) == '}') depth -= 1
+      depth > 0
+    }) i += 1
+    val body = text.substring(open + 1, i)
+    raw""""([^"]+)":("[^"]*"|\[[^\]]*\]|[-0-9.eE]+)""".r
+      .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  test("bench median drift vs the committed sf0.1 baseline is attributable") {
+    // Round-9 finding made executable: t19/t24 rose ~20-70% with
+    // unchanged plans, attributed to host variance by prose. This
+    // check does the attribution from artifacts: a query whose median
+    // moved >1.5x (and >1s absolute) AGAINST an unchanged plan
+    // fingerprint, while the census as a whole did NOT shift (median
+    // ratio < 1.2 — i.e., not a uniform host drift), is a plan-level
+    // regression the bench JSON alone can now prove or acquit.
+    val cur = new java.io.File("BENCH_DETAIL.json")
+    val base = new java.io.File("BENCH_SF01_BASE.json")
+    assume(cur.exists && base.exists,
+      "bench artifacts absent - drift attribution skipped")
+    def read(f: java.io.File): String = {
+      val s = scala.io.Source.fromFile(f, "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val (ct, bt) = (read(cur), read(base))
+    def sf(t: String): String =
+      raw""""sf":"([^"]+)"""".r.findFirstMatchIn(t).map(_.group(1)).getOrElse("?")
+    assume(sf(ct) == sf(bt),
+      s"bench SFs differ (${sf(ct)} vs ${sf(bt)}) - not comparable")
+    val (cq, bq) = (jsonSection(ct, "queries"), jsonSection(bt, "queries"))
+    val (cf, bf) = (jsonSection(ct, "plan_fp"), jsonSection(bt, "plan_fp"))
+    val shared = (cq.keySet & bq.keySet).toSeq.sorted
+      .map(n => (n, cq(n).toDouble, bq(n).toDouble))
+      .filter { case (_, c, b) => c > 0 && b > 0 }
+    assume(shared.nonEmpty, "no shared queries - drift check skipped")
+    val ratios = shared.map { case (_, c, b) => c / b }.sorted
+    val censusRatio = ratios(ratios.size / 2)
+    if (censusRatio < 1.2) { // not a uniform host shift
+      val suspects = shared.filter { case (n, c, b) =>
+        c > 1.5 * b && c - b > 1.0 &&
+          cf.get(n).exists(fp => bf.get(n).contains(fp) && fp != "\"err\"")
+      }
+      assert(suspects.isEmpty,
+        "median moved >1.5x with an UNCHANGED plan fingerprint while " +
+          s"the census held (median ratio $censusRatio): " +
+          suspects.map { case (n, c, b) => s"$n $b->$c" }.mkString(", "))
+    }
+  }
+
   test("README census count matches the registered contract") {
     // the README is the driver-facing contract doc; its census went
     // stale twice (146 at a 148 contract) — pin it to the registry so

@@ -358,16 +358,71 @@ class PlanSpec extends AnyFunSuite {
       "s27_kmeans_quality", // same K-row broadcast (shared Lloyd loop)
       "i12_rocchio_feedback" // i03's 1-row corpus-stats scalar, both rounds
     )
+    // Broadcast-HINT inventory (swept in the same loop so the census
+    // walk is paid once): an unconditional broadcast() hint is only
+    // ever acceptable on a frame BOUNDED by construction — a 1-row
+    // data-derived scalar, a K-row/top-K cut, a vocab- or query-
+    // budget-capped roster, or d11's increment-bounded batch side.
+    // A hint on a corpus-PROPORTIONAL frame (round 9's d17 confirmed-
+    // pair set, x15's 10%-of-corpus test split) turns a green query
+    // into a driver OOM at 100×; those hints are gone and this sweep
+    // keeps the invariant: any NEW hint must be enrolled here with its
+    // bound, or the test fails. AQE-chosen broadcasts (no hint in the
+    // analyzed plan) are exempt by construction — they degrade to a
+    // shuffle when the runtime size outgrows the threshold.
+    val hintAllowed: Set[String] = Set(
+      // 1-row data-derived scalars (aggregate totals / cutoffs /
+      // query vectors / quantizer state) crossJoined back over a scan
+      "i03_bm25", "i06_query_expansion", "q20_scalar_subquery",
+      "s08_hybrid_rrf", "s20_sq8_recall", "s22_pagerank",
+      "t22_collocations", "t27_keywords", "x08_upsert",
+      "x10_serving_card", "x11_mixture_sample", "x14_temperature_sample",
+      "x23_embargo_split", "x25_epoch_allocation", "z01_zorder",
+      "z02_pruning_report", "z03_bloom_report", "i02_phrase_search",
+      "i04_proximity_search", "i09_diversified_search", "t33_source_drift",
+      "i12_rocchio_feedback", // + R-doc/E-term capped rosters
+      "d15_cosine_pairs", "d16_cosine_prefix", // 1-row n + permille-cap
+                          // stop list (≤ avg_len·1000/permille terms —
+                          // corpus-INDEPENDENT, unlike d02's absolute cap)
+      // fixed-cardinality dimension sides (TPC-H nation/region/part
+      // dims; q09 IS the MAPJOIN semantic under test)
+      "q09_join_broadcast", "q26_star_join", "q27_sql25_analog",
+      "q40_range_join", // static band dimension
+      // ≤10-row ANN query sides / K-row centroid or probe grids
+      "s01_ann_topk", "s06_pq_adc", "s07_ivf_pq", "s14_ann_recall",
+      "s18_ivf_pq_recall", "s19_filtered_ann", "s21_matryoshka_recall",
+      "s26_kmeans_lloyd", "s27_kmeans_quality", "z04_clustering_depth",
+      // top-K / limit cuts (bounded by the literal K)
+      "d14_hot_ngrams", "t24_vocab_coverage",
+      // fixed probe lists (literal query workloads)
+      "i10_fuzzy_match", "i11_hard_negatives",
+      // increment-bounded batch side — THE documented d11 exception
+      "d11_dedup_incremental",
+      // query-workload-bounded pruned roster (the round-8 adjudicated
+      // fix; the dedicated i07 pin asserts the per-probe term budget)
+      "i07_more_like_this")
     val offenders = scala.collection.mutable.ListBuffer[String]()
+    val hintOffenders = scala.collection.mutable.ListBuffer[String]()
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val p = plan(q(spark, dir))
+      val df = q(spark, dir)
+      val p = plan(df)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct — never acceptable:\n$p")
       if (p.contains("BroadcastNestedLoopJoin") && !nljAllowed(name))
         offenders += name
+      val hints = df.queryExecution.analyzed.collectWithSubqueries {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }
+      if (hints.nonEmpty && !hintAllowed(name)) hintOffenders += name
     }
     assert(offenders.isEmpty,
       s"unexpected nested-loop joins in: ${offenders.mkString(", ")}")
+    assert(hintOffenders.isEmpty,
+      s"un-enrolled broadcast hints in: ${hintOffenders.mkString(", ")} — " +
+        "enroll in hintAllowed ONLY if the hinted frame is bounded by " +
+        "construction (1-row scalar / K-row cut / capped roster / " +
+        "increment), never if it grows with the corpus")
   }
 
   test("contamination join shuffles shingle hashes, not document text") {

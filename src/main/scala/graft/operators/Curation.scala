@@ -412,18 +412,116 @@ object Curation {
     * |vocab|·avg_len rows, not corpus tokens. Two partial-aggregated
     * shuffles (word counts, pair sums) + a TakeOrdered top-32. */
   def bpeMergeCandidates(s: SparkSession, dir: String): DataFrame =
+    bpeMine(charVocab(s, dir))
+
+  /** One merge table per mining pass: top-[[BpeTopMerges]] adjacent
+    * symbol pairs by corpus-weighted count, (count desc, l, r) as the
+    * deterministic total order — t26's rule, factored out so the t34
+    * application rounds re-mine with LITERALLY the same definition. */
+  val BpeTopMerges = 32
+
+  /** The corpus vocabulary as symbol sequences: distinct word,
+    * corpus count, and the word's characters as the round-0 symbols.
+    * Zero-length tokens are excluded on BOTH engines (Spark's
+    * sequence(1, 0) counts DOWN — the TextHash gotcha — so an empty
+    * word would diverge). */
+  private def charVocab(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
+      .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+
+  /** Pair mining over a (w, c, syms) vocabulary: t26's plan shape —
+    * the per-symbol explode touches |vocab|·avg_len rows (Heaps-
+    * bounded), never corpus tokens; two partial-agg'd shuffles + a
+    * TakeOrdered top-K. The size≥2 guard is t26's length≥2 word
+    * filter expressed on symbol sequences. */
+  private def bpeMine(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
       .select(col("c"), explode(expr(
-        "transform(sequence(1, length(w) - 1), " +
-          "i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"))
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
         .as("p"))
       .select(col("p.l").as("l"), col("p.r").as("r"), col("c"))
       .groupBy("l", "r").agg(sum(col("c")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("l"), col("r"))
-      .limit(32)
+      .limit(BpeTopMerges)
+
+  /** One greedy left-to-right merge pass: each symbol sequence is
+    * rewritten in a single fold — at position i, if (sym_i, sym_i+1)
+    * is in the merge table and sym_i was not consumed by the previous
+    * position's merge, emit the concatenation and skip i+1; else emit
+    * sym_i. This is BPE-apply at one-pass granularity (classic BPE
+    * replays one merge at a time; the one-pass form is the unit that
+    * parallelizes, and iterating passes converges to the same
+    * fixed point for non-overlapping merge tables).
+    *
+    * Scale shape: the merge table rides as a 1-row collect_list
+    * (≤ [[BpeTopMerges]] structs — bounded by the literal K) and the
+    * rewrite is a narrow per-row aggregate() fold over the vocabulary
+    * — no shuffle at all; the DuckDB oracle implements the SAME
+    * greedy semantics relationally (runs of matched pairs merge at
+    * alternating positions — gaps-and-islands), so the gate
+    * cross-checks two independent formulations of the pass. */
+  private def bpeApply(vocab: DataFrame, merges: DataFrame): DataFrame = {
+    val mg = merges.agg(collect_list(struct(col("l"), col("r"))).as("mg"))
+    vocab.crossJoin(broadcast(mg)) // ≤32-row merge table as one array row
+      .withColumn("syms", expr(
+        """aggregate(sequence(1, size(syms)),
+             named_struct('out', cast(array() as array<string>), 'skip', false),
+             (st, i) -> CASE
+               WHEN st.skip THEN named_struct('out', st.out, 'skip', false)
+               WHEN i < size(syms) AND array_contains(mg,
+                   named_struct('l', element_at(syms, i),
+                                'r', element_at(syms, i + 1)))
+                 THEN named_struct('out', concat(st.out,
+                     array(concat(element_at(syms, i),
+                       element_at(syms, i + 1)))), 'skip', true)
+               ELSE named_struct('out',
+                 concat(st.out, array(element_at(syms, i))), 'skip', false)
+             END,
+             st -> st.out)"""))
+      .select("w", "c", "syms")
+  }
+
+  /** t34: BPE tokenization — APPLY the mined merges to the corpus,
+    * the step t26 stops short of and the step a token-budget pipeline
+    * (x04 packing, x25 allocation) actually consumes. Two rounds of
+    * (mine top-32 → greedy one-pass apply): round 1 uses t26's merge
+    * table verbatim (shared [[bpeMine]]), round 2 re-mines over the
+    * merged symbol sequences — the fixed-depth prefix of full BPE
+    * training, deterministic and oracle-gated end to end. Output per
+    * document: whitespace-token count, character mass, and the BPE
+    * token count after both rounds — the n_bpe/n_chars ratio is the
+    * compression a tokenizer owner tracks.
+    *
+    * Scale shape: everything expensive happens on the DISTINCT-word
+    * vocabulary (Heaps-bounded — t25 measures it): two minings (t26's
+    * plan) + two narrow fold rewrites. The corpus is touched exactly
+    * twice — once to count words (partial-agg'd groupBy), once to
+    * explode doc tokens and join the |vocab| n_sym map (no broadcast
+    * hint: vocab grows sublinearly but unboundedly, AQE decides) and
+    * re-aggregate per doc_id. */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .persist() // feeds the vocab build AND the per-doc re-aggregate
+    val v0 = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val v1 = bpeApply(v0, bpeMine(v0)).persist() // round-2 mine + apply share it
+    val v2 = bpeApply(v1, bpeMine(v1))
+    val nsym = v2.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    words.join(nsym, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
 
   /** x25 epoch cap (e3): no source repeats more than 4 epochs — the
     * repetition point beyond which pre-training data stops helping

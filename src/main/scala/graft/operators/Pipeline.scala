@@ -97,4 +97,81 @@ object Pipeline {
       .withColumn("n_bins", expr("(tokens_total + 255) div 256L"))
       .orderBy("split", "lang")
   }
+
+  /** x26: the end-to-end PRETRAINING data card — one row per source
+    * joining every per-source diagnostic the library computes, the
+    * way x10 composes the serving card: mixture allocation (x25's
+    * tokens/share/epoch cap), distribution drift (t33's tv_e6 + the
+    * argmax drift term), the strongest raw-content overlap partner
+    * (t32's sketch estimate, symmetrized, ties → partner asc),
+    * confirmed near-dup provenance (d17's matrix split into
+    * intra-source and cross-source pair counts), the t02 quality keep
+    * rate, and the per-source LOWER-median novelty (the rank-⌈n/2⌉
+    * element — exact-integer and engine-identical, unlike an
+    * averaged even-count median). This is the one table a curation
+    * owner reads before setting mixture weights; the gate proves all
+    * six reports join on the shared source key.
+    *
+    * Plan shape at scale: each branch is its standalone operator's
+    * plan (the expensive ones — d17's pair matrix, t32's sketch —
+    * reduce to |sources|-scale outputs before this query touches
+    * them); the card itself is |sources| rows of left joins plus two
+    * doc-level aggregations (quality keep counts, novelty median)
+    * that shuffle (doc_id → source)-keyed longs once each. */
+  def pretrainCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val ep = Curation.epochAllocation(s, dir)
+      .select("source", "n_docs", "tokens", "share_e6", "epochs_e3")
+    val dr = TextAnalysis.sourceDrift(s, dir)
+      .select(col("source"), col("tv_e6"), col("drift_term"))
+    val ovp = TextAnalysis.sourceSimilaritySketch(s, dir)
+      .select(col("source_a"), col("source_b"), col("est_jac_e6"))
+    val ovSym = ovp.select(col("source_a").as("source"),
+        col("source_b").as("partner"), col("est_jac_e6"))
+      .unionAll(ovp.select(col("source_b").as("source"),
+        col("source_a").as("partner"), col("est_jac_e6")))
+    val wOv = Window.partitionBy("source")
+      .orderBy(col("est_jac_e6").desc, col("partner"))
+    val ov = ovSym.withColumn("rn", row_number().over(wOv))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("partner").as("top_overlap_src"),
+        col("est_jac_e6").as("top_overlap_e6"))
+    val dm = Dedup.dupSourceMatrix(s, dir)
+      .select("source_a", "source_b", "n_pairs").persist()
+    val intra = dm.filter(col("source_a") === col("source_b"))
+      .select(col("source_a").as("source"),
+        col("n_pairs").as("intra_dup_pairs"))
+    val offDiag = dm.filter(col("source_a") =!= col("source_b"))
+    val cross = offDiag.select(col("source_a").as("source"), col("n_pairs"))
+      .unionAll(offDiag.select(col("source_b").as("source"), col("n_pairs")))
+      .groupBy("source").agg(sum("n_pairs").as("cross_dup_pairs"))
+    val q = TextAnalysis.quality(s, dir).select(col("doc_id"), col("keep"))
+      .join(d, "doc_id")
+      .groupBy("source")
+      .agg(sum(when(col("keep") === 1, 1L).otherwise(0L)).as("n_keep"))
+    val nvDoc = TextAnalysis.novelty(s, dir)
+      .select(col("doc_id"), col("novelty_e6")).join(d, "doc_id")
+    val nv = nvDoc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("novelty_e6")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("source"), col("novelty_e6").as("med_novelty_e6"))
+    ep.join(dr, Seq("source"), "left")
+      .join(ov, Seq("source"), "left")
+      .join(intra, Seq("source"), "left")
+      .join(cross, Seq("source"), "left")
+      .join(q, Seq("source"), "left")
+      .join(nv, Seq("source"), "left")
+      .na.fill(0L, Seq("intra_dup_pairs", "cross_dup_pairs", "n_keep"))
+      .withColumn("keep_rate_e6", expr("(n_keep * 1000000L) div n_docs"))
+      .withColumn("med_novelty_e6",
+        coalesce(col("med_novelty_e6"), lit(-1L)))
+      .select("source", "n_docs", "tokens", "share_e6", "epochs_e3",
+        "tv_e6", "drift_term", "top_overlap_src", "top_overlap_e6",
+        "intra_dup_pairs", "cross_dup_pairs", "keep_rate_e6",
+        "med_novelty_e6")
+      .orderBy("source")
+  }
 }

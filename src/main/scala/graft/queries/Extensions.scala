@@ -191,6 +191,9 @@ object Extensions {
     "t25_vocab_growth" -> (Curation.vocabGrowth _),
     // BPE round-1 merge candidates: weighted adjacent-pair counts
     "t26_bpe_merges" -> (Curation.bpeMergeCandidates _),
+    // t26 applied: two (mine top-32 -> greedy merge pass) rounds over
+    // the vocabulary, per-doc BPE token counts out
+    "t34_bpe_tokenize" -> (Curation.bpeTokenize _),
     // per-doc top-3 tf·idf keywords (integer linear-idf score)
     "t27_keywords" -> (Curation.keywords _),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
@@ -214,6 +217,9 @@ object Extensions {
     "x03_pipeline" -> (Pipeline.datasetCard _),
     "x04_packing" -> ((s: SparkSession, d: String) => Curation.packing(s, d)),
     "x05_curation_card" -> (Pipeline.curationCard _),
+    // per-source pretraining data card: x25 mixture + t33 drift + t32
+    // overlap + d17 dup provenance + t02 keep rate + t19 novelty median
+    "x26_pretrain_card" -> (Pipeline.pretrainCard _),
     "x06_resample_ffill" -> (TimeSeries.resampleFfill _),
     "x07_anomaly" -> (TimeSeries.anomalies _),
     "x08_upsert" -> (Merge.snapshotUpsert _),
@@ -424,6 +430,51 @@ object Extensions {
         WHERE list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
           for i in generate_series(1, 32)]) * 2 >= 32)"""
 
+  /** One t34 mining pass in relational form: top-K adjacent symbol
+    * pairs of `inRel(w, c, syms)` by corpus-weighted count,
+    * (count desc, l, r) — t26's rule over symbol sequences. */
+  private def bpeMineCtes(inRel: String, outName: String,
+      tag: String): String = s"""
+      mp$tag AS (SELECT c, unnest(CASE WHEN len(syms) >= 2
+          THEN [{'l': syms[i], 'r': syms[i+1]}
+            for i in generate_series(1, len(syms) - 1)] ELSE [] END) AS pr
+        FROM $inRel),
+      $outName AS (SELECT pr.l AS l, pr.r AS r, sum(c) AS pair_count
+        FROM mp$tag GROUP BY 1, 2
+        ORDER BY pair_count DESC, l, r LIMIT ${Curation.BpeTopMerges})"""
+
+  /** One greedy t34 merge pass in relational form — the equivalent of
+    * the Spark side's left-to-right fold: within each run of
+    * consecutive matched pairs, merges land on alternating positions
+    * starting at the run head (gaps-and-islands), a symbol is
+    * consumed when the previous position merged. The gate cross-
+    * checks this formulation against the fold — two independent
+    * derivations of the same pass. */
+  private def bpeApplyCtes(inRel: String, mergesRel: String,
+      outName: String, tag: String): String = s"""
+      p$tag AS (SELECT w, c, u.i AS i, u.sym AS sym, u.nxt AS nxt
+        FROM (SELECT w, c, unnest([{'i': i, 'sym': syms[i],
+            'nxt': CASE WHEN i < len(syms) THEN syms[i+1] ELSE NULL END}
+          for i in generate_series(1, len(syms))]) AS u FROM $inRel) z$tag),
+      f$tag AS (SELECT p.w, p.c, p.i, p.sym, p.nxt,
+          CASE WHEN m.l IS NOT NULL THEN 1 ELSE 0 END AS flag
+        FROM p$tag p LEFT JOIN $mergesRel m
+          ON p.sym = m.l AND p.nxt = m.r),
+      g$tag AS (SELECT w, i, row_number() OVER
+            (PARTITION BY w, i - rnf ORDER BY i) AS rk
+          FROM (SELECT w, i, row_number() OVER
+              (PARTITION BY w ORDER BY i) AS rnf
+            FROM f$tag WHERE flag = 1) zz$tag),
+      mg$tag AS (SELECT w, i FROM g$tag WHERE rk % 2 = 1),
+      e$tag AS (SELECT f.w, f.c, f.i,
+          CASE WHEN mi.i IS NOT NULL THEN f.sym || f.nxt ELSE f.sym END AS sym
+        FROM f$tag f
+        LEFT JOIN mg$tag mi ON f.w = mi.w AND f.i = mi.i
+        LEFT JOIN mg$tag mp ON f.w = mp.w AND f.i = mp.i + 1
+        WHERE mp.i IS NULL),
+      $outName AS (SELECT w, max(c) AS c, list(sym ORDER BY i) AS syms
+        FROM e$tag GROUP BY w)"""
+
   /** t17's bigram model CTE chain ending in `dp(doc_id, w1, w2)` and
     * `model(w1, w2, c12, c1, p_e6)` — shared by t17 and the t18 doc
     * scorer so the model definition cannot drift. */
@@ -610,6 +661,123 @@ object Extensions {
         coalesce(lead(hr) OVER w - 1, -1) AS valid_to_hr, v_e6
       FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY hr)
       ORDER BY user_id, version"""
+
+  /** Oracle bodies shared by their standalone gates AND the x26
+    * pretraining-card composition (the x10 pattern: the composed
+    * stages are LITERALLY the standalone SQL, so they cannot drift). */
+  private val t02Oracle = raw"""
+      WITH f AS (SELECT doc_id, lower(text) AS t FROM documents),
+      g AS (SELECT doc_id, length(t) AS n_chars_seen,
+        length(regexp_replace(t, '[a-z0-9\s]', '', 'g')) AS n_punct,
+        string_split_regex(t, '\s+') AS tk FROM f),
+      h AS (SELECT doc_id, n_chars_seen, n_punct, len(tk) AS n_toks,
+        len(list_distinct(tk)) AS n_types,
+        len(list_filter(tk, x -> list_contains(['the','a','and','of','to'], x))) AS n_stop
+        FROM g),
+      i AS (SELECT doc_id, n_chars_seen, n_toks,
+        CAST(floor(1000000 * (n_punct / n_chars_seen)) AS BIGINT) AS punct_ratio_e6,
+        CAST(floor(1000000 * (n_stop / n_toks)) AS BIGINT) AS stop_ratio_e6,
+        CAST(floor(1000000 * (n_types / n_toks)) AS BIGINT) AS ttr_e6
+        FROM h)
+      SELECT *, CAST(CASE WHEN n_chars_seen >= 100 AND n_toks >= 20
+        AND punct_ratio_e6 < 100000 AND ttr_e6 > 150000 THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM i ORDER BY doc_id"""
+
+  private lazy val t19Oracle = s"""
+      WITH $tkCte, $shCte,
+      hv AS (SELECT doc_id, list_distinct([${rh("s", 1000000007L)} for s in shs]) AS hv
+             FROM sh WHERE len(shs) > 0),
+      ex AS (SELECT doc_id, unnest(hv) AS h FROM hv),
+      df AS (SELECT h, count(*) AS df FROM ex GROUP BY h)
+      SELECT e.doc_id, count(*) AS n_hashes,
+        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        (CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+          // count(*) AS novelty_e6
+      FROM ex e JOIN df ON e.h = df.h
+      GROUP BY e.doc_id ORDER BY doc_id"""
+
+  private val x25Oracle = raw"""
+      WITH ps AS (SELECT source, count(*) AS n_docs,
+               sum(len(string_split_regex(lower(text), '\s+'))) AS tokens
+             FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs, tokens,
+              CAST(floor(sqrt(tokens) * 1000) AS BIGINT) AS sqrt_w
+            FROM ps),
+      tot AS (SELECT sum(tokens) AS total_tokens, sum(sqrt_w) AS sw FROM w)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(tokens AS BIGINT) AS tokens, sqrt_w,
+        CAST((1000000 * sqrt_w) // sw AS BIGINT) AS share_e6,
+        CAST(((total_tokens // 2) * sqrt_w) // sw AS BIGINT)
+          AS target_tokens,
+        CAST(least(${Curation.MaxEpochsE3},
+          (1000 * (((total_tokens // 2) * sqrt_w) // sw)) // tokens)
+          AS BIGINT) AS epochs_e3,
+        CAST((tokens * least(${Curation.MaxEpochsE3},
+          (1000 * (((total_tokens // 2) * sqrt_w) // sw)) // tokens)) // 1000
+          AS BIGINT) AS alloc_tokens
+      FROM w, tot ORDER BY source"""
+
+  private lazy val t32Oracle = s"""
+      WITH $tkCte, $shCte,
+      hv AS (SELECT doc_id, [${rh("s", 1000000007L)} for s in shs] AS hv,
+             len(shs) AS n_sh FROM sh),
+      sigc AS (SELECT d.source, t.i,
+               min(((2*t.i+1)*x.h + 7919*(t.i+1)) % 1000000007) AS v
+               FROM (SELECT doc_id, unnest(hv) AS h FROM hv
+                     WHERE n_sh > 0) x
+               JOIN documents d USING (doc_id),
+               generate_series(0, 31) t(i)
+               GROUP BY 1, 2)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
+          AS match_k,
+        CAST((1000000 * sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)) // 32
+          AS BIGINT) AS est_jac_e6
+      FROM sigc a JOIN sigc b ON a.i = b.i AND a.source < b.source
+      GROUP BY 1, 2
+      ORDER BY source_a, source_b"""
+
+  private lazy val t33Oracle = s"""
+      WITH $tkCte,
+      psa AS (SELECT d.source, term, count(*) AS scnt
+              FROM (SELECT doc_id, unnest(tk) AS term FROM tk) u
+              JOIN documents d USING (doc_id)
+              GROUP BY 1, 2),
+      corpus AS (SELECT term, sum(scnt) AS cnt FROM psa GROUP BY 1),
+      tot AS (SELECT sum(cnt) AS tot FROM corpus),
+      topv AS (SELECT term, cnt FROM corpus
+               ORDER BY cnt DESC, term LIMIT ${TextAnalysis.DriftTopV}),
+      tots AS (SELECT source, sum(scnt) AS tot_s FROM psa GROUP BY 1),
+      grid AS (SELECT s.source, v.term, s.tot_s, t.tot,
+                 coalesce(p.scnt, 0) AS scnt, v.cnt
+               FROM tots s CROSS JOIN topv v CROSS JOIN tot t
+               LEFT JOIN psa p ON p.source = s.source AND p.term = v.term),
+      g2 AS (SELECT *, (scnt * 1000000000) // tot_s AS p_e9,
+               (cnt * 1000000000) // tot AS q_e9 FROM grid),
+      g3 AS (SELECT *, abs(p_e9 - q_e9) AS contrib,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY abs(p_e9 - q_e9) DESC, term) AS rn
+             FROM g2),
+      a AS (SELECT source, tot_s, tot, sum(contrib) AS sum_top,
+              sum(scnt) AS scnt_top, sum(cnt) AS cnt_top,
+              max(CASE WHEN rn = 1 THEN term END) AS drift_term
+            FROM g3 GROUP BY 1, 2, 3)
+      SELECT source, CAST(tot_s AS BIGINT) AS n_tokens,
+        CAST((sum_top + abs(((tot_s - scnt_top) * 1000000000) // tot_s
+            - ((tot - cnt_top) * 1000000000) // tot)) // 2000 AS BIGINT)
+          AS tv_e6,
+        drift_term
+      FROM a ORDER BY source"""
+
+  private lazy val d17Oracle = s"""
+      WITH $minhashPairCtes
+      SELECT least(da.source, db.source) AS source_a,
+        greatest(da.source, db.source) AS source_b,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(n_match) AS BIGINT) AS sum_match
+      FROM pairs JOIN documents da ON ida = da.doc_id
+      JOIN documents db ON idb = db.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> """
@@ -1369,23 +1537,7 @@ object Extensions {
                      WHEN avg_tok_chars_e6 >= 5800000 THEN 'fr'
                      ELSE 'other' END AS lang_pred
       FROM h ORDER BY doc_id""",
-    "t02_quality" -> raw"""
-      WITH f AS (SELECT doc_id, lower(text) AS t FROM documents),
-      g AS (SELECT doc_id, length(t) AS n_chars_seen,
-        length(regexp_replace(t, '[a-z0-9\s]', '', 'g')) AS n_punct,
-        string_split_regex(t, '\s+') AS tk FROM f),
-      h AS (SELECT doc_id, n_chars_seen, n_punct, len(tk) AS n_toks,
-        len(list_distinct(tk)) AS n_types,
-        len(list_filter(tk, x -> list_contains(['the','a','and','of','to'], x))) AS n_stop
-        FROM g),
-      i AS (SELECT doc_id, n_chars_seen, n_toks,
-        CAST(floor(1000000 * (n_punct / n_chars_seen)) AS BIGINT) AS punct_ratio_e6,
-        CAST(floor(1000000 * (n_stop / n_toks)) AS BIGINT) AS stop_ratio_e6,
-        CAST(floor(1000000 * (n_types / n_toks)) AS BIGINT) AS ttr_e6
-        FROM h)
-      SELECT *, CAST(CASE WHEN n_chars_seen >= 100 AND n_toks >= 20
-        AND punct_ratio_e6 < 100000 AND ttr_e6 > 150000 THEN 1 ELSE 0 END AS INTEGER) AS keep
-      FROM i ORDER BY doc_id""",
+    "t02_quality" -> t02Oracle,
     "t03_token_stats" -> raw"""
       WITH f AS (SELECT doc_id, lower(text) AS t FROM documents)
       SELECT doc_id,
@@ -1640,18 +1792,7 @@ object Extensions {
     // corpus-unique shingle share per doc; denominator is the doc's
     // distinct-hash count (within-doc collisions merge identically in
     // both engines via list_distinct / .distinct)
-    "t19_novelty" -> s"""
-      WITH $tkCte, $shCte,
-      hv AS (SELECT doc_id, list_distinct([${rh("s", 1000000007L)} for s in shs]) AS hv
-             FROM sh WHERE len(shs) > 0),
-      ex AS (SELECT doc_id, unnest(hv) AS h FROM hv),
-      df AS (SELECT h, count(*) AS df FROM ex GROUP BY h)
-      SELECT e.doc_id, count(*) AS n_hashes,
-        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-        (CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-          // count(*) AS novelty_e6
-      FROM ex e JOIN df ON e.h = df.h
-      GROUP BY e.doc_id ORDER BY doc_id""",
+    "t19_novelty" -> t19Oracle,
     // identifier-run redaction + deterministic pseudonym; same
     // char-class regex both engines (Curation.IdRunRegex), 'g' flag
     // mirrors Spark regexp_replace's replace-all default
@@ -2108,25 +2249,7 @@ object Extensions {
     // of the d03 signature algebra (k=32), matched-component estimator.
     // Docs with no shingles (< 5 tokens) carry no signature in either
     // engine (WHERE n_sh > 0 here = the Spark-side filter).
-    "t32_source_minhash" -> s"""
-      WITH $tkCte, $shCte,
-      hv AS (SELECT doc_id, [${rh("s", 1000000007L)} for s in shs] AS hv,
-             len(shs) AS n_sh FROM sh),
-      sigc AS (SELECT d.source, t.i,
-               min(((2*t.i+1)*x.h + 7919*(t.i+1)) % 1000000007) AS v
-               FROM (SELECT doc_id, unnest(hv) AS h FROM hv
-                     WHERE n_sh > 0) x
-               JOIN documents d USING (doc_id),
-               generate_series(0, 31) t(i)
-               GROUP BY 1, 2)
-      SELECT a.source AS source_a, b.source AS source_b,
-        CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
-          AS match_k,
-        CAST((1000000 * sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)) // 32
-          AS BIGINT) AS est_jac_e6
-      FROM sigc a JOIN sigc b ON a.i = b.i AND a.source < b.source
-      GROUP BY 1, 2
-      ORDER BY source_a, source_b""",
+    "t32_source_minhash" -> t32Oracle,
     // ordered-wedge triangle closure over the mutual edges (a<b<c,
     // wedges at the lowest vertex), per-corner counts, exact-integer
     // coefficient floored at the same point as the Spark side
@@ -2203,15 +2326,7 @@ object Extensions {
       FROM u GROUP BY 1 ORDER BY 1""",
     // d03's pairs CTE rolled up by normalized source pair; diagonal
     // rows are intra-source duplication
-    "d17_dup_source_matrix" -> s"""
-      WITH $minhashPairCtes
-      SELECT least(da.source, db.source) AS source_a,
-        greatest(da.source, db.source) AS source_b,
-        CAST(count(*) AS BIGINT) AS n_pairs,
-        CAST(sum(n_match) AS BIGINT) AS sum_match
-      FROM pairs JOIN documents da ON ida = da.doc_id
-      JOIN documents db ON idb = db.doc_id
-      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d17_dup_source_matrix" -> d17Oracle,
     // Lloyd k-means unrolled KmeansRounds times: first-K init, argmin
     // integer squared distance (ties → smallest bucket), floor(sum/n)
     // means, empty clusters carry the previous centroid
@@ -2240,37 +2355,7 @@ object Extensions {
     // per-source TV drift: e9-floored integer probabilities over the
     // corpus top-V terms + rest bucket, same integer divisions as the
     // Spark side (all dividends non-negative, so // == div)
-    "t33_source_drift" -> s"""
-      WITH $tkCte,
-      psa AS (SELECT d.source, term, count(*) AS scnt
-              FROM (SELECT doc_id, unnest(tk) AS term FROM tk) u
-              JOIN documents d USING (doc_id)
-              GROUP BY 1, 2),
-      corpus AS (SELECT term, sum(scnt) AS cnt FROM psa GROUP BY 1),
-      tot AS (SELECT sum(cnt) AS tot FROM corpus),
-      topv AS (SELECT term, cnt FROM corpus
-               ORDER BY cnt DESC, term LIMIT ${TextAnalysis.DriftTopV}),
-      tots AS (SELECT source, sum(scnt) AS tot_s FROM psa GROUP BY 1),
-      grid AS (SELECT s.source, v.term, s.tot_s, t.tot,
-                 coalesce(p.scnt, 0) AS scnt, v.cnt
-               FROM tots s CROSS JOIN topv v CROSS JOIN tot t
-               LEFT JOIN psa p ON p.source = s.source AND p.term = v.term),
-      g2 AS (SELECT *, (scnt * 1000000000) // tot_s AS p_e9,
-               (cnt * 1000000000) // tot AS q_e9 FROM grid),
-      g3 AS (SELECT *, abs(p_e9 - q_e9) AS contrib,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY abs(p_e9 - q_e9) DESC, term) AS rn
-             FROM g2),
-      a AS (SELECT source, tot_s, tot, sum(contrib) AS sum_top,
-              sum(scnt) AS scnt_top, sum(cnt) AS cnt_top,
-              max(CASE WHEN rn = 1 THEN term END) AS drift_term
-            FROM g3 GROUP BY 1, 2, 3)
-      SELECT source, CAST(tot_s AS BIGINT) AS n_tokens,
-        CAST((sum_top + abs(((tot_s - scnt_top) * 1000000000) // tot_s
-            - ((tot - cnt_top) * 1000000000) // tot)) // 2000 AS BIGINT)
-          AS tv_e6,
-        drift_term
-      FROM a ORDER BY source""",
+    "t33_source_drift" -> t33Oracle,
     // synchronous LPA unrolled LpaIters times: per round, each vertex
     // adopts the most frequent neighbor label (ties → smallest label)
     "s25_label_propagation" -> s"""
@@ -2537,26 +2622,7 @@ object Extensions {
       FROM jn GROUP BY cluster_sz ORDER BY cluster_sz""",
     // sqrt-damped (floor(sqrt·1000), x14's convention) token-budget
     // split with the 4-epoch cap; every ratio is integer div
-    "x25_epoch_allocation" -> raw"""
-      WITH ps AS (SELECT source, count(*) AS n_docs,
-               sum(len(string_split_regex(lower(text), '\s+'))) AS tokens
-             FROM documents GROUP BY source),
-      w AS (SELECT source, n_docs, tokens,
-              CAST(floor(sqrt(tokens) * 1000) AS BIGINT) AS sqrt_w
-            FROM ps),
-      tot AS (SELECT sum(tokens) AS total_tokens, sum(sqrt_w) AS sw FROM w)
-      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-        CAST(tokens AS BIGINT) AS tokens, sqrt_w,
-        CAST((1000000 * sqrt_w) // sw AS BIGINT) AS share_e6,
-        CAST(((total_tokens // 2) * sqrt_w) // sw AS BIGINT)
-          AS target_tokens,
-        CAST(least(${Curation.MaxEpochsE3},
-          (1000 * (((total_tokens // 2) * sqrt_w) // sw)) // tokens)
-          AS BIGINT) AS epochs_e3,
-        CAST((tokens * least(${Curation.MaxEpochsE3},
-          (1000 * (((total_tokens // 2) * sqrt_w) // sw)) // tokens)) // 1000
-          AS BIGINT) AS alloc_tokens
-      FROM w, tot ORDER BY source""",
+    "x25_epoch_allocation" -> x25Oracle,
     // postings of query-term docs only reach the co-occurrence
     // groupBy; lift in exact-integer e6
     "i06_query_expansion" -> s"""
@@ -2723,6 +2789,25 @@ object Extensions {
       SELECT pr.l AS l, pr.r AS r, CAST(sum(c) AS BIGINT) AS pair_count
       FROM p GROUP BY pr.l, pr.r
       ORDER BY pair_count DESC, l, r LIMIT 32""",
+    // two (mine -> greedy apply) rounds on the char-symbol vocabulary,
+    // then per-doc token counts through the word -> n_sym map
+    "t34_bpe_tokenize" -> s"""
+      WITH $tkCte,
+      wdf AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(tk) AS w
+              FROM tk) wd0 WHERE length(w) >= 1),
+      v0 AS (SELECT w, count(*) AS c,
+               [w[i] for i in generate_series(1, length(w))] AS syms
+             FROM wdf GROUP BY w),
+      ${bpeMineCtes("v0", "m1", "a")},
+      ${bpeApplyCtes("v0", "m1", "v1", "a")},
+      ${bpeMineCtes("v1", "m2", "b")},
+      ${bpeApplyCtes("v1", "m2", "v2", "b")},
+      nsym AS (SELECT w, len(syms) AS n_sym FROM v2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(length(w)) AS BIGINT) AS n_chars,
+        CAST(sum(n_sym) AS BIGINT) AS n_bpe
+      FROM wdf JOIN nsym USING (w)
+      GROUP BY doc_id ORDER BY doc_id""",
     "x04_packing" -> s"""
       WITH $tkCte,
       n AS (SELECT d.doc_id, d.source, len(tk.tk)::BIGINT AS n_toks
@@ -2736,6 +2821,57 @@ object Extensions {
         CAST((end_tok - n_toks) // 256 AS BIGINT) AS bin_first,
         CAST((end_tok - 1) // 256 AS BIGINT) AS bin_last
       FROM c ORDER BY doc_id""",
+    // the card embeds the x25/t33/t32/d17/t02/t19 oracle bodies
+    // verbatim — six standalone gates composed on the source key
+    "x26_pretrain_card" -> s"""
+      WITH ep AS (SELECT * FROM ($x25Oracle)),
+      dr AS (SELECT source, tv_e6, drift_term FROM ($t33Oracle)),
+      ovp AS (SELECT source_a, source_b, est_jac_e6 FROM ($t32Oracle)),
+      ovs AS (SELECT source_a AS source, source_b AS partner, est_jac_e6
+              FROM ovp
+              UNION ALL
+              SELECT source_b, source_a, est_jac_e6 FROM ovp),
+      ov AS (SELECT source, partner AS top_overlap_src,
+               est_jac_e6 AS top_overlap_e6
+             FROM (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY est_jac_e6 DESC, partner) AS rn FROM ovs) z
+             WHERE rn = 1),
+      dmm AS (SELECT source_a, source_b, n_pairs FROM ($d17Oracle)),
+      intra AS (SELECT source_a AS source, n_pairs AS intra_dup_pairs
+                FROM dmm WHERE source_a = source_b),
+      crs0 AS (SELECT source_a AS source, n_pairs FROM dmm
+               WHERE source_a <> source_b
+               UNION ALL
+               SELECT source_b, n_pairs FROM dmm
+               WHERE source_a <> source_b),
+      crs AS (SELECT source, sum(n_pairs) AS cross_dup_pairs
+              FROM crs0 GROUP BY source),
+      qk AS (SELECT d.source,
+               sum(CASE WHEN q.keep = 1 THEN 1 ELSE 0 END) AS n_keep
+             FROM ($t02Oracle) q JOIN documents d USING (doc_id)
+             GROUP BY d.source),
+      nvd AS (SELECT d.source, n.novelty_e6
+              FROM ($t19Oracle) n JOIN documents d USING (doc_id)),
+      nv AS (SELECT source, novelty_e6 AS med_novelty_e6 FROM (
+               SELECT source, novelty_e6,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY novelty_e6) AS rn,
+                 count(*) OVER (PARTITION BY source) AS cnt FROM nvd) z
+             WHERE rn = (cnt + 1) // 2)
+      SELECT ep.source, ep.n_docs, ep.tokens, ep.share_e6, ep.epochs_e3,
+        dr.tv_e6, dr.drift_term, ov.top_overlap_src, ov.top_overlap_e6,
+        CAST(coalesce(intra.intra_dup_pairs, 0) AS BIGINT)
+          AS intra_dup_pairs,
+        CAST(coalesce(crs.cross_dup_pairs, 0) AS BIGINT)
+          AS cross_dup_pairs,
+        CAST((coalesce(qk.n_keep, 0) * 1000000) // ep.n_docs AS BIGINT)
+          AS keep_rate_e6,
+        CAST(coalesce(nv.med_novelty_e6, -1) AS BIGINT)
+          AS med_novelty_e6
+      FROM ep LEFT JOIN dr USING (source) LEFT JOIN ov USING (source)
+      LEFT JOIN intra USING (source) LEFT JOIN crs USING (source)
+      LEFT JOIN qk USING (source) LEFT JOIN nv USING (source)
+      ORDER BY ep.source""",
     // normalize → blocklist → split → decontaminate → sample → pack,
     // each stage the same rule as its standalone query (t08, t09,
     // t07, t11, t13, x04)

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-10 operators that the row-hash
+  * oracle can't express: d19's span geometry and its containment of
+  * the exact-duplicate class, t34's tokenization algebra (merging
+  * conserves characters and only ever shrinks counts, within the
+  * 2-round compression bound), and x26's composition law (every card
+  * column equals the standalone operator it claims to embed). */
+class Round10Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.01"
+
+  test("d19: span geometry — maximal, disjoint, window-consistent") {
+    val w = Dedup.SubstrToks
+    val spans = Dedup.substringSpans(spark, dir).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      val (st, en, nw) = (r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_windows"))
+      assert(st >= 1 && en - st >= w - 1,
+        s"span [$st,$en] shorter than one window")
+      // n_windows = matched positions in [st, en-w+1]: at least the
+      // endpoints' windows, at most every position in the span
+      assert(nw >= 1 && nw <= en - st - w + 2,
+        s"span [$st,$en] claims $nw windows > ${en - st - w + 2} positions")
+    }
+    // spans within a doc are maximal: islands break at gap > w, so
+    // consecutive spans are separated by MORE than adjacency
+    spans.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ss) =>
+      val sorted = ss.map(r => (r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).sortBy(_._1).toSeq
+      sorted.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          assert(s2 > e1 + 1, s"doc $id: spans [..,$e1],[$s2,..] should " +
+            "have merged into one island")
+        case _ =>
+      }
+    }
+  }
+
+  test("d19 equals an independent single-machine replica of the chain") {
+    // the whole operator re-derived in plain Scala from the raw texts
+    // (same two-level hash algebra, independent window/df/island
+    // logic) — a third derivation alongside the Spark plan and the
+    // DuckDB oracle, catching any error the two engines share in
+    // their SQL formulations but not in first principles
+    val w = Dedup.SubstrToks
+    val P = TextHash.P
+    def rh(s: String): Long =
+      if (s.isEmpty) 7L else s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    val texts = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("\\s+").toSeq)
+    val winsByDoc = texts.map { case (id, tk) =>
+      val hv = tk.map(rh)
+      id -> (if (hv.size >= w)
+        hv.sliding(w).map(_.foldLeft(7L)((a, x) => (a * 31 + x) % P))
+          .zipWithIndex.map { case (h, i) => (i + 1, h) }.toSeq
+      else Seq.empty[(Int, Long)])
+    }
+    val df = winsByDoc.flatMap { case (id, ws) => ws.map(x => (x._2, id)) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).distinct.size }
+    val expected = winsByDoc.flatMap { case (id, ws) =>
+      val matched = ws.filter(x => df(x._2) >= 2).map(_._1).sorted
+      if (matched.isEmpty) Seq.empty
+      else {
+        val islands = matched.tail.foldLeft(List(List(matched.head))) {
+          case (acc @ (cur :: rest), p) =>
+            if (p - cur.head > w) List(p) :: acc
+            else (p :: cur) :: rest
+          case (Nil, p) => List(List(p))
+        }
+        islands.reverse.map { isl =>
+          (id, isl.min.toLong, isl.max.toLong + w - 1, isl.size.toLong)
+        }
+      }
+    }.toSet
+    assert(expected.nonEmpty, "replica found no spans — the pin checks nothing")
+    val got = Dedup.substringSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"operator diverges from the first-principles replica: " +
+        s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+  }
+
+  test("t34: tokenization algebra and compression bounds") {
+    val rows = Curation.bpeTokenize(spark, dir).collect()
+    val nDocs = graft.engine.Tables.t(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "a document fell out of the token card")
+    rows.foreach { r =>
+      val (nw, nc, nb) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe"))
+      assert(nw >= 1 && nc >= nw, s"degenerate counts ($nw, $nc)")
+      // merging never splits: every word is >= 1 token, <= its chars
+      assert(nb >= nw && nb <= nc, s"n_bpe=$nb outside [$nw,$nc]")
+      // 2 one-pass rounds: a symbol is at most 4 chars, so the token
+      // count cannot compress below a quarter of the char mass
+      assert(4 * nb >= nc, s"n_bpe=$nb breaks the 2-round bound vs $nc chars")
+    }
+    // the merges DID apply: the corpus as a whole compressed
+    val (totB, totC) = rows.foldLeft((0L, 0L)) { case ((b, c), r) =>
+      (b + r.getAs[Long]("n_bpe"), c + r.getAs[Long]("n_chars")) }
+    assert(totB < totC, "no merge ever applied — t34 degenerated to chars")
+  }
+
+  test("x26 card columns equal the standalone gates they embed") {
+    val card = Pipeline.pretrainCard(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // x25: tokens/share/epochs
+    Curation.epochAllocation(spark, dir).collect().foreach { r =>
+      val c = card(r.getAs[String]("source"))
+      assert(c.getAs[Long]("tokens") == r.getAs[Long]("tokens") &&
+        c.getAs[Long]("share_e6") == r.getAs[Long]("share_e6") &&
+        c.getAs[Long]("epochs_e3") == r.getAs[Long]("epochs_e3"))
+    }
+    // t33: drift
+    TextAnalysis.sourceDrift(spark, dir).collect().foreach { r =>
+      val c = card(r.getAs[String]("source"))
+      assert(c.getAs[Long]("tv_e6") == r.getAs[Long]("tv_e6") &&
+        c.getAs[String]("drift_term") == r.getAs[String]("drift_term"))
+    }
+    // t32: the card's top overlap is the max est_jac_e6 of the pairs
+    val pairs = TextAnalysis.sourceSimilaritySketch(spark, dir).collect()
+      .flatMap { r =>
+        val (a, b, e) = (r.getAs[String]("source_a"),
+          r.getAs[String]("source_b"), r.getAs[Long]("est_jac_e6"))
+        Seq(a -> ((e, b)), b -> ((e, a)))
+      }.groupBy(_._1)
+    pairs.foreach { case (src, es) =>
+      val best = es.map(_._2).maxBy { case (e, p) => (e, -p.hashCode) }
+      val expMax = es.map(_._2._1).max
+      val c = card(src)
+      assert(c.getAs[Long]("top_overlap_e6") == expMax,
+        s"$src: card overlap ${c.getAs[Long]("top_overlap_e6")} != $expMax")
+      // tie rule: smallest partner among the argmax set
+      val expPartner = es.map(_._2).filter(_._1 == expMax).map(_._2).min
+      assert(c.getAs[String]("top_overlap_src") == expPartner)
+      val _ = best // maxBy kept only for clarity of intent above
+    }
+    // d17: intra + cross pair conservation — each off-diagonal pair
+    // counts once for each endpoint, diagonals once
+    val dm = Dedup.dupSourceMatrix(spark, dir).collect()
+    val cardIntra = card.values.map(_.getAs[Long]("intra_dup_pairs")).sum
+    val cardCross = card.values.map(_.getAs[Long]("cross_dup_pairs")).sum
+    val dmIntra = dm.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getAs[Long]("n_pairs")).sum
+    val dmCross = dm.filter(r => r.getString(0) != r.getString(1))
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(cardIntra == dmIntra && cardCross == 2 * dmCross,
+      s"dup-pair mass not conserved: ($cardIntra,$cardCross) vs " +
+        s"($dmIntra,2*$dmCross)")
+  }
+}

@@ -356,7 +356,9 @@ class PlanSpec extends AnyFunSuite {
                           // + 1-row corpus-total scalar — both bounded
       "s26_kmeans_lloyd", // broadcast K-row (8) centroid side per round
       "s27_kmeans_quality", // same K-row broadcast (shared Lloyd loop)
-      "i12_rocchio_feedback" // i03's 1-row corpus-stats scalar, both rounds
+      "i12_rocchio_feedback", // i03's 1-row corpus-stats scalar, both rounds
+      "t34_bpe_tokenize", // 1-row ≤32-struct merge-table crossJoin per round
+      "x26_pretrain_card" // composes x25's + t33's 1-row totals scalars
     )
     // Broadcast-HINT inventory (swept in the same loop so the census
     // walk is paid once): an unconditional broadcast() hint is only
@@ -380,6 +382,7 @@ class PlanSpec extends AnyFunSuite {
       "x23_embargo_split", "x25_epoch_allocation", "z01_zorder",
       "z02_pruning_report", "z03_bloom_report", "i02_phrase_search",
       "i04_proximity_search", "i09_diversified_search", "t33_source_drift",
+      "x26_pretrain_card", // composes x25's 1-row + t33's top-V hints
       "i12_rocchio_feedback", // + R-doc/E-term capped rosters
       "d15_cosine_pairs", "d16_cosine_prefix", // 1-row n + permille-cap
                           // stop list (≤ avg_len·1000/permille terms —
@@ -394,6 +397,7 @@ class PlanSpec extends AnyFunSuite {
       "s26_kmeans_lloyd", "s27_kmeans_quality", "z04_clustering_depth",
       // top-K / limit cuts (bounded by the literal K)
       "d14_hot_ngrams", "t24_vocab_coverage",
+      "t34_bpe_tokenize", // 1-row collect_list of the ≤32-pair merge table
       // fixed probe lists (literal query workloads)
       "i10_fuzzy_match", "i11_hard_negatives",
       // increment-bounded batch side — THE documented d11 exception
@@ -475,6 +479,32 @@ class PlanSpec extends AnyFunSuite {
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2,
       s"expected partial+final aggregate pair in the sketch reduce:\n$p")
+  }
+
+  test("d19 shuffles window hashes only — never text, never pairwise") {
+    // the exact-substring chain's scale contract: the stride-1 explode
+    // reduces to (doc_id, pos, h) longs BEFORE any exchange; a text
+    // column in a shuffle would be corpus-bandwidth-bound, and any
+    // pair join would make duplication density quadratic
+    val p = plan(graft.operators.Dedup.substringSpans(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"d19 must stay hash-keyed:\n$p")
+    val cols = hashExchangeCols(p)
+    assert(cols.nonEmpty, s"expected hash exchanges in the d19 plan:\n$p")
+    cols.foreach(c => assert(!c.contains("text"),
+      s"d19 shuffles document text: [$c]"))
+  }
+
+  test("t34 rewrites stay narrow: no shuffle carries symbol arrays") {
+    // the BPE apply pass is a per-row fold over the vocabulary; only
+    // (word, count) aggregations and the final doc_id re-aggregate may
+    // shuffle — a syms array in an exchange means the rewrite stopped
+    // being narrow
+    val p = plan(graft.operators.Curation.bpeTokenize(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"t34 must not plan a cartesian:\n$p")
+    hashExchangeCols(p).foreach(c => assert(!c.contains("syms"),
+      s"t34 shuffles a symbol array: [$c]"))
   }
 
   test("s25 LPA rounds stay equi-join + window — no label-frame blowup") {

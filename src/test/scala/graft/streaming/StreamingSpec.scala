@@ -530,4 +530,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp,
       s"streamed cells diverge from the gated t33: $got vs $exp")
   }
+
+  test("streaming per-source MinHash sketch reproduces the gated t32") {
+    // t32's mergeability made live: the per-(source, i) running min is
+    // the whole state (≤ |sources|·k rows), and pairing the final
+    // state yields est_jac_e6 EXACTLY — replayed across two triggers
+    // so a trigger boundary provably cannot leak into the estimate
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.engine.Tables.t(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val mem = MemoryStream[(String, String)]
+    val q = StreamMinhash
+      .sourceMinhashStream(mem.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("mh_out")
+      .outputMode("complete").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    val state = spark.table("mh_out").persist()
+    val streamed = StreamMinhash.pairEstimates(state).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val nSources = state.select("source").distinct().count()
+    val stateRows = state.count()
+    q.stop()
+    assert(stateRows <= nSources * graft.operators.Dedup.MinhashK,
+      s"sketch state $stateRows outgrew |sources|·k")
+    val batch = graft.operators.TextAnalysis
+      .sourceSimilaritySketch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"streamed sketch pairs diverge from the gated t32")
+  }
 }

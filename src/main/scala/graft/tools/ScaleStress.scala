@@ -113,6 +113,34 @@ object ScaleStress {
     val d13Boiler = blBoiler.count()
     val d13Hits = blBoiler.agg(sum("n").cast("long")).head.getLong(0)
 
+    // d19: the stride-1 window universe, the duplicated-hash set (the
+    // join side that must NOT be broadcast-hinted), and the matched
+    // rows the island merge shuffles — all must grow ~linearly for
+    // the exact-substring chain to hold (mirrors Dedup.substringSpans)
+    val winTbl = TextHash.fanOut(docs)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        expr(TextHash.hashArrayExpr("tk", TextHash.P)).as("hv"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(hv) >= ${Dedup.SubstrToks} THEN " +
+          s"transform(sequence(1, size(hv) - ${Dedup.SubstrToks - 1}), " +
+          s"i -> aggregate(slice(hv, i, ${Dedup.SubstrToks}), 7L, " +
+          s"(a, x) -> (a * 31 + x) % ${TextHash.P}L)) " +
+          "ELSE cast(array() as array<bigint>) END")).as("h"))
+    val hstats = winTbl
+      .groupBy("h").agg(count(lit(1)).as("rows"),
+        countDistinct(col("doc_id")).as("wdf"))
+      .filter(col("wdf") >= 2).persist()
+    val d19Windows = winTbl.count()
+    val d19DupHashes = hstats.count()
+    val d19Matched = hstats.agg(sum("rows").cast("long")).head.getLong(0)
+    val d19Spans = Dedup.substringSpans(spark, dir).count()
+
+    // t34: the Heaps-bounded vocabulary every expensive stage runs on
+    val t34Vocab = docs
+      .select(explode(TextHash.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1).distinct().count()
+
     // CC rounds + output cardinalities (clusters runs the fixpoint)
     val d06Rows = DupCluster.clusters(spark, dir).count()
     val d06Rounds = DupCluster.lastFixpointRounds
@@ -143,6 +171,9 @@ object ScaleStress {
       s"""{"dir":"$dir","cand":{"d02":$d02,"d03":$d03,"d04":$d04,""" +
         s""""d08":$d08,"d11":$d11},""" +
         s""""d13":{"boiler_blocks":$d13Boiler,"doc_hits":$d13Hits},""" +
+        s""""d19":{"windows":$d19Windows,"dup_hashes":$d19DupHashes,""" +
+        s""""matched_rows":$d19Matched,"spans":$d19Spans},""" +
+        s""""t34_vocab":$t34Vocab,""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds,"s11":$s11Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +
         s""""d08":$d08Rows,"d09":$d09Rows,"s11":$s11Rows,""" +

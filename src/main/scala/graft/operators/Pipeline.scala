@@ -121,11 +121,16 @@ object Pipeline {
   def pretrainCard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    // ONE corpus tokenize+shingle+hash pass, shared by the novelty
+    // and sketch branches (each standalone gate builds its own; the
+    // card would otherwise pay the narrow pass twice). Compact per-doc
+    // hash arrays — the same cache class t19 already persists.
+    val sh = shingleHashes(Tables.t(s, dir, "documents")).persist()
     val ep = Curation.epochAllocation(s, dir)
       .select("source", "n_docs", "tokens", "share_e6", "epochs_e3")
     val dr = TextAnalysis.sourceDrift(s, dir)
       .select(col("source"), col("tv_e6"), col("drift_term"))
-    val ovp = TextAnalysis.sourceSimilaritySketch(s, dir)
+    val ovp = TextAnalysis.sourceSimilaritySketchFrom(sh, d)
       .select(col("source_a"), col("source_b"), col("est_jac_e6"))
     val ovSym = ovp.select(col("source_a").as("source"),
         col("source_b").as("partner"), col("est_jac_e6"))
@@ -150,7 +155,7 @@ object Pipeline {
       .join(d, "doc_id")
       .groupBy("source")
       .agg(sum(when(col("keep") === 1, 1L).otherwise(0L)).as("n_keep"))
-    val nvDoc = TextAnalysis.novelty(s, dir)
+    val nvDoc = TextAnalysis.noveltyFrom(sh)
       .select(col("doc_id"), col("novelty_e6")).join(d, "doc_id")
     val nv = nvDoc
       .withColumn("rn", row_number().over(

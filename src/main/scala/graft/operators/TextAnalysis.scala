@@ -224,10 +224,16 @@ object TextAnalysis {
     * drift. Denominator is the doc's DISTINCT hash count (hash
     * collisions inside a doc merge shingles on both engines
     * identically). */
-  def novelty(s: SparkSession, dir: String): DataFrame = {
+  def novelty(s: SparkSession, dir: String): DataFrame =
+    noveltyFrom(shingleHashes(docs(s, dir)))
+
+  /** t19's chain from a prebuilt `shingleHashes` frame — x26 shares
+    * ONE corpus tokenize+shingle+hash pass between this and the t32
+    * sketch branch instead of paying it per diagnostic. */
+  def noveltyFrom(sh: DataFrame): DataFrame = {
     // persisted: feeds the corpus-wide df count and the per-doc join
     // back (lifetime: clearCache — see TextHash's cache note)
-    val ex = shingleHashes(docs(s, dir))
+    val ex = sh
       .filter(col("n_sh") > 0)
       .select(col("doc_id"), explode(col("hv")).as("h"))
       .distinct()
@@ -1097,9 +1103,18 @@ object TextAnalysis {
     * in either engine. */
   def sourceSimilaritySketch(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val merged = shingleHashes(d)
+    sourceSimilaritySketchFrom(shingleHashes(d),
+      d.select(col("doc_id"), col("source")))
+  }
+
+  /** t32's chain from a prebuilt `shingleHashes` frame + a
+    * (doc_id, source) map — the x26 shared-pass form (see
+    * [[noveltyFrom]]). */
+  def sourceSimilaritySketchFrom(sh: DataFrame,
+      srcMap: DataFrame): DataFrame = {
+    val merged = sh
       .filter(col("n_sh") > 0)
-      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .join(srcMap, "doc_id")
       .select(col("source"),
         posexplode(expr(minhashExpr("hv", Dedup.MinhashK))).as(Seq("i", "v")))
       .groupBy("source", "i").agg(min("v").as("v"))

@@ -81,7 +81,9 @@ class CacheSpec extends AnyFunSuite {
                                // the census's one corpus-scale persist
                                // by design (t32 is its sketch path)
       "t32_source_minhash",   // persists only |sources|·k component rows
-      "s25_label_propagation") // persists the n·k symmetric edge list
+      "s25_label_propagation", // persists the n·k symmetric edge list
+      "x26_pretrain_card")    // composition: shared shingle-hash pass +
+                              // its branches' own persists, all compact
     heavies.foreach { name =>
       spark.catalog.clearCache()
       val floor = storageBytes()

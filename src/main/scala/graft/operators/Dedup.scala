@@ -772,7 +772,13 @@ object Dedup {
     * the island merge shuffles matched positions once on doc_id.
     * Nothing is pairwise: a window shared by d documents costs d
     * rows, not d². */
-  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+  def substringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpansCore(s, dir).orderBy("doc_id", "span_start")
+
+  /** The d19 chain without the presentation sort — shared with the
+    * d20 rewrite so the span definition cannot drift between the
+    * report and the rewrite that consumes it. */
+  private def substringSpansCore(s: SparkSession, dir: String): DataFrame = {
     // token hashes once per token (narrow), then the O(16) fold per
     // position; persisted — the df pass and the match join share it
     val wins = fanOut(docs(s, dir))
@@ -804,6 +810,45 @@ object Dedup {
         (max(col("pos")) + lit(SubstrToks - 1).cast("long")).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
-      .orderBy("doc_id", "span_start")
+  }
+
+  /** d20: exact-substring REWRITE — d19's detection applied, the d13
+    * rewrite discipline at rolling-window granularity: every token
+    * covered by a duplicated span is stripped, and each document
+    * reports its token count, the stripped mass, and the md5 of the
+    * kept (order-preserved) text. This is the operation Lee et al.
+    * actually run on the corpus (their result is that REMOVING the
+    * spans improves the model); d19 is its audit report.
+    *
+    * Scale shape: the span table explodes into covered positions —
+    * linear in the stripped mass, never in span count × length
+    * algebra (spans are disjoint per doc, so positions are unique);
+    * the strip is one (doc_id, pos) anti-join of skinny longs; the
+    * only text-carrying shuffle is the kept-text reassembly, bounded
+    * by the operator's own output (d13's argument verbatim). */
+  def substringRewrite(s: SparkSession, dir: String): DataFrame = {
+    val cov = substringSpansCore(s, dir)
+      .select(col("doc_id"),
+        explode(expr("sequence(span_start, span_end)")).as("pos"))
+    val toks = fanOut(docs(s, dir))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist() // n_toks projection + the kept reassembly share it
+    val tp = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val keptAgg = tp.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(md5(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+        " ")).as("kept_md5_nn"))
+    val covAgg = cov.groupBy("doc_id").agg(count(lit(1)).as("n_covered_nn"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"))
+      .join(covAgg, Seq("doc_id"), "left")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .withColumn("n_covered", coalesce(col("n_covered_nn"), lit(0L)))
+      .withColumn("kept_md5", coalesce(col("kept_md5_nn"), md5(lit(""))))
+      .select("doc_id", "n_toks", "n_covered", "kept_md5")
+      .orderBy("doc_id")
   }
 }

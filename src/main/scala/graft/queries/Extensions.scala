@@ -37,6 +37,8 @@ object Extensions {
     // Lee-et-al exact-substring spans: maximal cross-doc verbatim
     // token runs at ANY alignment (d13 misses unaligned overlaps)
     "d19_substring_spans" -> (Dedup.substringSpans _),
+    // d19 applied: spans stripped, kept-text digest per doc
+    "d20_substring_rewrite" -> (Dedup.substringRewrite _),
     // sparse TF-vector cosine near-dup, df-capped like d02 — the
     // exhaustive baseline over a deterministic 1-in-k doc_id stride
     // sample (k = 1, i.e. the whole corpus, at every driver SF). An
@@ -769,6 +771,33 @@ object Extensions {
         drift_term
       FROM a ORDER BY source"""
 
+  /** The d19 exact-substring chain ending in
+    * `sp(doc_id, span_start, span_end, n_windows)` — shared by the
+    * d19 report and the d20 rewrite so the span definition cannot
+    * drift between detection and application. */
+  private lazy val d19SpanCtes = s"""$tkCte,
+      hvv AS (SELECT doc_id, [${rh("t", 1000000007L)} for t in tk] AS hv
+              FROM tk),
+      wg AS (SELECT doc_id, unnest(CASE WHEN len(hv) >= ${Dedup.SubstrToks}
+               THEN [{'p': i, 'h': list_reduce(list_prepend(7::BIGINT,
+                   hv[i:i+${Dedup.SubstrToks - 1}]),
+                   (a, x) -> (a * 31 + x) % 1000000007)}
+                 for i in generate_series(1, len(hv) - ${Dedup.SubstrToks - 1})]
+               ELSE [] END) AS u FROM hvv),
+      w2 AS (SELECT doc_id, u.p AS pos, u.h AS h FROM wg),
+      dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS wdf
+              FROM w2 GROUP BY h) z WHERE wdf >= 2),
+      m AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN dup USING (h)),
+      i1 AS (SELECT doc_id, pos, lag(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+      i2 AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL
+               OR pos - prev > ${Dedup.SubstrToks} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i1),
+      sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + ${Dedup.SubstrToks - 1} AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+             FROM i2 GROUP BY doc_id, island)"""
+
   private lazy val d17Oracle = s"""
       WITH $minhashPairCtes
       SELECT least(da.source, db.source) AS source_a,
@@ -848,29 +877,30 @@ object Extensions {
     // duplicated when seen in >= 2 distinct docs; overlapping matched
     // windows merge into maximal spans (gaps-and-islands, gap > 16)
     "d19_substring_spans" -> s"""
-      WITH $tkCte,
-      hvv AS (SELECT doc_id, [${rh("t", 1000000007L)} for t in tk] AS hv
-              FROM tk),
-      wg AS (SELECT doc_id, unnest(CASE WHEN len(hv) >= ${Dedup.SubstrToks}
-               THEN [{'p': i, 'h': list_reduce(list_prepend(7::BIGINT,
-                   hv[i:i+${Dedup.SubstrToks - 1}]),
-                   (a, x) -> (a * 31 + x) % 1000000007)}
-                 for i in generate_series(1, len(hv) - ${Dedup.SubstrToks - 1})]
-               ELSE [] END) AS u FROM hvv),
-      w2 AS (SELECT doc_id, u.p AS pos, u.h AS h FROM wg),
-      dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS wdf
-              FROM w2 GROUP BY h) z WHERE wdf >= 2),
-      m AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN dup USING (h)),
-      i1 AS (SELECT doc_id, pos, lag(pos) OVER
-               (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
-      i2 AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL
-               OR pos - prev > ${Dedup.SubstrToks} THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i1)
-      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        CAST(max(pos) + ${Dedup.SubstrToks - 1} AS BIGINT) AS span_end,
-        CAST(count(*) AS BIGINT) AS n_windows
-      FROM i2 GROUP BY doc_id, island
+      WITH $d19SpanCtes
+      SELECT doc_id, span_start, span_end, n_windows FROM sp
       ORDER BY doc_id, span_start""",
+    // d19 applied: strip every token covered by a duplicated span,
+    // md5 the kept text in order (d13's rewrite discipline)
+    "d20_substring_rewrite" -> s"""
+      WITH $d19SpanCtes,
+      cov AS (SELECT doc_id, unnest(generate_series(span_start, span_end))
+                AS pos FROM sp),
+      tp AS (SELECT doc_id, u.i AS pos, u.t AS tok
+             FROM (SELECT doc_id, unnest([{'i': i, 't': tk[i]}
+                 for i in generate_series(1, len(tk))]) AS u FROM tk) z),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tp t
+               LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+               WHERE c.pos IS NULL),
+      ka AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ')
+               AS kept_txt FROM kept GROUP BY doc_id),
+      ca AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_toks,
+        CAST(coalesce(ca.n_cov, 0) AS BIGINT) AS n_covered,
+        md5(coalesce(ka.kept_txt, '')) AS kept_md5
+      FROM tk d LEFT JOIN ca ON d.doc_id = ca.doc_id
+      LEFT JOIN ka ON d.doc_id = ka.doc_id
+      ORDER BY d.doc_id""",
     // top-20 hot 8-grams by (df desc, total desc, hash); min(gram)
     // resolves any hash collision identically to the Spark side
     "d14_hot_ngrams" -> s"""

@@ -96,6 +96,29 @@ class Round10Spec extends AnyFunSuite {
         s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
   }
 
+  test("d20 conserves token mass against the d19 spans") {
+    // the rewrite's covered mass must equal the span report's total
+    // span length per doc (spans are disjoint islands), and stripping
+    // everything/nothing must produce the documented digests
+    val spans = Dedup.substringSpans(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, ss) => id -> ss.map(r =>
+        r.getAs[Long]("span_end") - r.getAs[Long]("span_start") + 1).sum }
+    val rw = Dedup.substringRewrite(spark, dir).collect()
+    assert(rw.nonEmpty)
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    rw.foreach { r =>
+      val (id, nt, nc) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("n_covered"))
+      assert(nc == spans.getOrElse(id, 0L),
+        s"doc $id: rewrite covered $nc != span mass ${spans.getOrElse(id, 0L)}")
+      assert(nc <= nt, s"doc $id: covered $nc > $nt tokens")
+      if (nc == nt) assert(r.getAs[String]("kept_md5") == emptyMd5,
+        s"doc $id fully covered but kept_md5 is not md5('')")
+    }
+  }
+
   test("t34: tokenization algebra and compression bounds") {
     val rows = Curation.bpeTokenize(spark, dir).collect()
     val nDocs = graft.engine.Tables.t(spark, dir, "documents").count()

@@ -179,4 +179,58 @@ object Pipeline {
         "med_novelty_e6")
       .orderBy("source")
   }
+
+  /** x27 repetition cut: documents whose 3-gram duplicate share (t06's
+    * dup3_e6) reaches this are dropped at the funnel's second stage
+    * (the Gopher repetition-rule class: heavy within-doc repetition is
+    * boilerplate/gibberish regardless of the other signals). */
+  val FunnelMaxDup3E6 = 500000L
+
+  /** x27: filter-funnel card — the per-source survivor table every
+    * dataset paper publishes: how many documents (and surviving
+    * tokens) remain after each stage of the production filter stack,
+    * applied CUMULATIVELY in pipeline order: rule-based quality (t02)
+    * → within-doc repetition (t06, cut at [[FunnelMaxDup3E6]]) →
+    * model-based classifier (t35) → exact dedup (d01's corpus-level
+    * winner rule — a non-winner copy is dropped regardless of which
+    * filter stage its twin reached, matching a production pipeline
+    * where dedup consults the corpus-wide hash index). Every stage IS
+    * the standalone operator's DataFrame (the x26 discipline), so the
+    * funnel cannot drift from the gated single-stage queries.
+    *
+    * Scale shape: each stage frame reduces to (doc_id, flag) longs
+    * before joining — four doc_id-keyed equi-joins of skinny rows plus
+    * one |sources|-row aggregate; AQE co-partitions the joins and no
+    * frame here is broadcast-hinted (all four sides are
+    * corpus-proportional). The stage flags multiply (0/1 ints) instead
+    * of re-filtering, so the card reads every funnel level out of ONE
+    * pass over the joined frame. keep_rate_e6 divides two nonnegative
+    * counts (trunc = floor — engine-portable). */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(Tables.t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    val q = TextAnalysis.quality(s, dir).select(col("doc_id"), col("keep"))
+    val r = TextAnalysis.repetition(s, dir)
+      .select(col("doc_id"),
+        (col("dup3_e6") < FunnelMaxDup3E6).cast("int").as("rep_ok"))
+    val c = TextAnalysis.classifierScore(s, dir)
+      .select(col("doc_id"), col("keep_cls"))
+    val u = Dedup.exact(s, dir).select(col("doc_id"), lit(1).as("is_winner"))
+    d.join(q, "doc_id").join(r, "doc_id").join(c, "doc_id")
+      .join(u, Seq("doc_id"), "left")
+      .na.fill(0, Seq("is_winner"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_quality"),
+        sum(col("keep") * col("rep_ok")).cast("long").as("n_clean"),
+        sum(col("keep") * col("rep_ok") * col("keep_cls")).cast("long")
+          .as("n_cls"),
+        sum(col("keep") * col("rep_ok") * col("keep_cls") * col("is_winner"))
+          .cast("long").as("n_unique"),
+        sum(col("n_toks") * col("keep") * col("rep_ok") * col("keep_cls")
+          * col("is_winner")).cast("long").as("tokens_kept"))
+      .withColumn("keep_rate_e6", expr("(n_unique * 1000000L) div n_docs"))
+      .orderBy("source")
+  }
 }

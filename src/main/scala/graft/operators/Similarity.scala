@@ -1281,4 +1281,80 @@ object Similarity {
     // is a single-task window at 100 TB; consumers wanting "top-N
     // central" run orderBy(pr_e9).limit(N) — TakeOrdered, scale-safe
   }
+
+  /** s28 shortlist width (per query, from the exact s01 scorer) and
+    * the number of greedy MMR picks reported. */
+  val MmrShortlist = 20
+  val MmrK = 5
+
+  /** Sentinel `maxsim` for the first MMR pick (max over an empty
+    * selected set): below any possible cosine, so round 1 reduces to
+    * pure relevance in both engines. */
+  val MmrEmptySim = -2.0d
+
+  /** s28: maximal-marginal-relevance re-rank (Carbonell & Goldstein
+    * 1998) of the exact ANN shortlist — embedding-space result
+    * DIVERSIFICATION, the complement of i09's source-quota rule:
+    * instead of capping a metadata facet, each greedy round picks the
+    * candidate maximizing λ·rel − (1−λ)·max-sim-to-already-picked
+    * (λ = 0.5, so the argmax is rel − maxsim; doubles compare
+    * bit-identically cross-engine because both sides are the same
+    * sequential [[FloatVecDot]] fold, ties broken by neighbor_id).
+    *
+    * Scale shape: the corpus-scale work is exactly s01's broadcast
+    * scorer (≤10-row query side — the enrolled-bounded hint class);
+    * everything after the shortlist cut operates on
+    * |queries|·[[MmrShortlist]] rows, and each of the [[MmrK]] greedy
+    * rounds is one equi-join + partial agg + per-query window on that
+    * bounded frame — the Lloyd/LPA fixed-unroll discipline, no
+    * driver-side selection state. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir)).persist() // query + corpus share norms
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val wSh = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    var cand = e.as("c").join(broadcast(q), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.embedding").as("nv"), col("c.nrm").as("nnrm"),
+        (expr(dotExpr("qv", "c.embedding")) /
+          (col("qnrm") * col("c.nrm"))).as("rel"))
+      .withColumn("rk", row_number().over(wSh))
+      .filter(col("rk") <= MmrShortlist)
+      .select("query_id", "neighbor_id", "nv", "nnrm", "rel")
+      .persist() // the MmrK greedy rounds re-scan this bounded frame
+    var selected: DataFrame = null
+    for (pick <- 1 to MmrK) {
+      val withMax =
+        if (selected == null) cand.withColumn("maxsim", lit(MmrEmptySim))
+        else {
+          val selE = selected.select(col("query_id"),
+            col("nv").as("sv"), col("nnrm").as("snrm"))
+          val ms = cand.join(selE, "query_id")
+            .select(col("query_id"), col("neighbor_id"),
+              (expr(dotExpr("nv", "sv")) /
+                (col("nnrm") * col("snrm"))).as("sim"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(max(col("sim")).as("maxsim"))
+          cand.join(ms, Seq("query_id", "neighbor_id"))
+        }
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy((col("rel") - col("maxsim")).desc, col("neighbor_id"))
+      val picked = withMax.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("nv"),
+          col("nnrm"), col("rel"), col("maxsim"),
+          lit(pick).as("pick"))
+      selected =
+        if (selected == null) picked else selected.unionByName(picked)
+      cand = cand.join(picked.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    }
+    selected
+      .select(col("query_id"), col("pick"), col("neighbor_id"),
+        floor(col("rel") * 1000000).cast("long").as("rel_e6"),
+        floor(col("maxsim") * 1000000).cast("long").as("maxsim_e6"))
+      .orderBy("query_id", "pick")
+  }
 }

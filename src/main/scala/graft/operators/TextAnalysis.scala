@@ -1273,4 +1273,52 @@ object TextAnalysis {
         col("orig_e6"), col("exp_e6"), col("score_e6"))
       .orderBy("rank")
   }
+
+  /** t35 feature-hash space: unigrams + word bigrams hashed into
+    * [[ClsBuckets]] buckets — the fastText bag-of-ngrams layout. */
+  val ClsBuckets = 4096L
+
+  /** t35 weight magnitude bound: pseudo-weights land in
+    * [-ClsWeightE6, ClsWeightE6] on the e6 fixed-point scale. */
+  val ClsWeightE6 = 100000L
+
+  /** t35: hashed linear quality classifier — fastText-style model
+    * INFERENCE, the model-based filtering step (fastText/DCLM-class
+    * quality classifiers) that rule-based t02 cannot express. Each
+    * document's unigram + bigram features hash into [[ClsBuckets]]
+    * buckets; the document score is the sum of the bucket weights it
+    * hits (with multiplicity — term frequency weighting), and the
+    * keep decision is score ≥ 0. No trained model exists in this
+    * container, so the weight TABLE is derived deterministically from
+    * the bucket id (a Knuth-multiplicative scramble onto
+    * [-[[ClsWeightE6]], [[ClsWeightE6]]]); the *serving shape* — a
+    * corpus-scale feature stream joined against a bounded external
+    * weight artifact — is the operator, exactly the langId precedent
+    * (profile → score → argmax as the pipeline shape).
+    *
+    * Scale shape: features are a narrow per-row explode to skinny
+    * (doc_id, bucket) longs; the weight side is [[ClsBuckets]] rows
+    * BY CONSTRUCTION (a model artifact, independent of corpus size) —
+    * the broadcast hint is the legal kind the PlanSpec allowlist
+    * enrolls; the score-sum groupBy partial-aggregates 8-byte keys.
+    * The keep rule compares the integer SUM against zero (no
+    * division, so no trunc-vs-floor cross-engine hazard on negative
+    * scores). */
+  def classifierScore(s: SparkSession, dir: String): DataFrame = {
+    val w = s.range(ClsBuckets)
+      .select(col("id").as("bucket"),
+        (((col("id") + 1L) * lit(2654435761L)) % lit(P)
+          % lit(2L * ClsWeightE6 + 1L) - lit(ClsWeightE6)).as("w_e6"))
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        expr(s"concat(tk, ${ngramsExpr("tk", 2)})").as("fts"))
+      .select(col("doc_id"), explode(expr(hashArrayExpr("fts", P))).as("h"))
+      .select(col("doc_id"), (col("h") % ClsBuckets).as("bucket"))
+      .join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w_e6").as("score_sum_e6"))
+      .withColumn("keep_cls", (col("score_sum_e6") >= 0L).cast("int"))
+      .orderBy("doc_id")
+  }
 }

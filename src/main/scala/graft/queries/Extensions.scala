@@ -91,6 +91,8 @@ object Extensions {
     "i12_rocchio_feedback" -> ((s: SparkSession, d: String) =>
       TextAnalysis.rocchioFeedback(s, d)),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
+    // greedy MMR diversification of the s01 shortlist (λ = 0.5)
+    "s28_mmr_rerank" -> (Similarity.mmrRerank _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     "s04_ivf_centroids" -> (Similarity.ivfCentroids _),
@@ -198,6 +200,9 @@ object Extensions {
     "t34_bpe_tokenize" -> (Curation.bpeTokenize _),
     // per-doc top-3 tf·idf keywords (integer linear-idf score)
     "t27_keywords" -> (Curation.keywords _),
+    // fastText-style hashed linear classifier inference: unigram +
+    // bigram buckets joined against a bounded external weight table
+    "t35_classifier_score" -> (TextAnalysis.classifierScore _),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
@@ -222,6 +227,9 @@ object Extensions {
     // per-source pretraining data card: x25 mixture + t33 drift + t32
     // overlap + d17 dup provenance + t02 keep rate + t19 novelty median
     "x26_pretrain_card" -> (Pipeline.pretrainCard _),
+    // per-source filter-funnel card: survivors after each cumulative
+    // stage of the filter stack (t02 -> t06 -> t35 -> d01)
+    "x27_filter_funnel" -> (Pipeline.filterFunnel _),
     "x06_resample_ffill" -> (TimeSeries.resampleFfill _),
     "x07_anomaly" -> (TimeSeries.anomalies _),
     "x08_upsert" -> (Merge.snapshotUpsert _),
@@ -684,6 +692,93 @@ object Extensions {
       SELECT *, CAST(CASE WHEN n_chars_seen >= 100 AND n_toks >= 20
         AND punct_ratio_e6 < 100000 AND ttr_e6 > 150000 THEN 1 ELSE 0 END AS INTEGER) AS keep
       FROM i ORDER BY doc_id"""
+
+  private val t06Oracle = s"""
+      WITH $tkCte,
+      g AS (SELECT doc_id,
+        CASE WHEN len(tk) >= 2 THEN [array_to_string(tk[i:i+1], ' ')
+          for i in generate_series(1, len(tk)-1)] ELSE [] END AS g2,
+        CASE WHEN len(tk) >= 3 THEN [array_to_string(tk[i:i+2], ' ')
+          for i in generate_series(1, len(tk)-2)] ELSE [] END AS g3
+        FROM tk),
+      h AS (SELECT doc_id, len(g2) AS n2, len(list_distinct(g2)) AS n2d,
+              len(g3) AS n3, len(list_distinct(g3)) AS n3d FROM g)
+      SELECT doc_id, CAST(n2 AS INTEGER) AS n2, CAST(n3 AS INTEGER) AS n3,
+        CASE WHEN n2 > 0 THEN CAST(floor(1000000 * ((n2 - n2d) / n2)) AS BIGINT)
+             ELSE 0::BIGINT END AS dup2_e6,
+        CASE WHEN n3 > 0 THEN CAST(floor(1000000 * ((n3 - n3d) / n3)) AS BIGINT)
+             ELSE 0::BIGINT END AS dup3_e6
+      FROM h ORDER BY doc_id"""
+
+  /** t35's feature stream (unigram + bigram rolling hashes mod P,
+    * bucketed) joined against the deterministic pseudo-weight table —
+    * the constants interpolate from [[TextAnalysis]] so the two
+    * engines (and the x27 funnel embedding) can never drift. */
+  private val t35Oracle = s"""
+      WITH $tkCte,
+      f AS (SELECT doc_id, list_concat(tk,
+        CASE WHEN len(tk) >= 2 THEN [array_to_string(tk[i:i+1], ' ')
+          for i in generate_series(1, len(tk)-1)] ELSE [] END) AS fts FROM tk),
+      e AS (SELECT doc_id, (${rh("x", 1000000007L)}) % ${TextAnalysis.ClsBuckets} AS bucket
+            FROM (SELECT doc_id, unnest(fts) AS x FROM f) z),
+      w AS (SELECT i AS bucket,
+              ((i + 1) * 2654435761) % 1000000007
+                % ${2L * TextAnalysis.ClsWeightE6 + 1L}
+                - ${TextAnalysis.ClsWeightE6} AS w_e6
+            FROM generate_series(0, ${TextAnalysis.ClsBuckets - 1}) t(i))
+      SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        CAST(sum(w.w_e6) AS BIGINT) AS score_sum_e6,
+        CAST(CASE WHEN sum(w.w_e6) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep_cls
+      FROM e JOIN w USING (bucket)
+      GROUP BY e.doc_id ORDER BY doc_id"""
+
+  /** s28's greedy selection unrolled to [[Similarity.MmrK]] rounds —
+    * generated (not hand-copied) so the round count, shortlist width,
+    * λ = 0.5 argmax `rel − maxsim`, and the empty-set sentinel all
+    * interpolate from the Spark-side constants. Every double here is
+    * the same sequential fold the Spark plan computes, so the greedy
+    * argmax ties out bit-identically. */
+  private lazy val s28Oracle: String = {
+    val rounds = (2 to Similarity.MmrK).map { r =>
+      s"""
+      cand$r AS (SELECT c.* FROM cand c LEFT JOIN sel${r - 1} s
+                 ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+                 WHERE s.neighbor_id IS NULL),
+      ms$r AS (SELECT c.query_id, c.neighbor_id,
+                 max(${cos("c.nv", "s.nv")}) AS maxsim
+               FROM cand$r c JOIN sel${r - 1} s ON c.query_id = s.query_id
+               GROUP BY c.query_id, c.neighbor_id),
+      p$r AS (SELECT query_id, neighbor_id, nv, rel, maxsim, $r AS pick FROM (
+                SELECT c.query_id, c.neighbor_id, c.nv, c.rel, m.maxsim,
+                  row_number() OVER (PARTITION BY c.query_id
+                    ORDER BY c.rel - m.maxsim DESC, c.neighbor_id) AS rn
+                FROM cand$r c JOIN ms$r m
+                  ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id) z
+              WHERE rn = 1),
+      sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)"""
+    }.mkString(",")
+    s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT query_id, c.vec_id AS neighbor_id, c.embedding AS nv,
+               ${cos("qv", "c.embedding")} AS rel
+             FROM embeddings c JOIN q ON query_id <> c.vec_id),
+      cand AS (SELECT query_id, neighbor_id, nv, rel FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, neighbor_id) AS rk FROM sc) z
+               WHERE rk <= ${Similarity.MmrShortlist}),
+      p1 AS (SELECT query_id, neighbor_id, nv, rel,
+               ${Similarity.MmrEmptySim}::DOUBLE AS maxsim, 1 AS pick FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel - (${Similarity.MmrEmptySim}) DESC, neighbor_id) AS rn
+               FROM cand) z
+             WHERE rn = 1),
+      sel1 AS (SELECT * FROM p1),$rounds
+      SELECT query_id, CAST(pick AS INTEGER) AS pick, neighbor_id,
+        CAST(floor(rel * 1000000) AS BIGINT) AS rel_e6,
+        CAST(floor(maxsim * 1000000) AS BIGINT) AS maxsim_e6
+      FROM sel${Similarity.MmrK} ORDER BY query_id, pick"""
+  }
 
   private lazy val t19Oracle = s"""
       WITH $tkCte, $shCte,
@@ -1247,6 +1342,7 @@ object Extensions {
               (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
             FROM scored) t
       WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "s28_mmr_rerank" -> s28Oracle,
     "s02_ann_lsh" -> s"""
       WITH sigs AS (SELECT vec_id, embedding,
         CAST(list_sum([CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
@@ -1599,22 +1695,8 @@ object Extensions {
              ELSE (255::BIGINT * 1000000007) // kth_hash END AS est_distinct,
         exact_distinct
       FROM topk, exact""",
-    "t06_repetition" -> s"""
-      WITH $tkCte,
-      g AS (SELECT doc_id,
-        CASE WHEN len(tk) >= 2 THEN [array_to_string(tk[i:i+1], ' ')
-          for i in generate_series(1, len(tk)-1)] ELSE [] END AS g2,
-        CASE WHEN len(tk) >= 3 THEN [array_to_string(tk[i:i+2], ' ')
-          for i in generate_series(1, len(tk)-2)] ELSE [] END AS g3
-        FROM tk),
-      h AS (SELECT doc_id, len(g2) AS n2, len(list_distinct(g2)) AS n2d,
-              len(g3) AS n3, len(list_distinct(g3)) AS n3d FROM g)
-      SELECT doc_id, CAST(n2 AS INTEGER) AS n2, CAST(n3 AS INTEGER) AS n3,
-        CASE WHEN n2 > 0 THEN CAST(floor(1000000 * ((n2 - n2d) / n2)) AS BIGINT)
-             ELSE 0::BIGINT END AS dup2_e6,
-        CASE WHEN n3 > 0 THEN CAST(floor(1000000 * ((n3 - n3d) / n3)) AS BIGINT)
-             ELSE 0::BIGINT END AS dup3_e6
-      FROM h ORDER BY doc_id""",
+    "t06_repetition" -> t06Oracle,
+    "t35_classifier_score" -> t35Oracle,
     "t07_hash_split" -> s"""
       WITH f AS (SELECT doc_id, lower(text) AS t FROM documents),
       g AS (SELECT doc_id, ${rh("t", 1000000007L)} % 100 AS h_mod FROM f)
@@ -2902,6 +2984,34 @@ object Extensions {
       LEFT JOIN intra USING (source) LEFT JOIN crs USING (source)
       LEFT JOIN qk USING (source) LEFT JOIN nv USING (source)
       ORDER BY ep.source""",
+    // cumulative filter funnel: every stage embeds the standalone
+    // oracle body (t02 / t06 / t35) or rule (d01's md5 winner), so the
+    // funnel and the single-stage gates cannot drift
+    "x27_filter_funnel" -> s"""
+      WITH base AS (SELECT doc_id, source,
+              len(string_split_regex(lower(text), '\\s+')) AS n_toks
+            FROM documents),
+      q AS (SELECT doc_id, keep FROM ($t02Oracle) z),
+      r AS (SELECT doc_id, CASE WHEN dup3_e6 < ${Pipeline.FunnelMaxDup3E6}
+              THEN 1 ELSE 0 END AS rep_ok FROM ($t06Oracle) z),
+      c AS (SELECT doc_id, keep_cls FROM ($t35Oracle) z),
+      u AS (SELECT min(doc_id) AS doc_id, 1 AS is_winner
+            FROM documents GROUP BY md5(lower(text))),
+      j AS (SELECT b.source, b.n_toks, q.keep, r.rep_ok, c.keep_cls,
+              coalesce(u.is_winner, 0) AS is_winner
+            FROM base b JOIN q USING (doc_id) JOIN r USING (doc_id)
+            JOIN c USING (doc_id) LEFT JOIN u USING (doc_id))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(keep) AS BIGINT) AS n_quality,
+        CAST(sum(keep * rep_ok) AS BIGINT) AS n_clean,
+        CAST(sum(keep * rep_ok * keep_cls) AS BIGINT) AS n_cls,
+        CAST(sum(keep * rep_ok * keep_cls * is_winner) AS BIGINT)
+          AS n_unique,
+        CAST(sum(n_toks * keep * rep_ok * keep_cls * is_winner) AS BIGINT)
+          AS tokens_kept,
+        CAST((sum(keep * rep_ok * keep_cls * is_winner) * 1000000)
+          // count(*) AS BIGINT) AS keep_rate_e6
+      FROM j GROUP BY source ORDER BY source""",
     // normalize → blocklist → split → decontaminate → sample → pack,
     // each stage the same rule as its standalone query (t08, t09,
     // t07, t11, t13, x04)

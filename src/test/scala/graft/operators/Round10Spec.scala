@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * oracle can't express: d19's span geometry and its containment of
   * the exact-duplicate class, t34's tokenization algebra (merging
   * conserves characters and only ever shrinks counts, within the
-  * 2-round compression bound), and x26's composition law (every card
-  * column equals the standalone operator it claims to embed). */
+  * 2-round compression bound), x26's composition law (every card
+  * column equals the standalone operator it claims to embed), t35's
+  * classifier algebra (feature census + decision rule re-derived from
+  * first principles), and x27's funnel monotonicity/conservation. */
 class Round10Spec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -185,5 +187,109 @@ class Round10Spec extends AnyFunSuite {
     assert(cardIntra == dmIntra && cardCross == 2 * dmCross,
       s"dup-pair mass not conserved: ($cardIntra,$cardCross) vs " +
         s"($dmIntra,2*$dmCross)")
+  }
+
+  test("t35 equals a first-principles replica of the classifier") {
+    // feature extraction (unigrams + bigrams), hashing, bucketing,
+    // the weight scramble, and the sign decision re-derived in plain
+    // Scala from the raw texts — the d19-replica discipline
+    val P = TextHash.P
+    def rh(s: String): Long =
+      if (s.isEmpty) 7L else s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    def wOf(b: Long): Long =
+      ((b + 1) * 2654435761L) % P %
+        (2 * TextAnalysis.ClsWeightE6 + 1) - TextAnalysis.ClsWeightE6
+    val expected = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val tk = r.getString(1).toLowerCase.split("\\s+").toSeq
+        val fts = tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        val score = fts.map(f => wOf(rh(f) % TextAnalysis.ClsBuckets)).sum
+        r.getLong(0) -> ((fts.size.toLong, score))
+      }.toMap
+    val rows = TextAnalysis.classifierScore(spark, dir).collect()
+    assert(rows.length == expected.size, "a document fell out of t35")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nf, sc) = expected(id)
+      assert(r.getAs[Long]("n_feats") == nf &&
+        r.getAs[Long]("score_sum_e6") == sc,
+        s"doc $id: (${r.getAs[Long]("n_feats")},${r.getAs[Long]("score_sum_e6")})" +
+          s" != replica ($nf,$sc)")
+      assert(r.getAs[Int]("keep_cls") == (if (sc >= 0) 1 else 0))
+    }
+    // the pseudo-model is non-degenerate: both decisions occur
+    val keeps = rows.map(_.getAs[Int]("keep_cls")).toSet
+    assert(keeps == Set(0, 1), s"degenerate classifier: decisions $keeps")
+  }
+
+  test("x27 funnel is monotone and conserves the standalone stage masses") {
+    val card = Pipeline.filterFunnel(spark, dir).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val lvls = Seq("n_docs", "n_quality", "n_clean", "n_cls", "n_unique")
+        .map(c => r.getAs[Long](c))
+      assert(lvls.zip(lvls.tail).forall { case (a, b) => a >= b } &&
+        lvls.last >= 0, s"funnel not monotone for ${r.getAs[String]("source")}: $lvls")
+    }
+    // stage-1 mass is exactly t02's keep census (per-source sums to it)
+    val qKeep = TextAnalysis.quality(spark, dir)
+      .agg(sum("keep")).collect()(0).getLong(0)
+    assert(card.map(_.getAs[Long]("n_quality")).sum == qKeep,
+      "funnel stage 1 drifted from the t02 gate")
+    // the dedup stage can never keep more docs than d01 has winners
+    val winners = Dedup.exact(spark, dir).count()
+    assert(card.map(_.getAs[Long]("n_unique")).sum <= winners)
+  }
+
+  test("s28 equals a first-principles greedy MMR replica") {
+    // shortlist scoring, the λ=0.5 greedy argmax, the empty-set
+    // sentinel, and the e6 floors re-derived in plain Scala with the
+    // same sequential double fold as FloatVecDot
+    val vecs = graft.engine.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val expected = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { q =>
+      var cand = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(q, c)))
+        .sortBy { case (c, r) => (-r, c) }
+        .take(Similarity.MmrShortlist)
+      var sel = List.empty[(Long, Double, Double)]
+      for (_ <- 1 to Similarity.MmrK) {
+        val scored = cand.map { case (c, r) =>
+          val ms = if (sel.isEmpty) Similarity.MmrEmptySim
+            else sel.map(s => cos(c, s._1)).max
+          (c, r, ms)
+        }
+        val best = scored.minBy { case (c, r, ms) => (-(r - ms), c) }
+        sel = sel :+ best
+        cand = cand.filterNot(_._1 == best._1)
+      }
+      sel.zipWithIndex.map { case ((c, r, ms), i) =>
+        (q, i + 1, c, math.floor(r * 1e6).toLong, math.floor(ms * 1e6).toLong)
+      }
+    }.toSet
+    val got = Similarity.mmrRerank(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("pick"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rel_e6"),
+        r.getAs[Long]("maxsim_e6"))).toSet
+    assert(got == expected,
+      s"s28 diverges from the greedy replica: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+    // diversification actually binds: some pick is NOT the next-best
+    // by pure relevance (otherwise the operator degenerates to s01)
+    val pureTop = Similarity.annTopK(spark, dir, k = Similarity.MmrK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val mmrPicks = got.map { case (q, p, c, _, _) => (q, p, c) }
+    assert(mmrPicks != pureTop, "MMR never diverged from pure relevance")
   }
 }

@@ -322,6 +322,7 @@ class PlanSpec extends AnyFunSuite {
     val nljAllowed = Set(
       "d05_embedding_neardup", // guarded exact baseline (corpus²)
       "s01_ann_topk", "s06_pq_adc", // broadcast ≤10-row query side
+      "s28_mmr_rerank", // s01's broadcast ≤10-row query-side scorer
       "s14_ann_recall", // composes s01's broadcast ≤10-row query side
       "s18_ivf_pq_recall", // same: s01 ground truth inside the sweep
       "x14_temperature_sample", // 1-row (N, Σw) totals scalar crossJoin
@@ -392,7 +393,7 @@ class PlanSpec extends AnyFunSuite {
       "q09_join_broadcast", "q26_star_join", "q27_sql25_analog",
       "q40_range_join", // static band dimension
       // ≤10-row ANN query sides / K-row centroid or probe grids
-      "s01_ann_topk", "s06_pq_adc", "s07_ivf_pq", "s14_ann_recall",
+      "s01_ann_topk", "s28_mmr_rerank", "s06_pq_adc", "s07_ivf_pq", "s14_ann_recall",
       "s18_ivf_pq_recall", "s19_filtered_ann", "s21_matryoshka_recall",
       "s26_kmeans_lloyd", "s27_kmeans_quality", "z04_clustering_depth",
       // top-K / limit cuts (bounded by the literal K)
@@ -402,6 +403,9 @@ class PlanSpec extends AnyFunSuite {
       "i10_fuzzy_match", "i11_hard_negatives",
       // increment-bounded batch side — THE documented d11 exception
       "d11_dedup_incremental",
+      // ClsBuckets-row (4096) model-weight artifact — bounded by
+      // construction, independent of corpus size (x27 composes t35)
+      "t35_classifier_score", "x27_filter_funnel",
       // query-workload-bounded pruned roster (the round-8 adjudicated
       // fix; the dedicated i07 pin asserts the per-probe term budget)
       "i07_more_like_this")

@@ -523,6 +523,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x28 packing budget: 512 BPE tokens per training sequence — the
+    * context-length class a real packing pipeline cuts at, applied to
+    * the REAL tokenizer's counts rather than x04's whitespace proxy. */
+  val BpePackBudget = 512L
+
+  /** x28: sequence packing over the trained tokenizer — x04's
+    * concat-and-cut bin arithmetic re-expressed over t34's BPE token
+    * counts, closing the loop VERDICT r9 opened: t26 mines merges,
+    * t34 tokenizes with them, and this is the operator a token-budget
+    * pipeline actually runs against the resulting counts (context
+    * bins are meaningless in whitespace tokens when the model
+    * consumes BPE ids). A document owns BPE span
+    * [start_tok, start_tok + n_bpe) within its source shard and lands
+    * in context bins [bin_first, bin_last].
+    *
+    * Scale shape: t34's chain (vocabulary-scale merge table, per-doc
+    * counts via a word-keyed join) plus ONE per-source windowed
+    * prefix sum — x04's discipline: partitioned by shard so the
+    * running sum never serializes on a global order. */
+  def bpePacking(s: SparkSession, dir: String): DataFrame = {
+    val counts = bpeTokenize(s, dir).select(col("doc_id"), col("n_bpe"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(counts, "doc_id")
+      .withColumn("end_tok", sum(col("n_bpe")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_bpe"))
+      .select(col("doc_id"), col("source"), col("n_bpe"), col("start_tok"),
+        expr(s"start_tok div ${BpePackBudget}L").as("bin_first"),
+        expr(s"(end_tok - 1) div ${BpePackBudget}L").as("bin_last"))
+      .orderBy("doc_id")
+  }
+
   /** x25 epoch cap (e3): no source repeats more than 4 epochs — the
     * repetition point beyond which pre-training data stops helping
     * (the "4-epoch rule" of data-constrained scaling studies).

@@ -198,6 +198,8 @@ object Extensions {
     // t26 applied: two (mine top-32 -> greedy merge pass) rounds over
     // the vocabulary, per-doc BPE token counts out
     "t34_bpe_tokenize" -> (Curation.bpeTokenize _),
+    // x04's concat-and-cut packing over t34's BPE counts (budget 512)
+    "x28_bpe_packing" -> (Curation.bpePacking _),
     // per-doc top-3 tf·idf keywords (integer linear-idf score)
     "t27_keywords" -> (Curation.keywords _),
     // fastText-style hashed linear classifier inference: unigram +
@@ -779,6 +781,26 @@ object Extensions {
         CAST(floor(maxsim * 1000000) AS BIGINT) AS maxsim_e6
       FROM sel${Similarity.MmrK} ORDER BY query_id, pick"""
   }
+
+  /** The full t34 body — self-contained so its standalone gate AND
+    * the x28 packing embed the identical tokenizer chain. */
+  private lazy val t34Oracle = s"""
+      WITH $tkCte,
+      wdf AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(tk) AS w
+              FROM tk) wd0 WHERE length(w) >= 1),
+      v0 AS (SELECT w, count(*) AS c,
+               [w[i] for i in generate_series(1, length(w))] AS syms
+             FROM wdf GROUP BY w),
+      ${bpeMineCtes("v0", "m1", "a")},
+      ${bpeApplyCtes("v0", "m1", "v1", "a")},
+      ${bpeMineCtes("v1", "m2", "b")},
+      ${bpeApplyCtes("v1", "m2", "v2", "b")},
+      nsym AS (SELECT w, len(syms) AS n_sym FROM v2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(length(w)) AS BIGINT) AS n_chars,
+        CAST(sum(n_sym) AS BIGINT) AS n_bpe
+      FROM wdf JOIN nsym USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
 
   private lazy val t19Oracle = s"""
       WITH $tkCte, $shCte,
@@ -2903,23 +2925,22 @@ object Extensions {
       ORDER BY pair_count DESC, l, r LIMIT 32""",
     // two (mine -> greedy apply) rounds on the char-symbol vocabulary,
     // then per-doc token counts through the word -> n_sym map
-    "t34_bpe_tokenize" -> s"""
-      WITH $tkCte,
-      wdf AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(tk) AS w
-              FROM tk) wd0 WHERE length(w) >= 1),
-      v0 AS (SELECT w, count(*) AS c,
-               [w[i] for i in generate_series(1, length(w))] AS syms
-             FROM wdf GROUP BY w),
-      ${bpeMineCtes("v0", "m1", "a")},
-      ${bpeApplyCtes("v0", "m1", "v1", "a")},
-      ${bpeMineCtes("v1", "m2", "b")},
-      ${bpeApplyCtes("v1", "m2", "v2", "b")},
-      nsym AS (SELECT w, len(syms) AS n_sym FROM v2)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        CAST(sum(length(w)) AS BIGINT) AS n_chars,
-        CAST(sum(n_sym) AS BIGINT) AS n_bpe
-      FROM wdf JOIN nsym USING (w)
-      GROUP BY doc_id ORDER BY doc_id""",
+    "t34_bpe_tokenize" -> t34Oracle,
+    // x04's packing arithmetic over the t34 body (embedded verbatim,
+    // the x26 discipline), budget interpolated from the Spark constant
+    "x28_bpe_packing" -> s"""
+      WITH t34 AS (SELECT doc_id, n_bpe FROM ($t34Oracle) z),
+      c AS (SELECT d.doc_id, d.source, t.n_bpe,
+              sum(t.n_bpe) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+            FROM documents d JOIN t34 t ON d.doc_id = t.doc_id)
+      SELECT doc_id, source, n_bpe,
+        CAST(end_tok - n_bpe AS BIGINT) AS start_tok,
+        CAST((end_tok - n_bpe) // ${Curation.BpePackBudget} AS BIGINT)
+          AS bin_first,
+        CAST((end_tok - 1) // ${Curation.BpePackBudget} AS BIGINT)
+          AS bin_last
+      FROM c ORDER BY doc_id""",
     "x04_packing" -> s"""
       WITH $tkCte,
       n AS (SELECT d.doc_id, d.source, len(tk.tk)::BIGINT AS n_toks

@@ -242,6 +242,27 @@ class Round10Spec extends AnyFunSuite {
     assert(card.map(_.getAs[Long]("n_unique")).sum <= winners)
   }
 
+  test("x28 packs exactly t34's counts with x04's bin algebra") {
+    val t34 = Curation.bpeTokenize(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe")).toMap
+    val rows = Curation.bpePacking(spark, dir).collect()
+    assert(rows.length == t34.size, "a document fell out of the packing")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      var run = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val nb = r.getAs[Long]("n_bpe")
+        val st = r.getAs[Long]("start_tok")
+        assert(nb == t34(id), s"doc $id: packed $nb != t34 ${t34(id)}")
+        assert(st == run, s"doc $id in $src: start $st != running $run")
+        assert(r.getAs[Long]("bin_first") == st / Curation.BpePackBudget &&
+          r.getAs[Long]("bin_last") == (st + nb - 1) / Curation.BpePackBudget,
+          s"doc $id: bin span disagrees with the concat-and-cut algebra")
+        run += nb
+      }
+    }
+  }
+
   test("s28 equals a first-principles greedy MMR replica") {
     // shortlist scoring, the λ=0.5 greedy argmax, the empty-set
     // sentinel, and the e6 floors re-derived in plain Scala with the

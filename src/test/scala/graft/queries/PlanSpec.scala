@@ -323,6 +323,7 @@ class PlanSpec extends AnyFunSuite {
       "d05_embedding_neardup", // guarded exact baseline (corpus²)
       "s01_ann_topk", "s06_pq_adc", // broadcast ≤10-row query side
       "s28_mmr_rerank", // s01's broadcast ≤10-row query-side scorer
+      "x28_bpe_packing", // t34's 1-row merge-table crossJoin
       "s14_ann_recall", // composes s01's broadcast ≤10-row query side
       "s18_ivf_pq_recall", // same: s01 ground truth inside the sweep
       "x14_temperature_sample", // 1-row (N, Σw) totals scalar crossJoin
@@ -399,6 +400,7 @@ class PlanSpec extends AnyFunSuite {
       // top-K / limit cuts (bounded by the literal K)
       "d14_hot_ngrams", "t24_vocab_coverage",
       "t34_bpe_tokenize", // 1-row collect_list of the ≤32-pair merge table
+      "x28_bpe_packing", // composes t34's 1-row merge-table hint
       // fixed probe lists (literal query workloads)
       "i10_fuzzy_match", "i11_hard_negatives",
       // increment-bounded batch side — THE documented d11 exception

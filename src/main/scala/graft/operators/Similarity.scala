@@ -1346,6 +1346,11 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("nv"),
           col("nnrm"), col("rel"), col("maxsim"),
           lit(pick).as("pick"))
+        .localCheckpoint() // eager: ≤|queries| rows per round; truncates
+        // the selected-set lineage so round p's plan does not re-derive
+        // rounds 1..p-1 (the un-truncated chain re-optimized and re-ran
+        // the whole greedy history each round — measured 36 s vs ~3 s
+        // at sf0.1 for identical results)
       selected =
         if (selected == null) picked else selected.unionByName(picked)
       cand = cand.join(picked.select("query_id", "neighbor_id"),

@@ -1362,4 +1362,91 @@ object Similarity {
         floor(col("maxsim") * 1000000).cast("long").as("maxsim_e6"))
       .orderBy("query_id", "pick")
   }
+
+  /** s29: per-source embedding drift card — the embedding-space
+    * sibling of t33's token-distribution drift, grouped by the
+    * `documents.source` attribute (embeddings ⋈ documents on
+    * vec_id = doc_id). Per source: member count, cosine of the source
+    * centroid to the CORPUS centroid (a source drifting away from the
+    * corpus mean is the first sign its ingest changed), the nearest
+    * OTHER source by centroid cosine (semantic-confusion signal — two
+    * sources collapsing onto each other in embedding space), and the
+    * mean within-source dispersion.
+    *
+    * Integer discipline: coordinates sum as floor(x·1e6) longs (s04's
+    * trick via s17's centroid shape); the only float math is the
+    * fixed sqrt/multiply/divide cosine tree both engines evaluate on
+    * BIGINT-exact inputs (< 2^53, so the DOUBLE casts are exact).
+    * Dispersion avoids a member→centroid join-back entirely via the
+    * algebraic identity Σ(v−m)² = Σv² − 2mΣv + n·m², so it falls out
+    * of the SAME (source, dim) aggregate that builds the centroids;
+    * the Σv² moments ride DECIMAL(38,0) (q48's rule — BIGINT tops out
+    * near 2.3M members/source at e6 scale, HUGEINT mirrors in DuckDB)
+    * and the final mean is an exact integral `div` on decimals.
+    *
+    * Scale shape: ONE narrow (source, dim, int) shuffle with map-side
+    * partial aggregation is the only corpus-scale stage — centroids,
+    * corpus centroid, dispersion, and both cosine reports all derive
+    * from its |sources|·dims output (vs t33, whose drift needs the
+    * corpus re-scanned against the top-V cut). The pairwise stage
+    * runs on |sources|²·dims centroid rows, never members. */
+  def sourceEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val ex = graft.operators.TextHash.fanOut(emb(s, dir))
+      .join(src, col("vec_id") === col("doc_id"))
+      .select(col("source"), posexplode(expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"))
+        .as(Seq("dim", "v_e6")))
+    val cent = ex.groupBy("source", "dim")
+      .agg(count(lit(1)).as("n"), sum("v_e6").as("s_e6"),
+        sum(expr("cast(v_e6 as decimal(38,0)) * v_e6")).as("ss"))
+      .select(col("source"), col("dim"), col("n"), col("ss"), col("s_e6"),
+        floor(col("s_e6") / col("n")).cast("long").as("m_e6"))
+      .persist() // |sources|·dims rows; feeds norms, cos, pairs, disp
+    val corpus = cent.groupBy("dim")
+      .agg(floor(sum("s_e6") / sum("n")).cast("long").as("g_e6"))
+    val srcNorm = cent.groupBy("source")
+      .agg(max("n").as("n_vecs"),
+        sum(col("m_e6") * col("m_e6")).as("n2"))
+    val gNorm = corpus.agg(sum(col("g_e6") * col("g_e6")).as("g2"))
+    val cosG = cent.join(corpus, "dim") // dims-row side: broadcast-free, tiny
+      .groupBy("source").agg(sum(col("m_e6") * col("g_e6")).as("dotg"))
+    val pairCos = cent.as("a")
+      .join(cent.as("b"),
+        col("a.dim") === col("b.dim") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source"), col("b.source").as("other"))
+      .agg(sum(col("a.m_e6") * col("b.m_e6")).as("dot"))
+      .join(srcNorm.select(col("source"), col("n2").as("na2")), "source")
+      .join(srcNorm.select(col("source").as("other"), col("n2").as("nb2")),
+        "other")
+      .select(col("source"), col("other"),
+        floor(col("dot").cast("double") * 1000000.0 /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .cast("long").as("cos_e6"))
+    // argmax without a window: min over (−cos, other) = cos desc, name asc
+    val nearest = pairCos
+      .groupBy("source")
+      .agg(min(struct((-col("cos_e6")).as("nc"), col("other").as("o"))).as("m"))
+      .select(col("source"), col("m.o").as("nearest_source"),
+        (-col("m.nc")).as("nearest_cos_e6"))
+    // Σ(v−m)² = Σv² − 2mΣv + n·m² per (source, dim), summed over dims,
+    // then mean-per-member and kilo-scaled — all exact decimal math
+    val disp = cent
+      .select(col("source"), col("n"), expr(
+        """ss - cast(2 as decimal(38,0)) * m_e6 * s_e6
+             + cast(n as decimal(38,0)) * m_e6 * m_e6""").as("sse"))
+      .groupBy("source")
+      .agg(max("n").as("nv"), sum("sse").as("sse"))
+      .select(col("source"), expr(
+        "cast(sse div (cast(nv as decimal(38,0)) * 1000) as long)")
+        .as("dispersion_k"))
+    srcNorm.join(cosG, "source").crossJoin(broadcast(gNorm)) // 1-row norm
+      .select(col("source"), col("n_vecs"),
+        floor(col("dotg").cast("double") * 1000000.0 /
+          (sqrt(col("n2").cast("double")) * sqrt(col("g2").cast("double"))))
+          .cast("long").as("cos_corpus_e6"))
+      .join(nearest, "source")
+      .join(disp, "source")
+      .orderBy("source")
+  }
 }

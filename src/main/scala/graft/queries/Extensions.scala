@@ -147,6 +147,11 @@ object Extensions {
     // the evaluation half of s26: per-bucket member count, scaled
     // inertia, tightest/loosest member of the final assignment
     "s27_kmeans_quality" -> (Similarity.kmeansQuality _),
+    // per-source embedding-centroid drift: cosine to the corpus
+    // centroid + nearest other source + within-source dispersion —
+    // t33's drift card moved to embedding space (s17's integer
+    // centroids grouped by the joined documents.source attribute)
+    "s29_source_embedding_drift" -> (Similarity.sourceEmbeddingDrift _),
     // source-pair shingle Jaccard: which sources carry each other's
     // content — hashes shuffle, per-hash fanout ≤ C(|sources|,2)
     "t31_source_similarity" -> (TextAnalysis.sourceSimilarity _),
@@ -2253,6 +2258,65 @@ object Extensions {
       FROM dots JOIN norms na ON la = na.label
         JOIN norms nb ON lb = nb.label
       ORDER BY la, lb""",
+    // s17's integer centroids grouped by the joined documents.source,
+    // plus the corpus centroid, a per-source nearest-other argmax and
+    // the join-free algebraic dispersion (Σv²−2mΣv+n·m² on HUGEINT,
+    // mirroring Spark's DECIMAL(38,0)) — same fixed float tree both
+    "s29_source_embedding_drift" -> s"""
+      WITH sx AS (SELECT e.vec_id, d.source, e.embedding
+                  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      ex AS (SELECT source, vec_id, dm AS dim,
+               CAST(floor(embedding[dm+1]::DOUBLE * 1000000) AS BIGINT)
+                 AS v_e6
+             FROM sx,
+               generate_series(0, ${Similarity.EmbeddingDims - 1}) t(dm)),
+      cent AS (SELECT source, dim, count(*) AS n,
+                 CAST(sum(v_e6) AS BIGINT) AS s_e6,
+                 sum(v_e6::HUGEINT * v_e6) AS ss,
+                 CAST(floor(CAST(sum(v_e6) AS DOUBLE) / count(*))
+                   AS BIGINT) AS m_e6
+               FROM ex GROUP BY source, dim),
+      corpus AS (SELECT dim,
+                   CAST(floor(CAST(sum(s_e6) AS DOUBLE) / sum(n))
+                     AS BIGINT) AS g_e6
+                 FROM cent GROUP BY dim),
+      snorm AS (SELECT source, max(n) AS n_vecs,
+                  CAST(sum(m_e6 * m_e6) AS BIGINT) AS n2
+                FROM cent GROUP BY source),
+      gnorm AS (SELECT CAST(sum(g_e6 * g_e6) AS BIGINT) AS g2 FROM corpus),
+      cosg AS (SELECT source, CAST(sum(m_e6 * g_e6) AS BIGINT) AS dotg
+               FROM cent JOIN corpus USING (dim) GROUP BY source),
+      pair AS (SELECT a.source AS source, b.source AS other,
+                 CAST(sum(a.m_e6 * b.m_e6) AS BIGINT) AS dot
+               FROM cent a JOIN cent b
+                 ON a.dim = b.dim AND a.source <> b.source
+               GROUP BY 1, 2),
+      pcos AS (SELECT p.source, p.other,
+                 CAST(floor((dot::DOUBLE * 1000000.0) /
+                   (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))) AS BIGINT)
+                   AS cos_e6
+               FROM pair p JOIN snorm na ON p.source = na.source
+                 JOIN snorm nb ON p.other = nb.source),
+      near AS (SELECT source, other AS nearest_source,
+                 cos_e6 AS nearest_cos_e6
+               FROM (SELECT source, other, cos_e6, row_number() OVER
+                       (PARTITION BY source
+                        ORDER BY cos_e6 DESC, other) AS rn
+                     FROM pcos) r WHERE rn = 1),
+      disp AS (SELECT source,
+                 CAST((sum(ss - 2::HUGEINT * m_e6 * s_e6
+                           + n::HUGEINT * m_e6 * m_e6))
+                   // (max(n)::HUGEINT * 1000) AS BIGINT) AS dispersion_k
+               FROM cent GROUP BY source)
+      SELECT s.source, s.n_vecs,
+        CAST(floor((dotg::DOUBLE * 1000000.0) /
+          (sqrt(s.n2::DOUBLE) * sqrt(g2::DOUBLE))) AS BIGINT)
+          AS cos_corpus_e6,
+        nearest_source, nearest_cos_e6, dispersion_k
+      FROM snorm s JOIN cosg USING (source), gnorm
+        JOIN near ON s.source = near.source
+        JOIN disp ON s.source = disp.source
+      ORDER BY s.source""",
     // s01's exact cosine restricted to the query's label partition —
     // the filter is an equi-join predicate, so both engines pre-filter
     "s19_filtered_ann" -> s"""

@@ -360,7 +360,8 @@ class PlanSpec extends AnyFunSuite {
       "s27_kmeans_quality", // same K-row broadcast (shared Lloyd loop)
       "i12_rocchio_feedback", // i03's 1-row corpus-stats scalar, both rounds
       "t34_bpe_tokenize", // 1-row ≤32-struct merge-table crossJoin per round
-      "x26_pretrain_card" // composes x25's + t33's 1-row totals scalars
+      "x26_pretrain_card", // composes x25's + t33's 1-row totals scalars
+      "s29_source_embedding_drift" // 1-row corpus-centroid-norm scalar
     )
     // Broadcast-HINT inventory (swept in the same loop so the census
     // walk is paid once): an unconditional broadcast() hint is only
@@ -397,6 +398,9 @@ class PlanSpec extends AnyFunSuite {
       "s01_ann_topk", "s28_mmr_rerank", "s06_pq_adc", "s07_ivf_pq", "s14_ann_recall",
       "s18_ivf_pq_recall", "s19_filtered_ann", "s21_matryoshka_recall",
       "s26_kmeans_lloyd", "s27_kmeans_quality", "z04_clustering_depth",
+      "s29_source_embedding_drift", // 1-row corpus-centroid-norm scalar
+      // (the member→centroid dispersion join carries NO hint — source
+      // cardinality grows with the corpus, AQE decides)
       // top-K / limit cuts (bounded by the literal K)
       "d14_hot_ngrams", "t24_vocab_coverage",
       "t34_bpe_tokenize", // 1-row collect_list of the ≤32-pair merge table

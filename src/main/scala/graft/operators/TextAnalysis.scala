@@ -408,6 +408,80 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** i13 query workload: a fixed mixed-df probe list (the i10/i11
+    * class — bounded by the literal, broadcast-legal), wider than
+    * i03's standing set and including a rare term ("dup", df ≈ 5 % of
+    * the common terms) so the metrics spread. Interpolated into the
+    * oracle. */
+  val RetrievalEvalTerms: Seq[String] =
+    Seq("hash", "join", "table", "scan", "merge", "vector", "key", "dup")
+
+  /** i13: retrieval-quality evaluation (known-item MRR / hit@k) — the
+    * IR-eval half the s-family's ANN recall reports (s14/s18/s20/s21)
+    * provide for the vector stack but nothing provided for the
+    * lexical stack. Per probe term, the "known item" is the document
+    * with the highest raw tf (ties → lowest doc_id) and the system
+    * under test is the single-term exact-integer BM25 scorer (i03's
+    * [[Bm25TfPartExpr]]·[[Bm25IdfExpr]] fragments verbatim — a
+    * drifted copy would evaluate a different engine than i03 ships).
+    * Reported per term: df, the known item and its tf, the item's
+    * BM25 rank, reciprocal rank ·1e6, hit@1, hit@10 — measuring how
+    * far tf-saturation + length normalization reorder raw term
+    * frequency, the diagnostic an IR team reads before tuning k1/b.
+    *
+    * Scale shape: rank is computed WITHOUT ranking — the known item's
+    * rank is 1 + count(docs scoring strictly better), one partial-agg
+    * groupBy per term over the matches frame, so no per-term global
+    * sort/window ever materializes (a full window over a common
+    * term's postings is exactly the 100 TB stage this formulation
+    * avoids). The corpus-scale work is i03's: token fan-out filtered
+    * to the probe list BEFORE the explode; everything downstream is
+    * matches-bound; every broadcast side is bounded by the literal
+    * probe list (≤8 rows of truth/df, 1-row corpus stats). */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val termsIn = RetrievalEvalTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val base = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        expr(s"filter(tk, x -> x IN $termsIn)").as("qtk"))
+      .persist() // feeds the corpus stats AND the per-doc tf counts
+    val stats = base.agg(count(lit(1)).as("nn"), sum("dl").as("ll"))
+    val tf = base.filter(size(col("qtk")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .persist() // matches-bound, skinny; feeds df, scores, truth
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val psc = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), col("tf"),
+        expr(Bm25TfPartExpr).as("tfpart_e6"),
+        expr(Bm25IdfExpr).as("idf_e6"))
+      .select(col("term"), col("doc_id"), col("tf"),
+        expr("""cast((cast(tfpart_e6 as decimal(38,0)) * idf_e6)
+             div 1000000 as long)""").as("score_e6"))
+    // known item per term: argmax without a window (min over (−tf, id))
+    val truth = tf.groupBy("term")
+      .agg(min(struct((-col("tf")).as("ntf"), col("doc_id").as("d"))).as("m"))
+      .select(col("term"), col("m.d").as("rel_doc"),
+        (-col("m.ntf")).as("rel_tf"))
+    val ts = truth.join(
+      psc.select(col("term"), col("doc_id").as("rel_doc"),
+        col("score_e6").as("st")),
+      Seq("term", "rel_doc"))
+    val rk = psc.join(broadcast(ts), "term") // ≤|probe terms| rows
+      .groupBy("term", "rel_doc", "rel_tf")
+      .agg((sum(when(col("score_e6") > col("st") ||
+          (col("score_e6") === col("st") && col("doc_id") < col("rel_doc")),
+          1L).otherwise(0L)) + 1L).as("rank"))
+    rk.join(broadcast(dfreq), "term")
+      .select(col("term"), col("df"), col("rel_doc"), col("rel_tf"),
+        col("rank").cast("int").as("rank"),
+        expr("1000000 div rank").as("rr_e6"),
+        when(col("rank") === 1, 1).otherwise(0).cast("int").as("hit1"),
+        when(col("rank") <= 10, 1).otherwise(0).cast("int").as("hit10"))
+      .orderBy("term")
+  }
+
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"),

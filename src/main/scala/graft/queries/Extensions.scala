@@ -90,6 +90,10 @@ object Extensions {
     // feedback pass probes a broadcast term set, matched rows only
     "i12_rocchio_feedback" -> ((s: SparkSession, d: String) =>
       TextAnalysis.rocchioFeedback(s, d)),
+    // known-item MRR/hit@k over the exact-integer BM25 scorer: the
+    // known item's rank is 1 + count(better docs) — one partial agg
+    // per probe term, never a per-term global sort/window
+    "i13_retrieval_eval" -> (TextAnalysis.retrievalEval _),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     // greedy MMR diversification of the s01 shortlist (λ = 0.5)
     "s28_mmr_rerank" -> (Similarity.mmrRerank _),
@@ -280,6 +284,12 @@ object Extensions {
     * from the implementation. */
   private val qTermsList: String =
     Similarity.HybridQueryTerms.map(t => s"'$t'").mkString("[", ",", "]")
+
+  /** i13's probe-term list, interpolated from
+    * [[TextAnalysis.RetrievalEvalTerms]] (same no-hardcoding rule as
+    * [[qTermsList]]). */
+  private val evalTermsList: String =
+    TextAnalysis.RetrievalEvalTerms.map(t => s"'$t'").mkString("[", ",", "]")
 
   /** doc_id, tk (tokens) for documents. */
   private val tkCte =
@@ -1195,6 +1205,48 @@ object Extensions {
         CAST(orig_e6 + exp_e6 // ${TextAnalysis.RocchioBetaDen} AS BIGINT)
           AS score_e6
       FROM f ORDER BY rank LIMIT 10""",
+    // known-item eval: per probe term the highest-raw-tf doc's rank
+    // under the single-term integer BM25 score, rank = 1 + count of
+    // strictly-better (score, doc_id) rows — no window over postings
+    "i13_retrieval_eval" -> s"""
+      WITH $tkCte,
+      base AS (SELECT doc_id, len(tk)::BIGINT AS dl,
+                 list_filter(tk, x -> list_contains(
+                   $evalTermsList, x)) AS qtk
+               FROM tk),
+      stats AS (SELECT count(*) AS nn, sum(dl) AS ll FROM base),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(qtk) AS term FROM base
+                   WHERE len(qtk) > 0) u
+             GROUP BY doc_id, dl, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      psc AS (SELECT term, doc_id, tf,
+          ((22::HUGEINT * tf * ll * 1000000)
+            // (10::HUGEINT * tf * ll + 3::HUGEINT * ll
+               + 9::HUGEINT * dl * nn)
+           * ((2::HUGEINT * (nn - df) + 1) * 1000000 // (2 * df + 1)))
+            // 1000000 AS score_e6
+        FROM tf JOIN dfq USING (term), stats),
+      truth AS (SELECT term, doc_id AS rel_doc, tf AS rel_tf
+                FROM (SELECT term, doc_id, tf, row_number() OVER
+                        (PARTITION BY term
+                         ORDER BY tf DESC, doc_id) AS rn
+                      FROM tf) r WHERE rn = 1),
+      ts AS (SELECT t.term, t.rel_doc, t.rel_tf, p.score_e6 AS st
+             FROM truth t JOIN psc p
+               ON t.term = p.term AND t.rel_doc = p.doc_id),
+      rk AS (SELECT ts.term, ts.rel_doc, ts.rel_tf,
+               1 + sum(CASE WHEN p.score_e6 > ts.st
+                   OR (p.score_e6 = ts.st AND p.doc_id < ts.rel_doc)
+                 THEN 1 ELSE 0 END) AS rank
+             FROM ts JOIN psc p ON ts.term = p.term
+             GROUP BY 1, 2, 3)
+      SELECT rk.term, df, rel_doc, rel_tf,
+        CAST(rank AS INTEGER) AS rank,
+        CAST(1000000 // rank AS BIGINT) AS rr_e6,
+        CAST(CASE WHEN rank = 1 THEN 1 ELSE 0 END AS INTEGER) AS hit1,
+        CAST(CASE WHEN rank <= 10 THEN 1 ELSE 0 END AS INTEGER) AS hit10
+      FROM rk JOIN dfq USING (term) ORDER BY rk.term""",
     // the i03 shortlist under the two-per-source quota, survivors
     // re-ranked with the identical (score desc, doc_id) ordering
     "i09_diversified_search" -> s"""

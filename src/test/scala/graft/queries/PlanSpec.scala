@@ -359,6 +359,7 @@ class PlanSpec extends AnyFunSuite {
       "s26_kmeans_lloyd", // broadcast K-row (8) centroid side per round
       "s27_kmeans_quality", // same K-row broadcast (shared Lloyd loop)
       "i12_rocchio_feedback", // i03's 1-row corpus-stats scalar, both rounds
+      "i13_retrieval_eval", // i03's 1-row corpus-stats scalar
       "t34_bpe_tokenize", // 1-row ≤32-struct merge-table crossJoin per round
       "x26_pretrain_card", // composes x25's + t33's 1-row totals scalars
       "s29_source_embedding_drift" // 1-row corpus-centroid-norm scalar
@@ -407,6 +408,8 @@ class PlanSpec extends AnyFunSuite {
       "x28_bpe_packing", // composes t34's 1-row merge-table hint
       // fixed probe lists (literal query workloads)
       "i10_fuzzy_match", "i11_hard_negatives",
+      "i13_retrieval_eval", // ≤8-row truth/df rosters + 1-row stats,
+                            // all bounded by the literal probe list
       // increment-bounded batch side — THE documented d11 exception
       "d11_dedup_incremental",
       // ClsBuckets-row (4096) model-weight artifact — bounded by

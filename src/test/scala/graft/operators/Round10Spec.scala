@@ -313,4 +313,109 @@ class Round10Spec extends AnyFunSuite {
     val mmrPicks = got.map { case (q, p, c, _, _) => (q, p, c) }
     assert(mmrPicks != pureTop, "MMR never diverged from pure relevance")
   }
+
+  test("s29 equals a first-principles centroid/dispersion replica") {
+    // integer-e6 centroids, the algebraic SSE, the fixed float cosine
+    // tree, and the nearest-other argmax re-derived in plain Scala
+    val src = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = graft.engine.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong).toArray)
+    val bySrc = vecs.groupBy { case (id, _) => src(id) }
+    val dims = vecs.head._2.length
+    def centroid(xs: Array[Array[Long]]): Array[Long] =
+      Array.tabulate(dims)(d =>
+        math.floor(xs.map(_(d)).sum.toDouble / xs.length).toLong)
+    val cents = bySrc.map { case (sn, m) =>
+      sn -> centroid(m.map(_._2))
+    }
+    val all = vecs.map(_._2)
+    val g = Array.tabulate(dims)(d =>
+      math.floor(all.map(_(d)).sum.toDouble / all.length).toLong)
+    def dotL(a: Array[Long], b: Array[Long]): Long =
+      (0 until dims).map(d => a(d) * b(d)).sum
+    def cosE6(a: Array[Long], b: Array[Long]): Long =
+      math.floor(dotL(a, b).toDouble * 1e6 /
+        (math.sqrt(dotL(a, a).toDouble) * math.sqrt(dotL(b, b).toDouble)))
+        .toLong
+    val expected = bySrc.map { case (sn, m) =>
+      val c = cents(sn)
+      // Σ(v−m)² via the same algebraic identity, exact in BigInt
+      val sse = (0 until dims).map { d =>
+        val vsum = BigInt(m.map(_._2(d)).sum)
+        val ssum = m.map(x => BigInt(x._2(d)) * x._2(d)).sum
+        ssum - 2 * BigInt(c(d)) * vsum + BigInt(m.length) * c(d) * c(d)
+      }.sum
+      val (no, nc) = cents.filter(_._1 != sn)
+        .map { case (on, oc) => (on, cosE6(c, oc)) }
+        .minBy { case (on, v) => (-v, on) }
+      (sn, m.length.toLong, cosE6(c, g), no, nc,
+        (sse / (BigInt(m.length) * 1000)).toLong)
+    }.toSet
+    val got = Similarity.sourceEmbeddingDrift(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("cos_corpus_e6"), r.getAs[String]("nearest_source"),
+        r.getAs[Long]("nearest_cos_e6"), r.getAs[Long]("dispersion_k")))
+      .toSet
+    assert(got == expected,
+      s"s29 diverges from the replica: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+  }
+
+  test("i13 rank-by-counting equals a full-sort ranking replica") {
+    // tokenize (the tokens() whitespace split), tf/df/corpus stats,
+    // the exact-integer BM25 formula in BigInt, and the TRUE rank via
+    // a full sort — proving the window-free 1 + count(better) path
+    val texts = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val probe = TextAnalysis.RetrievalEvalTerms.toSet
+    // limit -1: Spark's split() keeps trailing empty tokens (they
+    // never match a probe term but DO count toward dl)
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val docTok = texts.map { case (id, t) =>
+      (id, ws.split(t.toLowerCase, -1).toSeq)
+    }
+    val nn = docTok.length.toLong
+    val ll = docTok.map(_._2.length.toLong).sum
+    val tf = docTok.flatMap { case (id, tk) =>
+      tk.filter(probe).groupBy(identity).map { case (term, hits) =>
+        (term, id, tk.length.toLong, hits.length.toLong)
+      }
+    }
+    val dfm = tf.groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    def score(t: String, dl: Long, c: Long): BigInt = {
+      val df = dfm(t)
+      val tfpart = (BigInt(22) * c * ll * 1000000) /
+        (BigInt(10) * c * ll + BigInt(3) * ll + BigInt(9) * dl * nn)
+      val idf = (BigInt(2) * (nn - df) + 1) * 1000000 / (2 * df + 1)
+      tfpart * idf / 1000000
+    }
+    val expected = dfm.keys.map { term =>
+      val scored = tf.filter(_._1 == term)
+        .map { case (_, id, dl, c) => (id, c, score(term, dl, c)) }
+      val (relDoc, relTf, _) =
+        scored.maxBy { case (id, c, _) => (c, -id) }
+      val rank = scored.sortBy { case (id, _, sc) => (-sc, id) }
+        .indexWhere(_._1 == relDoc) + 1L
+      (term, dfm(term), relDoc, relTf, rank.toInt,
+        1000000L / rank,
+        if (rank == 1) 1 else 0, if (rank <= 10) 1 else 0)
+    }.toSet
+    val got = TextAnalysis.retrievalEval(spark, dir).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[Long]("rel_doc"), r.getAs[Long]("rel_tf"),
+        r.getAs[Int]("rank"), r.getAs[Long]("rr_e6"),
+        r.getAs[Int]("hit1"), r.getAs[Int]("hit10"))).toSet
+    assert(got == expected,
+      s"i13 diverges from the replica: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+    // the eval discriminates: at least one known item is NOT at rank 1
+    // (length normalization actually reorders raw tf somewhere)
+    assert(got.exists(_._5 > 1), "every known item ranked first — the " +
+      "eval cannot distinguish scorers on this corpus")
+  }
 }

@@ -102,7 +102,9 @@ object Pipeline {
     * joining every per-source diagnostic the library computes, the
     * way x10 composes the serving card: mixture allocation (x25's
     * tokens/share/epoch cap), distribution drift (t33's tv_e6 + the
-    * argmax drift term), the strongest raw-content overlap partner
+    * argmax drift term), EMBEDDING-space drift (s29's centroid cosine
+    * to the corpus centroid + the nearest-other-source confusion
+    * pair), the strongest raw-content overlap partner
     * (t32's sketch estimate, symmetrized, ties → partner asc),
     * confirmed near-dup provenance (d17's matrix split into
     * intra-source and cross-source pair counts), the t02 quality keep
@@ -110,7 +112,7 @@ object Pipeline {
     * element — exact-integer and engine-identical, unlike an
     * averaged even-count median). This is the one table a curation
     * owner reads before setting mixture weights; the gate proves all
-    * six reports join on the shared source key.
+    * seven reports join on the shared source key.
     *
     * Plan shape at scale: each branch is its standalone operator's
     * plan (the expensive ones — d17's pair matrix, t32's sketch —
@@ -130,6 +132,10 @@ object Pipeline {
       .select("source", "n_docs", "tokens", "share_e6", "epochs_e3")
     val dr = TextAnalysis.sourceDrift(s, dir)
       .select(col("source"), col("tv_e6"), col("drift_term"))
+    val ed = graft.operators.Similarity.sourceEmbeddingDrift(s, dir)
+      .select(col("source"), col("cos_corpus_e6").as("emb_drift_e6"),
+        col("nearest_source").as("emb_confusion_src"),
+        col("nearest_cos_e6").as("emb_confusion_e6"))
     val ovp = TextAnalysis.sourceSimilaritySketchFrom(sh, d)
       .select(col("source_a"), col("source_b"), col("est_jac_e6"))
     val ovSym = ovp.select(col("source_a").as("source"),
@@ -164,6 +170,7 @@ object Pipeline {
       .filter(col("rn") === expr("(cnt + 1) div 2"))
       .select(col("source"), col("novelty_e6").as("med_novelty_e6"))
     ep.join(dr, Seq("source"), "left")
+      .join(ed, Seq("source"), "left")
       .join(ov, Seq("source"), "left")
       .join(intra, Seq("source"), "left")
       .join(cross, Seq("source"), "left")
@@ -174,7 +181,8 @@ object Pipeline {
       .withColumn("med_novelty_e6",
         coalesce(col("med_novelty_e6"), lit(-1L)))
       .select("source", "n_docs", "tokens", "share_e6", "epochs_e3",
-        "tv_e6", "drift_term", "top_overlap_src", "top_overlap_e6",
+        "tv_e6", "drift_term", "emb_drift_e6", "emb_confusion_src",
+        "emb_confusion_e6", "top_overlap_src", "top_overlap_e6",
         "intra_dup_pairs", "cross_dup_pairs", "keep_rate_e6",
         "med_novelty_e6")
       .orderBy("source")

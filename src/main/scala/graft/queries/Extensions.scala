@@ -871,6 +871,62 @@ object Extensions {
       GROUP BY 1, 2
       ORDER BY source_a, source_b"""
 
+  private lazy val s29Oracle = s"""
+      WITH sx AS (SELECT e.vec_id, d.source, e.embedding
+                  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      ex AS (SELECT source, vec_id, dm AS dim,
+               CAST(floor(embedding[dm+1]::DOUBLE * 1000000) AS BIGINT)
+                 AS v_e6
+             FROM sx,
+               generate_series(0, ${Similarity.EmbeddingDims - 1}) t(dm)),
+      cent AS (SELECT source, dim, count(*) AS n,
+                 CAST(sum(v_e6) AS BIGINT) AS s_e6,
+                 sum(v_e6::HUGEINT * v_e6) AS ss,
+                 CAST(floor(CAST(sum(v_e6) AS DOUBLE) / count(*))
+                   AS BIGINT) AS m_e6
+               FROM ex GROUP BY source, dim),
+      corpus AS (SELECT dim,
+                   CAST(floor(CAST(sum(s_e6) AS DOUBLE) / sum(n))
+                     AS BIGINT) AS g_e6
+                 FROM cent GROUP BY dim),
+      snorm AS (SELECT source, max(n) AS n_vecs,
+                  CAST(sum(m_e6 * m_e6) AS BIGINT) AS n2
+                FROM cent GROUP BY source),
+      gnorm AS (SELECT CAST(sum(g_e6 * g_e6) AS BIGINT) AS g2 FROM corpus),
+      cosg AS (SELECT source, CAST(sum(m_e6 * g_e6) AS BIGINT) AS dotg
+               FROM cent JOIN corpus USING (dim) GROUP BY source),
+      pair AS (SELECT a.source AS source, b.source AS other,
+                 CAST(sum(a.m_e6 * b.m_e6) AS BIGINT) AS dot
+               FROM cent a JOIN cent b
+                 ON a.dim = b.dim AND a.source <> b.source
+               GROUP BY 1, 2),
+      pcos AS (SELECT p.source, p.other,
+                 CAST(floor((dot::DOUBLE * 1000000.0) /
+                   (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))) AS BIGINT)
+                   AS cos_e6
+               FROM pair p JOIN snorm na ON p.source = na.source
+                 JOIN snorm nb ON p.other = nb.source),
+      near AS (SELECT source, other AS nearest_source,
+                 cos_e6 AS nearest_cos_e6
+               FROM (SELECT source, other, cos_e6, row_number() OVER
+                       (PARTITION BY source
+                        ORDER BY cos_e6 DESC, other) AS rn
+                     FROM pcos) r WHERE rn = 1),
+      disp AS (SELECT source,
+                 CAST((sum(ss - 2::HUGEINT * m_e6 * s_e6
+                           + n::HUGEINT * m_e6 * m_e6))
+                   // (max(n)::HUGEINT * 1000) AS BIGINT) AS dispersion_k
+               FROM cent GROUP BY source)
+      SELECT s.source, s.n_vecs,
+        CAST(floor((dotg::DOUBLE * 1000000.0) /
+          (sqrt(s.n2::DOUBLE) * sqrt(g2::DOUBLE))) AS BIGINT)
+          AS cos_corpus_e6,
+        nearest_source, nearest_cos_e6, dispersion_k
+      FROM snorm s JOIN cosg USING (source), gnorm
+        JOIN near ON s.source = near.source
+        JOIN disp ON s.source = disp.source
+      ORDER BY s.source"""
+
   private lazy val t33Oracle = s"""
       WITH $tkCte,
       psa AS (SELECT d.source, term, count(*) AS scnt
@@ -2314,61 +2370,7 @@ object Extensions {
     // plus the corpus centroid, a per-source nearest-other argmax and
     // the join-free algebraic dispersion (Σv²−2mΣv+n·m² on HUGEINT,
     // mirroring Spark's DECIMAL(38,0)) — same fixed float tree both
-    "s29_source_embedding_drift" -> s"""
-      WITH sx AS (SELECT e.vec_id, d.source, e.embedding
-                  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
-      ex AS (SELECT source, vec_id, dm AS dim,
-               CAST(floor(embedding[dm+1]::DOUBLE * 1000000) AS BIGINT)
-                 AS v_e6
-             FROM sx,
-               generate_series(0, ${Similarity.EmbeddingDims - 1}) t(dm)),
-      cent AS (SELECT source, dim, count(*) AS n,
-                 CAST(sum(v_e6) AS BIGINT) AS s_e6,
-                 sum(v_e6::HUGEINT * v_e6) AS ss,
-                 CAST(floor(CAST(sum(v_e6) AS DOUBLE) / count(*))
-                   AS BIGINT) AS m_e6
-               FROM ex GROUP BY source, dim),
-      corpus AS (SELECT dim,
-                   CAST(floor(CAST(sum(s_e6) AS DOUBLE) / sum(n))
-                     AS BIGINT) AS g_e6
-                 FROM cent GROUP BY dim),
-      snorm AS (SELECT source, max(n) AS n_vecs,
-                  CAST(sum(m_e6 * m_e6) AS BIGINT) AS n2
-                FROM cent GROUP BY source),
-      gnorm AS (SELECT CAST(sum(g_e6 * g_e6) AS BIGINT) AS g2 FROM corpus),
-      cosg AS (SELECT source, CAST(sum(m_e6 * g_e6) AS BIGINT) AS dotg
-               FROM cent JOIN corpus USING (dim) GROUP BY source),
-      pair AS (SELECT a.source AS source, b.source AS other,
-                 CAST(sum(a.m_e6 * b.m_e6) AS BIGINT) AS dot
-               FROM cent a JOIN cent b
-                 ON a.dim = b.dim AND a.source <> b.source
-               GROUP BY 1, 2),
-      pcos AS (SELECT p.source, p.other,
-                 CAST(floor((dot::DOUBLE * 1000000.0) /
-                   (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))) AS BIGINT)
-                   AS cos_e6
-               FROM pair p JOIN snorm na ON p.source = na.source
-                 JOIN snorm nb ON p.other = nb.source),
-      near AS (SELECT source, other AS nearest_source,
-                 cos_e6 AS nearest_cos_e6
-               FROM (SELECT source, other, cos_e6, row_number() OVER
-                       (PARTITION BY source
-                        ORDER BY cos_e6 DESC, other) AS rn
-                     FROM pcos) r WHERE rn = 1),
-      disp AS (SELECT source,
-                 CAST((sum(ss - 2::HUGEINT * m_e6 * s_e6
-                           + n::HUGEINT * m_e6 * m_e6))
-                   // (max(n)::HUGEINT * 1000) AS BIGINT) AS dispersion_k
-               FROM cent GROUP BY source)
-      SELECT s.source, s.n_vecs,
-        CAST(floor((dotg::DOUBLE * 1000000.0) /
-          (sqrt(s.n2::DOUBLE) * sqrt(g2::DOUBLE))) AS BIGINT)
-          AS cos_corpus_e6,
-        nearest_source, nearest_cos_e6, dispersion_k
-      FROM snorm s JOIN cosg USING (source), gnorm
-        JOIN near ON s.source = near.source
-        JOIN disp ON s.source = disp.source
-      ORDER BY s.source""",
+    "s29_source_embedding_drift" -> s29Oracle,
     // s01's exact cosine restricted to the query's label partition —
     // the filter is an equi-join predicate, so both engines pre-filter
     "s19_filtered_ann" -> s"""
@@ -3075,6 +3077,9 @@ object Extensions {
     "x26_pretrain_card" -> s"""
       WITH ep AS (SELECT * FROM ($x25Oracle)),
       dr AS (SELECT source, tv_e6, drift_term FROM ($t33Oracle)),
+      ed AS (SELECT source, cos_corpus_e6 AS emb_drift_e6,
+               nearest_source AS emb_confusion_src,
+               nearest_cos_e6 AS emb_confusion_e6 FROM ($s29Oracle)),
       ovp AS (SELECT source_a, source_b, est_jac_e6 FROM ($t32Oracle)),
       ovs AS (SELECT source_a AS source, source_b AS partner, est_jac_e6
               FROM ovp
@@ -3108,7 +3113,8 @@ object Extensions {
                  count(*) OVER (PARTITION BY source) AS cnt FROM nvd) z
              WHERE rn = (cnt + 1) // 2)
       SELECT ep.source, ep.n_docs, ep.tokens, ep.share_e6, ep.epochs_e3,
-        dr.tv_e6, dr.drift_term, ov.top_overlap_src, ov.top_overlap_e6,
+        dr.tv_e6, dr.drift_term, ed.emb_drift_e6, ed.emb_confusion_src,
+        ed.emb_confusion_e6, ov.top_overlap_src, ov.top_overlap_e6,
         CAST(coalesce(intra.intra_dup_pairs, 0) AS BIGINT)
           AS intra_dup_pairs,
         CAST(coalesce(crs.cross_dup_pairs, 0) AS BIGINT)
@@ -3117,7 +3123,8 @@ object Extensions {
           AS keep_rate_e6,
         CAST(coalesce(nv.med_novelty_e6, -1) AS BIGINT)
           AS med_novelty_e6
-      FROM ep LEFT JOIN dr USING (source) LEFT JOIN ov USING (source)
+      FROM ep LEFT JOIN dr USING (source) LEFT JOIN ed USING (source)
+      LEFT JOIN ov USING (source)
       LEFT JOIN intra USING (source) LEFT JOIN crs USING (source)
       LEFT JOIN qk USING (source) LEFT JOIN nv USING (source)
       ORDER BY ep.source""",

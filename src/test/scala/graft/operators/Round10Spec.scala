@@ -157,6 +157,14 @@ class Round10Spec extends AnyFunSuite {
       assert(c.getAs[Long]("tv_e6") == r.getAs[Long]("tv_e6") &&
         c.getAs[String]("drift_term") == r.getAs[String]("drift_term"))
     }
+    // s29: embedding drift + confusion pair
+    Similarity.sourceEmbeddingDrift(spark, dir).collect().foreach { r =>
+      val c = card(r.getAs[String]("source"))
+      assert(c.getAs[Long]("emb_drift_e6") == r.getAs[Long]("cos_corpus_e6") &&
+        c.getAs[String]("emb_confusion_src") ==
+          r.getAs[String]("nearest_source") &&
+        c.getAs[Long]("emb_confusion_e6") == r.getAs[Long]("nearest_cos_e6"))
+    }
     // t32: the card's top overlap is the max est_jac_e6 of the pairs
     val pairs = TextAnalysis.sourceSimilaritySketch(spark, dir).collect()
       .flatMap { r =>

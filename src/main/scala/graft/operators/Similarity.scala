@@ -1397,9 +1397,21 @@ object Similarity {
       .select(col("source"), posexplode(expr(
         "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"))
         .as(Seq("dim", "v_e6")))
-    val cent = ex.groupBy("source", "dim")
+    driftFromMoments(ex.groupBy("source", "dim")
       .agg(count(lit(1)).as("n"), sum("v_e6").as("s_e6"),
-        sum(expr("cast(v_e6 as decimal(38,0)) * v_e6")).as("ss"))
+        sum(expr("cast(v_e6 as decimal(38,0)) * v_e6")).as("ss")))
+  }
+
+  /** The s29 card from a (source, dim, n, s_e6, ss) moment table —
+    * public so the streaming twin's batch probe
+    * ([[graft.streaming.StreamCentroid.driftCard]]) shares the EXACT
+    * report logic with the gated query (the
+    * sourceSimilaritySketchFrom precedent: one definition, no drift
+    * between the live and batch forms). The moments are mergeable by
+    * construction (counts and sums), which is what makes the
+    * streaming form's state bounded at |sources|·dims rows. */
+  def driftFromMoments(moments: DataFrame): DataFrame = {
+    val cent = moments
       .select(col("source"), col("dim"), col("n"), col("ss"), col("s_e6"),
         floor(col("s_e6") / col("n")).cast("long").as("m_e6"))
       .persist() // |sources|·dims rows; feeds norms, cos, pairs, disp

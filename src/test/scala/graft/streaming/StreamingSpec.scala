@@ -566,4 +566,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streamed sketch pairs diverge from the gated t32")
   }
+
+  test("streaming centroid moments reproduce the gated s29 card") {
+    // s29's mergeability made live: the per-(source, dim) count/Σv/Σv²
+    // moments are the whole state (≤ |sources|·dims rows), and probing
+    // the final state through the SAME driftFromMoments yields the
+    // gated card EXACTLY — replayed across two triggers so a trigger
+    // boundary provably cannot leak into the report
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val srcMap = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source")
+    val rows = graft.engine.Tables.t(spark, dir, "embeddings")
+      .join(srcMap, col("vec_id") === col("doc_id"))
+      .select("source", "embedding").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(String, Array[Float])]
+    val q = graft.streaming.StreamCentroid
+      .centroidMomentsStream(mem.toDF().toDF("source", "embedding"))
+      .writeStream.format("memory").queryName("cent_out")
+      .outputMode("complete").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    val state = spark.table("cent_out").persist()
+    val stateRows = state.count()
+    val nSources = state.select("source").distinct().count()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("cos_corpus_e6"), r.getAs[String]("nearest_source"),
+        r.getAs[Long]("nearest_cos_e6"), r.getAs[Long]("dispersion_k"))
+    val streamedCard =
+      graft.streaming.StreamCentroid.driftCard(state).collect().map(key).toSet
+    q.stop()
+    assert(stateRows <=
+      nSources * graft.operators.Similarity.EmbeddingDims,
+      s"moment state $stateRows outgrew |sources|·dims")
+    val batchCard = graft.operators.Similarity
+      .sourceEmbeddingDrift(spark, dir).collect().map(key).toSet
+    assert(streamedCard == batchCard,
+      "streamed centroid card diverges from the gated s29")
+  }
 }

@@ -851,4 +851,67 @@ object Dedup {
       .select("doc_id", "n_toks", "n_covered", "kept_md5")
       .orderBy("doc_id")
   }
+
+  /** x29 n-gram width: 8 whitespace tokens — the GPT-3 appendix-C
+    * decontamination unit scaled to this corpus's document lengths
+    * (GPT-3 used 13-grams against much longer web pages; the
+    * principle — any verbatim n-gram shared with an eval set marks
+    * the training document — is length-invariant). */
+  val DecontamN = 8
+
+  /** x29: benchmark decontamination — the exact-overlap complement of
+    * x15's LSH leakage audit and the step every serious pretraining
+    * pipeline runs before training (GPT-3 appendix C, PaLM, Llama):
+    * treat the t07 `test` split as the held-out benchmark and flag
+    * every `train` document that shares ANY verbatim word
+    * [[DecontamN]]-gram with it. x15 answers "which train docs are
+    * NEAR-duplicates of test docs" (MinHash bands, ≥ 50 % signature
+    * agreement); this answers the stricter published criterion —
+    * exact n-gram collision at any alignment, which catches a single
+    * quoted benchmark sentence inside an otherwise-novel document
+    * that no whole-document signature would ever surface.
+    *
+    * Output: one row per CONTAMINATED train document (the actionable
+    * removal list): its distinct-gram count, how many of those grams
+    * hit the benchmark, and the hit ratio — floor((1e6·n_hit)/
+    * n_grams), the severity a curation owner thresholds on (1.0 = a
+    * verbatim benchmark copy, epsilon = one quoted line).
+    *
+    * Grams are compared as rolling hashes (collisions merge
+    * identically in both engines — the d14/d19 convention).
+    *
+    * Scale shape: per-doc distinct gram hashes are |tokens| skinny
+    * longs (the d19 cost class, paid once); the benchmark side
+    * reduces to DISTINCT 8-byte hashes before the probe; the hit join
+    * is hash-keyed with NO broadcast hint — the benchmark gram set is
+    * corpus-proportional under the 10 % split rule (the d17/x15
+    * lesson: AQE broadcasts it while a real benchmark is small —
+    * MMLU-sized sets are a few MB — and degrades to a shuffle join
+    * when someone decontaminates against a second corpus). Nothing is
+    * pairwise: a gram shared by d train docs costs d rows, not d·|test|. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val base = fanOut(docs(s, dir))
+      .select(col("doc_id"), col("source"), lower(col("text")).as("t"),
+        tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        splitOf(expr(rollingHashExpr("t", P)) % 100).as("split"),
+        expr(s"array_distinct(${hashArrayExpr(ngramsExpr("tk", DecontamN), P)})")
+          .as("gs"))
+      .filter(size(col("gs")) > 0)
+      .persist() // one tokenize+hash pass feeds both split branches
+    val bench = base.filter(col("split") === "test")
+      .select(explode(col("gs")).as("g")).distinct()
+    val hits = base.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(bench, "g") // no hint: benchmark grams grow with the corpus
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    base.filter(col("split") === "train")
+      .select(col("doc_id"), col("source"),
+        size(col("gs")).cast("long").as("n_grams"))
+      .join(hits, "doc_id") // inner: only contaminated docs are reported
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_hit"),
+        expr("(1000000L * n_hit) div n_grams").as("hit_ratio_e6"))
+      .orderBy("doc_id")
+  }
 }

@@ -664,6 +664,60 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** d21 semantic-dup cosine bar — d05's near-dup threshold, so the
+    * SemDeDup containment pin (d21 ⊆ d05 within co-clustered pairs)
+    * compares like with like. Interpolated into the oracle. */
+  val SemDedupTau = 0.4
+
+  /** d21: SemDeDup — Abbas et al. (2023) "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication": partition
+    * the corpus with k-means (the s26 Lloyd assignment, reused
+    * verbatim), then find near-identical pairs ONLY within each
+    * cluster and mark every non-lowest member for removal. The third
+    * embedding-dedup mechanism alongside d05 (exhaustive baseline,
+    * guarded) and d08 (LSH bands): LSH buckets by random hyperplanes
+    * and must union 4 band views; SemDeDup buckets by LEARNED
+    * structure, which is why it became the standard curation pass for
+    * web-scale image/text corpora — clusters align with content, so a
+    * tiny within-cluster search catches what matters at a fraction of
+    * the candidate volume.
+    *
+    * Output: one row per REMOVED vector (the keep-list complement):
+    * its cluster, the lowest-id co-cluster twin that evicts it
+    * (min ida — deterministic), how many co-cluster twins confirmed
+    * it, and the tightest cosine.
+    *
+    * Scale shape: the within-cluster self-join is an equi-join on the
+    * bucket id — never a corpus cross join. Per-cluster cost is
+    * (n/K)² — the paper's own contract is that K GROWS with the
+    * corpus (they run 50k clusters over 5B embeddings, n/K ≈ 1e5 —
+    * and bound the pair stage further by chunking clusters); here K
+    * is [[KmeansK]] at the driver SFs and the knob a 100 TB
+    * deployment raises. The Lloyd pass itself is s26's: per round one
+    * K-row-broadcast assignment scan + one partial-agg'd (bucket,
+    * dim) shuffle — centroid state never touches the driver. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = lloydState(s, dir)
+    val e = withNorm(emb(s, dir))
+      .join(assigned.select(col("vec_id"), col("bucket")), "vec_id")
+      .persist() // both pair sides share one norm+assignment pass
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.bucket").as("bucket"),
+        col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        (expr(dotExpr("a.embedding", "b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cs"))
+      .filter(col("cs") >= SemDedupTau)
+    pairs
+      .select(col("idb").as("vec_id"), col("bucket"), col("ida"),
+        floor(col("cs") * 1000000).cast("long").as("cs_e6"))
+      .groupBy("vec_id", "bucket")
+      .agg(min("ida").as("dup_of"), count(lit(1)).as("n_dups"),
+        max("cs_e6").as("max_cs_e6"))
+      .orderBy("vec_id")
+  }
+
   /** Random-hyperplane signature: bit j of a 16-bit signature is the
     * sign of emb · r_j, with r_j[d] derived from an LCG on (j·64+d) —
     * deterministic, engine-independent pseudo-randomness. */

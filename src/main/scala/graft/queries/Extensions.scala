@@ -54,11 +54,17 @@ object Extensions {
       Dedup.cosinePairsPrefix(s, d)),
     // near-dup pairs straddling the t07 split (self-decontamination)
     "x15_split_leakage" -> (Dedup.splitLeakage _),
+    // exact 8-gram benchmark decontamination (GPT-3 appendix C):
+    // train docs sharing ANY verbatim n-gram with the test split
+    "x29_decontaminate" -> (Dedup.decontaminate _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     // gated at the default MaxBruteForceVectors guard
     "d05_embedding_neardup" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDups(s, d)),
     "d08_neardup_bucketed" -> (Similarity.embeddingNearDupsBucketed _),
+    // SemDeDup: within-k-means-cluster cosine dedup (the s26 Lloyd
+    // assignment reused), one row per removed vector
+    "d21_semantic_dedup" -> (Similarity.semanticDedup _),
     "d09_embedding_clusters" -> (DupCluster.embeddingClusters _),
     "d10_keep_best_embedding" -> (DupCluster.keepBestEmbedding _),
     "d06_dup_clusters" -> (DupCluster.clusters _),
@@ -1127,6 +1133,33 @@ object Extensions {
       WHERE list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
           for i in generate_series(1, 32)]) * 2 >= 32
       ORDER BY test_id, train_id""",
+    // exact 8-gram decontamination: distinct gram hashes per doc, the
+    // t07 split rule verbatim, contaminated train docs = >= 1 hash in
+    // the test-split gram universe; same floor'd integer ratio
+    "x29_decontaminate" -> s"""
+      WITH $tkCte,
+      sp AS (SELECT doc_id, CASE WHEN m < 80 THEN 'train'
+               WHEN m < 90 THEN 'val' ELSE 'test' END AS split
+             FROM (SELECT doc_id, ${rh("lower(text)", 1000000007L)} % 100 AS m
+                   FROM documents) g),
+      gr0 AS (SELECT doc_id, CASE WHEN len(tk) >= ${Dedup.DecontamN}
+               THEN [array_to_string(tk[i:i+${Dedup.DecontamN - 1}], ' ')
+                 for i in generate_series(1, len(tk) - ${Dedup.DecontamN - 1})]
+               ELSE [] END AS gstr FROM tk),
+      gr AS (SELECT doc_id,
+               list_distinct([${rh("s", 1000000007L)} for s in gstr]) AS gs
+             FROM gr0 WHERE len(gstr) > 0),
+      bench AS (SELECT DISTINCT unnest(gs) AS g
+                FROM gr JOIN sp USING (doc_id) WHERE split = 'test'),
+      hits AS (SELECT doc_id, count(*) AS n_hit
+               FROM (SELECT doc_id, unnest(gs) AS g FROM gr
+                     JOIN sp USING (doc_id) WHERE split = 'train') u
+               JOIN bench USING (g) GROUP BY 1)
+      SELECT gr.doc_id, d.source, CAST(len(gs) AS BIGINT) AS n_grams,
+        CAST(n_hit AS BIGINT) AS n_hit,
+        CAST((1000000 * n_hit) // len(gs) AS BIGINT) AS hit_ratio_e6
+      FROM gr JOIN hits USING (doc_id) JOIN documents d USING (doc_id)
+      ORDER BY doc_id""",
     // incremental ingest: batch = doc_id % 5 = 0, index = the rest;
     // cross-side band candidates, same >= 50% signature agreement
     "d11_dedup_incremental" -> s"""
@@ -2604,6 +2637,25 @@ object Extensions {
       FROM generate_series(0, ${Similarity.KmeansK - 1}) t(bucket)
       LEFT JOIN pb ON pb.bucket = t.bucket
       ORDER BY bucket""",
+    // SemDeDup: the s26 final assignment (a{KmeansRounds}) bucket-
+    // partitions the pair space; exact sequential-fold cosine within
+    // clusters only, one row per evicted (non-lowest) member
+    "d21_semantic_dedup" -> s"""
+      WITH $kmeansCtes,
+      ee AS (SELECT e.vec_id, a.bucket, e.embedding
+             FROM embeddings e
+             JOIN a${Similarity.KmeansRounds} a USING (vec_id)),
+      pr AS (SELECT a.bucket, a.vec_id AS ida, b.vec_id AS idb,
+               ${cos("a.embedding", "b.embedding")} AS cs
+             FROM ee a JOIN ee b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      ok AS (SELECT bucket, ida, idb,
+               floor(cs * 1000000)::BIGINT AS cs_e6
+             FROM pr WHERE cs >= ${Similarity.SemDedupTau})
+      SELECT idb AS vec_id, CAST(bucket AS INTEGER) AS bucket,
+        min(ida) AS dup_of, CAST(count(*) AS BIGINT) AS n_dups,
+        CAST(max(cs_e6) AS BIGINT) AS max_cs_e6
+      FROM ok GROUP BY idb, bucket ORDER BY vec_id""",
     // per-source TV drift: e9-floored integer probabilities over the
     // corpus top-V terms + rest bucket, same integer divisions as the
     // Spark side (all dividends non-negative, so // == div)

@@ -373,6 +373,122 @@ class Round10Spec extends AnyFunSuite {
         s"missing=${(expected -- got).take(3)}")
   }
 
+  test("x29 equals a first-principles decontamination replica") {
+    // split rule, 8-gram extraction, rolling hashes, the distinct +
+    // benchmark-universe algebra, and the floor'd ratio re-derived in
+    // plain Scala — and the semantic pin the hash gate can't express:
+    // contaminated docs are train docs, never test/val
+    val P = TextHash.P
+    val n = Dedup.DecontamN
+    def rh(s: String): Long =
+      if (s.isEmpty) 7L else s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    val rows = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byDoc = rows.map { case (id, src, text) =>
+      val t = text.toLowerCase
+      val split = rh(t) % 100 match {
+        case m if m < 80 => "train"
+        case m if m < 90 => "val"
+        case _ => "test"
+      }
+      val tk = t.split("\\s+", -1).toSeq
+      val gs = if (tk.size >= n)
+        tk.sliding(n).map(g => rh(g.mkString(" "))).toSet
+      else Set.empty[Long]
+      (id, src, split, gs)
+    }
+    val bench = byDoc.filter(_._3 == "test").flatMap(_._4).toSet
+    val expected = byDoc
+      .filter { case (_, _, split, gs) => split == "train" && gs.nonEmpty }
+      .flatMap { case (id, src, _, gs) =>
+        val nh = gs.count(bench)
+        if (nh == 0) None
+        else Some((id, src, gs.size.toLong, nh.toLong,
+          1000000L * nh / gs.size))
+      }.toSet
+    assert(expected.nonEmpty,
+      "replica found no contamination — the pin checks nothing")
+    val got = Dedup.decontaminate(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("hit_ratio_e6"))).toSet
+    assert(got == expected,
+      s"x29 diverges from the replica: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+    // severity is bounded and attained sanely: every ratio in (0, 1e6]
+    assert(got.forall { case (_, _, ng, nh, r) =>
+      nh >= 1 && nh <= ng && r >= 1 && r <= 1000000 })
+  }
+
+  test("d21 equals a first-principles Lloyd+cosine replica and is d05-consistent") {
+    // the WHOLE SemDeDup chain re-derived in plain Scala: e6-floored
+    // components, 2 Lloyd rounds (argmin d2, ties -> smallest bucket,
+    // empty clusters carry), within-cluster double-fold cosine, the
+    // tau bar, and the eviction aggregation
+    val k = Similarity.KmeansK
+    val vecs = graft.engine.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val dims = vecs.head._2.length
+    val x = vecs.map { case (id, v) =>
+      id -> v.map(f => math.floor(f.toDouble * 1e6).toLong)
+    }
+    var cents: Map[Int, Array[Long]] =
+      x.filter(_._1 < k).map { case (id, c) => id.toInt -> c }.toMap
+    var asg = Map.empty[Long, Int]
+    for (_ <- 1 to Similarity.KmeansRounds) {
+      asg = x.map { case (id, xv) =>
+        id -> cents.toSeq.map { case (b, c) =>
+          (b, (0 until dims).map(d => (xv(d) - c(d)) * (xv(d) - c(d))).sum)
+        }.minBy { case (b, d2) => (d2, b) }._1
+      }.toMap
+      val byB = x.groupBy { case (id, _) => asg(id) }
+      cents = cents.map { case (b, prev) =>
+        b -> byB.get(b).map { m =>
+          Array.tabulate(dims)(d =>
+            math.floorDiv(m.map(_._2(d)).sum, m.length.toLong))
+        }.getOrElse(prev)
+      }
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val vmap = vecs.toMap
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val evictions = x.map(_._1).groupBy(asg).toSeq.flatMap { case (b, ids) =>
+      val sorted = ids.sorted
+      for {
+        j <- sorted.indices
+        idb = sorted(j)
+        csList = sorted.take(j).map { ida =>
+          (ida, dot(vmap(ida), vmap(idb)) / (nrm(ida) * nrm(idb)))
+        }.filter(_._2 >= Similarity.SemDedupTau)
+        if csList.nonEmpty
+      } yield (idb, b, csList.map(_._1).min, csList.size.toLong,
+        csList.map(c => math.floor(c._2 * 1e6).toLong).max)
+    }.toSet
+    assert(evictions.nonEmpty, "replica evicted nothing — the pin checks nothing")
+    val got = Similarity.semanticDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("dup_of"), r.getAs[Long]("n_dups"),
+        r.getAs[Long]("max_cs_e6"))).toSet
+    assert(got == evictions,
+      s"d21 diverges from the replica: extra=${(got -- evictions).take(3)} " +
+        s"missing=${(evictions -- got).take(3)}")
+    // containment: every confirmed semantic dup is a d05 brute-force
+    // pair at the same bar (clustering can only SHRINK the universe)
+    val d05 = Similarity.embeddingNearDups(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    got.foreach { case (vid, _, dupOf, _, _) =>
+      assert(d05.contains((dupOf, vid)),
+        s"d21 pair ($dupOf,$vid) missing from the d05 universe")
+    }
+  }
+
   test("i13 rank-by-counting equals a full-sort ranking replica") {
     // tokenize (the tokens() whitespace split), tf/df/corpus stats,
     // the exact-integer BM25 formula in BigInt, and the TRUE rank via

@@ -358,6 +358,9 @@ class PlanSpec extends AnyFunSuite {
                           // + 1-row corpus-total scalar — both bounded
       "s26_kmeans_lloyd", // broadcast K-row (8) centroid side per round
       "s27_kmeans_quality", // same K-row broadcast (shared Lloyd loop)
+      "d21_semantic_dedup", // same K-row Lloyd centroid crossJoin; the
+                            // within-cluster pair stage is an equi-join
+                            // on the bucket id, never a nested loop
       "i12_rocchio_feedback", // i03's 1-row corpus-stats scalar, both rounds
       "i13_retrieval_eval", // i03's 1-row corpus-stats scalar
       "t34_bpe_tokenize", // 1-row ≤32-struct merge-table crossJoin per round
@@ -399,6 +402,10 @@ class PlanSpec extends AnyFunSuite {
       "s01_ann_topk", "s28_mmr_rerank", "s06_pq_adc", "s07_ivf_pq", "s14_ann_recall",
       "s18_ivf_pq_recall", "s19_filtered_ann", "s21_matryoshka_recall",
       "s26_kmeans_lloyd", "s27_kmeans_quality", "z04_clustering_depth",
+      "d21_semantic_dedup", // s26's K-row Lloyd centroid hint; the
+                            // corpus-scale frames (assignment, pairs)
+                            // carry NO hint — AQE decides
+
       "s29_source_embedding_drift", // 1-row corpus-centroid-norm scalar
       // (the member→centroid dispersion join carries NO hint — source
       // cardinality grows with the corpus, AQE decides)

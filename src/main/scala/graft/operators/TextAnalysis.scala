@@ -482,6 +482,84 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** i14 per-term postings cut: keep the top ceil(df·this/1000)
+    * highest-impact postings of each term (contribution desc, doc_id
+    * asc) — a PROPORTIONAL cut (Carmel et al.'s uniform pruning), so
+    * the trade-off the report prices is the same at every corpus size
+    * (a fixed top-P degenerates to recall 0 as df grows past it; at
+    * sf0.1 it measured exactly that). Interpolated into the oracle. */
+  val PruneKeepPermille = 250L
+
+  /** i14: static index-pruning report — Carmel et al. (2001) "Static
+    * index pruning for information retrieval systems": shrink the
+    * inverted index by keeping only the top [[PruneKeepPermille]]‰
+    * of each term's postings BY IMPACT (the term's exact-integer BM25
+    * contribution, i03's fragments verbatim), then measure what the
+    * cut does to the
+    * multi-term query's top-10 — the size/quality trade every
+    * planet-scale search deployment prices before shipping an index
+    * tier. The lexical complement of the s16/s18 quantization-error
+    * reports: those price PQ compression of the vector index, this
+    * prices posting-list truncation of the text index.
+    *
+    * Output: rank 1..10 of the FULL index ranking side-by-side with
+    * the PRUNED index ranking — each full doc's score, the doc the
+    * pruned index puts at that rank, its (possibly degraded) score,
+    * and whether the full doc survived anywhere in the pruned top-10.
+    *
+    * Scale shape: the per-term top-P cut is ONE window over the
+    * postings frame partitioned by term — the canonical distributed
+    * index-build job (each term's postings sort independently;
+    * nothing global). Both rankings are partial-agg'd sums over
+    * matches-bound frames; the side-by-side join is k rows against k
+    * rows. Corpus-scale work is i03's token fan-out, paid once and
+    * shared by both branches through one persisted postings frame. */
+  def indexPruning(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val termsIn = Similarity.HybridQueryTerms
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+    val base = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        expr(s"filter(tk, x -> x IN $termsIn)").as("qtk"))
+      .persist() // feeds the corpus stats AND the per-doc tf counts
+    val stats = base.agg(count(lit(1)).as("nn"), sum("dl").as("ll"))
+    val tf = base.filter(size(col("qtk")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), col("df"),
+        expr(Bm25TfPartExpr).as("tfpart_e6"),
+        expr(Bm25IdfExpr).as("idf_e6"))
+      .select(col("term"), col("doc_id"), col("df"),
+        expr("""cast((cast(tfpart_e6 as decimal(38,0)) * idf_e6)
+             div 1000000 as long)""").as("contrib_e6"))
+      .persist() // the full and pruned rankings share one postings pass
+    val pruned = postings.withColumn("rn", row_number().over(
+        Window.partitionBy("term")
+          .orderBy(col("contrib_e6").desc, col("doc_id"))))
+      .filter(col("rn") <=
+        expr(s"(df * $PruneKeepPermille + 999) div 1000")) // ceil
+      .drop("rn")
+    def topK(c: DataFrame): DataFrame = c.groupBy("doc_id")
+      .agg(sum("contrib_e6").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("doc_id"))))
+    val full = topK(postings).select(col("rank"),
+      col("doc_id").as("doc_full"), col("score_e6").as("score_full_e6"))
+    val pk = topK(pruned).select(col("rank"),
+      col("doc_id").as("doc_pruned"), col("score_e6").as("score_pruned_e6"))
+    full.join(pk, "rank")
+      .join(pk.select(col("doc_pruned").as("doc_full"), lit(1).as("sv")),
+        Seq("doc_full"), "left")
+      .select(col("rank").cast("int").as("rank"), col("doc_full"),
+        col("score_full_e6"), col("doc_pruned"), col("score_pruned_e6"),
+        coalesce(col("sv"), lit(0)).cast("int").as("survived"))
+      .orderBy("rank")
+  }
+
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"),

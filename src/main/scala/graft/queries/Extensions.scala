@@ -100,6 +100,10 @@ object Extensions {
     // known item's rank is 1 + count(better docs) — one partial agg
     // per probe term, never a per-term global sort/window
     "i13_retrieval_eval" -> (TextAnalysis.retrievalEval _),
+    // static index pruning: per-term top-P impact cut vs the full
+    // index, side-by-side top-10 damage report
+    "i14_index_pruning" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.indexPruning(s, d)),
     "s01_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     // greedy MMR diversification of the s01 shortlist (λ = 0.5)
     "s28_mmr_rerank" -> (Similarity.mmrRerank _),
@@ -1237,6 +1241,40 @@ object Extensions {
         CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS INTEGER)
           AS rank
       FROM sc QUALIFY rank <= 100 ORDER BY rank""",
+    // static index pruning: term-retained contribution postings, the
+    // per-term top-P QUALIFY cut, both rankings from the same frame
+    "i14_index_pruning" -> s"""
+      WITH $bm25Ctes,
+      ctm AS (SELECT term, doc_id, df,
+          ((22::HUGEINT * tf * ll * 1000000)
+            // (10::HUGEINT * tf * ll + 3::HUGEINT * ll
+               + 9::HUGEINT * dl * nn)
+           * ((2::HUGEINT * (nn - df) + 1) * 1000000 // (2 * df + 1)))
+            // 1000000 AS contrib_e6
+        FROM tf JOIN dfq USING (term), stats),
+      prx AS (SELECT term, doc_id, contrib_e6 FROM ctm
+              QUALIFY row_number() OVER (PARTITION BY term
+                ORDER BY contrib_e6 DESC, doc_id)
+                <= (df * ${TextAnalysis.PruneKeepPermille} + 999) // 1000),
+      fsc AS (SELECT doc_id, sum(contrib_e6) AS score_e6
+              FROM ctm GROUP BY 1),
+      fk AS (SELECT doc_id, score_e6, CAST(row_number() OVER
+               (ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS rank
+             FROM fsc QUALIFY rank <= 10),
+      pscp AS (SELECT doc_id, sum(contrib_e6) AS score_e6
+               FROM prx GROUP BY 1),
+      pkk AS (SELECT doc_id, score_e6, CAST(row_number() OVER
+                (ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS rank
+              FROM pscp QUALIFY rank <= 10)
+      SELECT f.rank, f.doc_id AS doc_full,
+        CAST(f.score_e6 AS BIGINT) AS score_full_e6,
+        p.doc_id AS doc_pruned,
+        CAST(p.score_e6 AS BIGINT) AS score_pruned_e6,
+        CAST(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+          AS survived
+      FROM fk f JOIN pkk p USING (rank)
+      LEFT JOIN pkk s ON s.doc_id = f.doc_id
+      ORDER BY f.rank""",
     // Rocchio PRF: sc is round 1 verbatim; candidates are the top-R
     // docs' non-query vocabulary weighted rtf·idf-ratio over CORPUS
     // df; round 2 reuses the identical integer BM25 with expt's df

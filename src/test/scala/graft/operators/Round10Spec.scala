@@ -489,6 +489,59 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("i14 equals a first-principles pruning replica") {
+    // postings, the BigInt BM25 contributions, the proportional
+    // per-term cut, both top-10 rankings, and the survived flags
+    // re-derived in plain Scala
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val probe = Similarity.HybridQueryTerms.toSet
+    val docTok = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), ws.split(r.getString(1).toLowerCase, -1).toSeq))
+    val nn = docTok.length.toLong
+    val ll = docTok.map(_._2.length.toLong).sum
+    val tf = docTok.flatMap { case (id, tk) =>
+      tk.filter(probe).groupBy(identity).map { case (t, hs) =>
+        (t, id, tk.length.toLong, hs.length.toLong)
+      }
+    }
+    val dfm = tf.groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    def contrib(t: String, dl: Long, c: Long): Long = {
+      val df = dfm(t)
+      val tfpart = (BigInt(22) * c * ll * 1000000) /
+        (BigInt(10) * c * ll + BigInt(3) * ll + BigInt(9) * dl * nn)
+      val idf = (BigInt(2) * (nn - df) + 1) * 1000000 / (2 * df + 1)
+      (tfpart * idf / 1000000).toLong
+    }
+    val postings = tf.map { case (t, id, dl, c) => (t, id, contrib(t, dl, c)) }
+    val keep = TextAnalysis.PruneKeepPermille
+    val prunedP = postings.groupBy(_._1).toSeq.flatMap { case (t, ps) =>
+      ps.sortBy { case (_, id, c) => (-c, id) }
+        .take(((dfm(t) * keep + 999) / 1000).toInt)
+    }
+    def topK(ps: Seq[(String, Long, Long)]): Seq[(Long, Long)] =
+      ps.groupBy(_._2).map { case (id, xs) => (id, xs.map(_._3).sum) }
+        .toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val fk = topK(postings.toSeq)
+    val pk = topK(prunedP)
+    val pset = pk.map(_._1).toSet
+    val expected = fk.zip(pk).zipWithIndex.map {
+      case (((fd, fs), (pd, psc)), i) =>
+        (i + 1, fd, fs, pd, psc, if (pset(fd)) 1 else 0)
+    }.toSet
+    val got = TextAnalysis.indexPruning(spark, dir).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_full"),
+        r.getAs[Long]("score_full_e6"), r.getAs[Long]("doc_pruned"),
+        r.getAs[Long]("score_pruned_e6"), r.getAs[Int]("survived"))).toSet
+    assert(got == expected,
+      s"i14 diverges from the replica: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+    // the cut bites (some full doc falls out) without annihilating
+    // the list (some doc survives) — the graded trade the report is for
+    val sv = got.toSeq.map(_._6).sum
+    assert(sv >= 1 && sv <= 9, s"degenerate pruning report: survived=$sv/10")
+  }
+
   test("i13 rank-by-counting equals a full-sort ranking replica") {
     // tokenize (the tokens() whitespace split), tf/df/corpus stats,
     // the exact-integer BM25 formula in BigInt, and the TRUE rank via

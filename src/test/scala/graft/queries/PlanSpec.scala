@@ -363,6 +363,7 @@ class PlanSpec extends AnyFunSuite {
                             // on the bucket id, never a nested loop
       "i12_rocchio_feedback", // i03's 1-row corpus-stats scalar, both rounds
       "i13_retrieval_eval", // i03's 1-row corpus-stats scalar
+      "i14_index_pruning", // same 1-row corpus-stats scalar as i03
       "t34_bpe_tokenize", // 1-row ≤32-struct merge-table crossJoin per round
       "x26_pretrain_card", // composes x25's + t33's 1-row totals scalars
       "s29_source_embedding_drift" // 1-row corpus-centroid-norm scalar
@@ -417,6 +418,9 @@ class PlanSpec extends AnyFunSuite {
       "i10_fuzzy_match", "i11_hard_negatives",
       "i13_retrieval_eval", // ≤8-row truth/df rosters + 1-row stats,
                             // all bounded by the literal probe list
+      "i14_index_pruning", // ≤7-row df roster + 1-row stats (i03's
+                           // shapes); the postings frame and its
+                           // top-P window carry NO hint
       // increment-bounded batch side — THE documented d11 exception
       "d11_dedup_incremental",
       // ClsBuckets-row (4096) model-weight artifact — bounded by

@@ -567,6 +567,49 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed sketch pairs diverge from the gated t32")
   }
 
+  test("streaming decontamination reproduces the gated x29 verdicts") {
+    // x29's live form is STATELESS (append mode, zero keyed state):
+    // each arriving train doc is intersected against the 1-row static
+    // benchmark gram array — replayed across two triggers; the
+    // appended verdicts must equal the gated batch rows exactly
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.TextHashExprs.register(spark)
+    val docs = graft.engine.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.operators.TextHash.splitOf(
+          expr(graft.operators.TextHash.rollingHashExpr(
+            "lower(text)", graft.operators.TextHash.P)) % 100).as("split"))
+      .collect()
+    val bench = StreamLeak.benchmarkGrams(
+      docs.filter(_.getString(3) == "test").map(r => Tuple1(r.getString(2)))
+        .toSeq.toDF("text")).persist()
+    val train = docs.filter(_.getString(3) == "train")
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamLeak
+      .decontaminateStream(mem.toDF().toDF("doc_id", "source", "text"), bench)
+      .writeStream.format("memory").queryName("leak_out")
+      .outputMode("append").start()
+    val (b1, b2) = train.splitAt(train.length / 2)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("leak_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("hit_ratio_e6"))).toSet
+    q.stop()
+    val batch = graft.operators.Dedup.decontaminate(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("hit_ratio_e6"))).toSet
+    assert(streamed.nonEmpty, "no contamination streamed — the pin checks nothing")
+    assert(streamed == batch,
+      s"streamed verdicts diverge from the gated x29: " +
+        s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming centroid moments reproduce the gated s29 card") {
     // s29's mergeability made live: the per-(source, dim) count/Σv/Σv²
     // moments are the whole state (≤ |sources|·dims rows), and probing

@@ -818,6 +818,61 @@ object Similarity {
         expr("sum_err_e6 div n_vectors").as("mean_err_e6"))
       .orderBy("sub")
 
+  /** s30: residual-PQ error report — the FAISS-default IVF-PQ
+    * refinement (Jégou et al. 2011 §III-C): quantize each vector's
+    * RESIDUAL to its coarse IVF cell's centroid instead of the raw
+    * vector, so PQ spends its 8 bytes on the within-cell variance
+    * only. This report PRICES the switch rather than assuming it
+    * pays: per vector, the raw-PQ reconstruction error (s16's
+    * quantity, per-vector grain) next to the residual-PQ error under
+    * the SAME codebook, with an improvement flag. The measured answer
+    * at the driver SFs is that it does NOT pay here (~35 % of vectors
+    * improve, total error +1.6 %): the deterministic stand-in
+    * codebook is uniform over the RAW value range, and residuals live
+    * on a different distribution — which is precisely why FAISS
+    * trains its PQ codebook ON residuals instead of reusing the
+    * raw-vector one. This audit is what catches a deployment reusing
+    * a codebook across tiers and shipping a silently worse index.
+    *
+    * The cell centroid is s04's exact-integer mean (floor(sum_e6/n)),
+    * and the residual is float(double(v) − mean_e6/1e6) — one IEEE
+    * round-to-float, identical in DuckDB's ::REAL cast, so the gate
+    * stays exact.
+    *
+    * Scale shape: one narrow assignment pass (K-row LCG planes inside
+    * the codegen'd expression — no join at all), one partial-agg'd
+    * (bucket, dim) shuffle for the means (s04's job), then a map-only
+    * encode pass with the K-row centroid table broadcast. At a
+    * billion vectors this is exactly the "train the residual tier"
+    * job: nothing pairwise, nothing driver-side. */
+  def residualPqReport(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.TextHash.fanOut(emb(s, dir))
+      .select(col("vec_id"), col("embedding"),
+        expr("ivf_assign(embedding, 1)[0]").as("bucket"))
+      .persist() // assignment feeds the centroid build AND the encode
+    val cent = e.select(col("bucket"), posexplode(col("embedding")))
+      .toDF("bucket", "dim", "v")
+      .groupBy("bucket", "dim")
+      .agg(sum(floor(col("v").cast("double") * 1000000).cast("long"))
+        .as("sum_e6"), count(lit(1)).as("n"))
+      .select(col("bucket"),  col("dim"),
+        floor(col("sum_e6") / col("n")).cast("long").as("mean_e6"))
+      .groupBy("bucket")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, mean_e6))), p -> p.mean_e6)")
+        .as("c"))
+    e.join(broadcast(cent), "bucket") // K-row centroid side
+      .select(col("vec_id"), col("bucket").cast("int").as("bucket"),
+        expr("aggregate(pq_encode(embedding), 0L, (acc, x) -> acc + x.err_e6)")
+          .as("err_raw_e6"),
+        expr("""aggregate(pq_encode(zip_with(embedding, c,
+             (a, b) -> CAST(CAST(a AS DOUBLE) - b / 1000000.0D AS FLOAT))),
+             0L, (acc, x) -> acc + x.err_e6)""").as("err_res_e6"))
+      .withColumn("improved",
+        (col("err_res_e6") < col("err_raw_e6")).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** s06: PQ-ADC search — queries score the *compressed* corpus with
     * the asymmetric distance (query subvector ↔ candidate's centroid),
     * never decompressing a candidate. The corpus side carries only

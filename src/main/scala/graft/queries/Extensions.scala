@@ -130,6 +130,9 @@ object Extensions {
     "s15_cluster_quality" -> (DupCluster.clusterQuality _),
     // per-subspace PQ reconstruction error (index-health card)
     "s16_pq_error" -> (Similarity.pqErrorReport _),
+    // residual-PQ vs raw-PQ reconstruction error under one codebook
+    // (the FAISS-default IVF-PQ refinement), per-vector grain
+    "s30_residual_pq" -> (Similarity.residualPqReport _),
     // class-separability card: pairwise label-centroid cosines
     "s17_label_centroids" -> (Similarity.labelCentroids _),
     // metadata-filtered exact top-k: same-label cosine search as an
@@ -337,6 +340,23 @@ object Extensions {
   /** PQ codebook (8 subspaces × 16 centroids × 8 dims, LCG addend
     * 77777 — graft.functions.Pq) + per-(vector, subspace, centroid)
     * squared distances + the argmin code assignment. */
+  /** IVF coarse assignment: LCG(54321) hyperplane centroids, argmax
+    * dot (ties → smallest k) — ends in `assigned(vec_id, bucket)`.
+    * Shared by the s04 oracle and s30's residual chain. */
+  private val ivfAssignCtes = """cents AS (SELECT k,
+          [((1103515245::BIGINT * (k*64 + d) + 54321) % 2147483648)
+            / 2147483648.0 - 0.5 for d in generate_series(1, 64)] AS cv
+          FROM generate_series(0, 15) t(k)),
+      dots AS (SELECT e.vec_id, c.k,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            [(e.embedding[d]::DOUBLE) * (c.cv[d]::DOUBLE) for d in generate_series(1, 64)]),
+            (x, y) -> x + y) AS dot
+          FROM embeddings e, cents c),
+      assigned AS (SELECT vec_id, k AS bucket
+          FROM (SELECT vec_id, k, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY dot DESC, k) AS crnk FROM dots) r
+          WHERE crnk = 1)"""
+
   private val pqCodeCtes = """
       cb AS (SELECT s, k,
           [((1103515245::BIGINT * ((s*16 + k)*8 + d) + 77777) % 2147483648)
@@ -1600,19 +1620,8 @@ object Extensions {
     // sums in floor(x*1e6) longs; mean via double division + floor
     // (an integer `div` would floor in DuckDB but truncate in Spark
     // on negative sums)
-    "s04_ivf_centroids" -> """
-      WITH cents AS (SELECT k, [((1103515245::BIGINT * (k*64 + d) + 54321) % 2147483648)
-            / 2147483648.0 - 0.5 for d in generate_series(1, 64)] AS cv
-          FROM generate_series(0, 15) t(k)),
-      dots AS (SELECT e.vec_id, c.k,
-          list_reduce(list_prepend(0.0::DOUBLE,
-            [(e.embedding[d]::DOUBLE) * (c.cv[d]::DOUBLE) for d in generate_series(1, 64)]),
-            (x, y) -> x + y) AS dot
-          FROM embeddings e, cents c),
-      assigned AS (SELECT vec_id, k AS bucket
-          FROM (SELECT vec_id, k, row_number() OVER
-                  (PARTITION BY vec_id ORDER BY dot DESC, k) AS crnk FROM dots) r
-          WHERE crnk = 1),
+    "s04_ivf_centroids" -> s"""
+      WITH $ivfAssignCtes,
       ex AS (SELECT a.bucket, d - 1 AS dim,
                CAST(floor((e.embedding[d]::DOUBLE) * 1000000) AS BIGINT) AS v_e6
              FROM assigned a JOIN embeddings e USING (vec_id),
@@ -1700,6 +1709,53 @@ object Extensions {
       SELECT vec_id, CAST(s AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
         CAST(floor(dist * 1000000) AS BIGINT) AS err_e6
       FROM pqcodes ORDER BY vec_id, sub""",
+    // residual chain: the s04 assignment + exact-integer cell means,
+    // residual = one double subtraction rounded to REAL (Spark's
+    // CAST(double AS FLOAT) — identical IEEE round), then the SAME
+    // pq distance algebra over the residual arrays
+    "s30_residual_pq" -> s"""
+      WITH $ivfAssignCtes,
+      exx AS (SELECT a.bucket, d AS dim,
+               CAST(floor(e.embedding[d]::DOUBLE * 1000000) AS BIGINT)
+                 AS v_e6
+             FROM assigned a JOIN embeddings e USING (vec_id),
+                  generate_series(1, 64) t(d)),
+      mn AS (SELECT bucket, dim,
+               CAST(floor(sum(v_e6) / count(*)) AS BIGINT) AS mean_e6
+             FROM exx GROUP BY bucket, dim),
+      marr AS (SELECT bucket, list(mean_e6 ORDER BY dim) AS c
+               FROM mn GROUP BY bucket),
+      res AS (SELECT e.vec_id, a.bucket,
+               [CAST(e.embedding[d]::DOUBLE - m.c[d] / 1000000.0 AS REAL)
+                 for d in generate_series(1, 64)] AS rv
+             FROM embeddings e JOIN assigned a USING (vec_id)
+             JOIN marr m USING (bucket)),
+      $pqCodeCtes,
+      raw AS (SELECT vec_id,
+               CAST(sum(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT)
+                 AS err_raw_e6
+             FROM pqcodes GROUP BY vec_id),
+      rpqd AS (SELECT r.vec_id, cb.s, cb.k,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            [(r.rv[cb.s*8 + d]::DOUBLE - cb.cv[d]) *
+             (r.rv[cb.s*8 + d]::DOUBLE - cb.cv[d])
+             for d in generate_series(1, 8)]),
+            (x, y) -> x + y) AS dist
+        FROM res r, cb),
+      rcodes AS (SELECT vec_id, s, dist
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY vec_id, s ORDER BY dist, k) AS rn FROM rpqd) z
+        WHERE rn = 1),
+      rr AS (SELECT vec_id,
+               CAST(sum(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT)
+                 AS err_res_e6
+             FROM rcodes GROUP BY vec_id)
+      SELECT a.vec_id, CAST(a.bucket AS INTEGER) AS bucket,
+        raw.err_raw_e6, rr.err_res_e6,
+        CAST(CASE WHEN rr.err_res_e6 < raw.err_raw_e6 THEN 1 ELSE 0 END
+          AS INTEGER) AS improved
+      FROM assigned a JOIN raw USING (vec_id) JOIN rr USING (vec_id)
+      ORDER BY a.vec_id""",
     // ADC: the query's subvector against the candidate's centroid;
     // per-subspace distances floored to e6 longs first, so the total
     // is an order-free integer sum in both engines

@@ -542,6 +542,62 @@ class Round10Spec extends AnyFunSuite {
     assert(sv >= 1 && sv <= 9, s"degenerate pruning report: survived=$sv/10")
   }
 
+  test("s30 equals a first-principles residual-PQ replica") {
+    // IVF assignment, the e6-floored cell means, the double→REAL
+    // residual rounding, and both PQ error sums re-derived in plain
+    // Scala against the shared LCG codebooks
+    val civf = graft.functions.IvfAssign.centroids
+    val cb = graft.functions.Pq.codebook
+    val vecs = graft.engine.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def assign(v: Array[Float]): Int =
+      (0 until 16).map { k =>
+        var acc = 0.0; var d = 0
+        while (d < 64) { acc += v(d).toDouble * civf(k * 64 + d); d += 1 }
+        (k, acc)
+      }.minBy { case (k, dot) => (-dot, k) }._1
+    val asg = vecs.map { case (id, v) => id -> assign(v) }.toMap
+    val byB = vecs.groupBy { case (id, _) => asg(id) }
+    val means = byB.map { case (b, m) =>
+      b -> Array.tabulate(64)(d =>
+        math.floorDiv(
+          m.map(x => math.floor(x._2(d).toDouble * 1e6).toLong).sum,
+          m.length.toLong))
+    }
+    def pqErr(v: Array[Float]): Long =
+      (0 until 8).map { s =>
+        val best = (0 until 16).map { k =>
+          var acc = 0.0; var d = 0
+          while (d < 8) {
+            val x = v(s * 8 + d).toDouble - cb((s * 16 + k) * 8 + d)
+            acc += x * x; d += 1
+          }
+          acc
+        }.min
+        math.floor(best * 1e6).toLong
+      }.sum
+    val expected = vecs.map { case (id, v) =>
+      val b = asg(id)
+      val res = Array.tabulate(64)(d =>
+        (v(d).toDouble - means(b)(d) / 1000000.0).toFloat)
+      val (er, es) = (pqErr(v), pqErr(res))
+      (id, b, er, es, if (es < er) 1 else 0)
+    }.toSet
+    val got = Similarity.residualPqReport(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("err_raw_e6"), r.getAs[Long]("err_res_e6"),
+        r.getAs[Int]("improved"))).toSet
+    assert(got == expected,
+      s"s30 diverges from the replica: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+    // the audit discriminates: residual encoding helps some vectors
+    // and hurts others under the raw-trained codebook — both outcomes
+    // must occur or the report carries no signal
+    val flags = got.map(_._5)
+    assert(flags == Set(0, 1), s"degenerate residual audit: flags $flags")
+  }
+
   test("i13 rank-by-counting equals a full-sort ranking replica") {
     // tokenize (the tokens() whitespace split), tf/df/corpus stats,
     // the exact-integer BM25 formula in BigInt, and the TRUE rank via

@@ -406,6 +406,7 @@ class PlanSpec extends AnyFunSuite {
       "d21_semantic_dedup", // s26's K-row Lloyd centroid hint; the
                             // corpus-scale frames (assignment, pairs)
                             // carry NO hint — AQE decides
+      "s30_residual_pq", // K-row (16) IVF cell-centroid side
 
       "s29_source_embedding_drift", // 1-row corpus-centroid-norm scalar
       // (the member→centroid dispersion join carries NO hint — source

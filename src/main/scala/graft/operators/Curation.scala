@@ -364,6 +364,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x30 shard token budget — the target token mass per output shard.
+    * Interpolated into the oracle. */
+  val ShardBudget = 20000L
+
+  /** x30: shuffled shard manifest — the WRITE step of a training-data
+    * pipeline: assign every document to an output shard by a
+    * deterministic hash shuffle and report each shard's balance. The
+    * shard count is data-derived (ceil(total_tokens/[[ShardBudget]]))
+    * and the assignment is `hash(doc_id) mod S` — the two-level form
+    * a 100 TB job MUST use: a "global shuffle" via one corpus-wide
+    * prefix sum (x04's window made global) would serialize the whole
+    * corpus through a single ordering; hash sharding is one map pass
+    * and one partial-agg'd groupBy, and its balance is exactly what
+    * this manifest audits (dev_e6 = shard tokens / ideal tokens — the
+    * dataloader reads this to know its per-shard variance). The
+    * shuffle key hashes the doc_id STRING (metadata-only — the text
+    * never enters the key, so re-sharding an epoch never re-reads
+    * payload columns), with the epoch folded in so epoch 2 is a
+    * different deterministic permutation of the same corpus.
+    *
+    * Scale shape: one narrow scan computing (doc_id, n_toks, key),
+    * a 1-row total-tokens scalar crossJoin (the x25 idiom) to derive
+    * S, one partial-agg'd groupBy on the shard id. Output is S rows.
+    * Nothing global-ordered, nothing driver-side. */
+  def shardManifest(s: SparkSession, dir: String, epoch: Int = 1)
+      : DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        expr(rollingHashExpr(
+          s"concat(cast(doc_id as string), ':$epoch')", P)).as("key"))
+    val tot = base.agg(sum("n_toks").as("total_toks"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("n_shards",
+        expr(s"(total_toks + ${ShardBudget - 1}L) div ${ShardBudget}L"))
+      .withColumn("shard", col("key") % col("n_shards"))
+      .groupBy("shard", "n_shards", "total_toks")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        min(struct(col("key"), col("doc_id"))).as("f"))
+      .select(col("shard"), col("n_shards"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000L) div (total_toks div n_shards)")
+          .as("dev_e6"),
+        col("f.doc_id").as("first_doc"))
+      .orderBy("shard")
+  }
+
   /** t27: per-document keyword extraction — the top-3 terms by
     * tf·idf, the metadata tag every search/curation pipeline attaches
     * to a document. The score is the exact integer

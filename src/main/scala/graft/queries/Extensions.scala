@@ -247,6 +247,10 @@ object Extensions {
     "x17_freshness" -> (TimeSeries.freshness _),
     "x03_pipeline" -> (Pipeline.datasetCard _),
     "x04_packing" -> ((s: SparkSession, d: String) => Curation.packing(s, d)),
+    // shuffled shard manifest: data-derived shard count, metadata-only
+    // hash shuffle key, per-shard balance audit
+    "x30_shard_manifest" -> ((s: SparkSession, d: String) =>
+      Curation.shardManifest(s, d)),
     "x05_curation_card" -> (Pipeline.curationCard _),
     // per-source pretraining data card: x25 mixture + t33 drift + t32
     // overlap + d17 dup provenance + t02 keep rate + t19 novelty median
@@ -3218,6 +3222,32 @@ object Extensions {
         CAST((end_tok - n_toks) // 256 AS BIGINT) AS bin_first,
         CAST((end_tok - 1) // 256 AS BIGINT) AS bin_last
       FROM c ORDER BY doc_id""",
+    // hash-shuffle sharding: metadata-only key (doc_id string + epoch
+    // 1), data-derived shard count, per-shard balance vs the ideal
+    "x30_shard_manifest" -> s"""
+      WITH $tkCte,
+      b AS (SELECT doc_id, len(tk)::BIGINT AS n_toks,
+              ${rh("concat(doc_id::VARCHAR, ':1')", 1000000007L)} AS key
+            FROM tk),
+      tt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total_toks FROM b),
+      a AS (SELECT b.*, total_toks,
+              CAST((total_toks + ${Curation.ShardBudget - 1})
+                // ${Curation.ShardBudget} AS BIGINT) AS n_shards
+            FROM b, tt),
+      g AS (SELECT a.*, key % n_shards AS shard, row_number() OVER
+              (PARTITION BY key % n_shards ORDER BY key, doc_id) AS rn
+            FROM a),
+      m AS (SELECT shard, n_shards, total_toks, count(*) AS n_docs,
+              sum(n_toks) AS n_tokens
+            FROM g GROUP BY shard, n_shards, total_toks),
+      fd AS (SELECT shard, doc_id AS first_doc FROM g WHERE rn = 1)
+      SELECT m.shard, CAST(n_shards AS BIGINT) AS n_shards, n_docs,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST((n_tokens * 1000000) // (total_toks // n_shards)
+          AS BIGINT) AS dev_e6,
+        fd.first_doc
+      FROM m JOIN fd USING (shard)
+      ORDER BY m.shard""",
     // the card embeds the x25/t33/t32/d17/t02/t19 oracle bodies
     // verbatim — six standalone gates composed on the source key
     "x26_pretrain_card" -> s"""

@@ -598,6 +598,41 @@ class Round10Spec extends AnyFunSuite {
     assert(flags == Set(0, 1), s"degenerate residual audit: flags $flags")
   }
 
+  test("x30 equals a first-principles sharding replica and conserves the corpus") {
+    val P = TextHash.P
+    def rh(s: String): Long =
+      if (s.isEmpty) 7L else s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    val b = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        (id, r.getString(1).toLowerCase.split("\\s+", -1).length.toLong,
+          rh(s"$id:1"))
+      }
+    val total = b.map(_._2).sum
+    val nShards = (total + Curation.ShardBudget - 1) / Curation.ShardBudget
+    val expected = b.groupBy { case (_, _, k) => k % nShards }
+      .map { case (shard, xs) =>
+        val toks = xs.map(_._2).sum
+        (shard, nShards, xs.length.toLong, toks,
+          toks * 1000000L / (total / nShards),
+          xs.minBy { case (id, _, k) => (k, id) }._1)
+      }.toSet
+    val got = Curation.shardManifest(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_shards"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("dev_e6"), r.getAs[Long]("first_doc"))).toSet
+    assert(got == expected,
+      s"x30 diverges from the replica: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+    // conservation: every document and every token lands in a shard
+    assert(got.toSeq.map(_._3).sum == b.length.toLong &&
+      got.toSeq.map(_._4).sum == total,
+      "sharding lost documents or tokens")
+    assert(got.forall { case (s, n, _, _, _, _) => s >= 0 && s < n },
+      "a shard id escaped [0, n_shards)")
+  }
+
   test("i13 rank-by-counting equals a full-sort ranking replica") {
     // tokenize (the tokens() whitespace split), tf/df/corpus stats,
     // the exact-integer BM25 formula in BigInt, and the TRUE rank via

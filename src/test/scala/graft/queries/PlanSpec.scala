@@ -350,6 +350,7 @@ class PlanSpec extends AnyFunSuite {
       "s20_sq8_recall", // 1-row quantizer state + ≤10-row query side
       "s21_matryoshka_recall", // s01 ground truth + ≤10-row query side
       "x25_epoch_allocation", // 1-row corpus-totals scalar crossJoin
+      "x30_shard_manifest", // 1-row total-tokens scalar crossJoin
       "s22_pagerank", // 1-row corpus-size scalar per iteration
       "i09_diversified_search", // i03's 1-row corpus-stats scalar
       "z04_clustering_depth", // static 16-probe grid × file METADATA rows
@@ -387,7 +388,8 @@ class PlanSpec extends AnyFunSuite {
       "s08_hybrid_rrf", "s20_sq8_recall", "s22_pagerank",
       "t22_collocations", "t27_keywords", "x08_upsert",
       "x10_serving_card", "x11_mixture_sample", "x14_temperature_sample",
-      "x23_embargo_split", "x25_epoch_allocation", "z01_zorder",
+      "x23_embargo_split", "x25_epoch_allocation", "x30_shard_manifest",
+      "z01_zorder",
       "z02_pruning_report", "z03_bloom_report", "i02_phrase_search",
       "i04_proximity_search", "i09_diversified_search", "t33_source_drift",
       "x26_pretrain_card", // composes x25's 1-row + t33's top-V hints

@@ -71,7 +71,8 @@ object Dedup {
     * Returns (postings, sizes). */
   private def shinglePostings(s: SparkSession, dir: String,
       maxShingleDf: Option[Long]): (DataFrame, DataFrame) = {
-    val sh = shingleHashes(docs(s, dir)).persist()
+    // memoized checkpoint — already materialized, no persist needed
+    val sh = shingleHashesMemo(s, dir)
     val ex = maxShingleDf match {
       case None =>
         sh.select(col("doc_id"), explode(col("hv")).as("h")).distinct()
@@ -403,7 +404,7 @@ object Dedup {
   }
 
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    shingleHashes(docs(s, dir))
+    shingleHashesMemo(s, dir)
       .filter(col("n_sh") > 0)
       .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
 
@@ -454,7 +455,7 @@ object Dedup {
     * Output: (new_id, index_id, n_match) — which index doc each new
     * doc duplicates. */
   def incrementalNearDups(s: SparkSession, dir: String): DataFrame = {
-    val sigs = shingleHashes(docs(s, dir))
+    val sigs = shingleHashesMemo(s, dir)
       .filter(col("n_sh") > 0)
       .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
       .persist()
@@ -638,7 +639,7 @@ object Dedup {
     * genuinely bounded by the increment. Output: which train doc
     * leaks into which test doc, with signature-agreement strength. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val sigs = shingleHashes(docs(s, dir))
+    val sigs = shingleHashesMemo(s, dir)
       .filter(col("n_sh") > 0)
       .select(col("doc_id"), expr(minhashExpr("hv", MinhashK)).as("sig"))
       .persist()

@@ -124,10 +124,9 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
     // ONE corpus tokenize+shingle+hash pass, shared by the novelty
-    // and sketch branches (each standalone gate builds its own; the
-    // card would otherwise pay the narrow pass twice). Compact per-doc
-    // hash arrays — the same cache class t19 already persists.
-    val sh = shingleHashes(Tables.t(s, dir, "documents")).persist()
+    // and sketch branches — now the session-memoized checkpoint every
+    // shingle consumer reads (already materialized, no persist)
+    val sh = shingleHashesMemo(s, dir)
     val ep = Curation.epochAllocation(s, dir)
       .select("source", "n_docs", "tokens", "share_e6", "epochs_e3")
     val dr = TextAnalysis.sourceDrift(s, dir)

@@ -30,7 +30,7 @@ object Sketches {
     * The exact distinct count is computed alongside purely so the
     * driver gate pins both the sketch AND its ground truth. */
   def kmvDistinctShingles(s: SparkSession, dir: String): DataFrame = {
-    val hv = shingleHashes(Tables.t(s, dir, "documents"))
+    val hv = shingleHashesMemo(s, dir)
       .select(explode(col("hv")).as("h")).distinct().persist()
     val topk = hv.orderBy("h").limit(KmvK)
       .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_actual"))

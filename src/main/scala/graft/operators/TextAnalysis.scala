@@ -225,7 +225,7 @@ object TextAnalysis {
     * collisions inside a doc merge shingles on both engines
     * identically). */
   def novelty(s: SparkSession, dir: String): DataFrame =
-    noveltyFrom(shingleHashes(docs(s, dir)))
+    noveltyFrom(shingleHashesMemo(s, dir))
 
   /** t19's chain from a prebuilt `shingleHashes` frame — x26 shares
     * ONE corpus tokenize+shingle+hash pass between this and the t32
@@ -1215,7 +1215,7 @@ object TextAnalysis {
     * posture). */
   def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val sp = shingleHashes(d)
+    val sp = shingleHashesMemo(s, dir)
       .join(d.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), explode(col("hv")).as("h"))
       .distinct()
@@ -1255,7 +1255,7 @@ object TextAnalysis {
     * in either engine. */
   def sourceSimilaritySketch(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    sourceSimilaritySketchFrom(shingleHashes(d),
+    sourceSimilaritySketchFrom(shingleHashesMemo(s, dir),
       d.select(col("doc_id"), col("source")))
   }
 

@@ -696,6 +696,12 @@ object Similarity {
     * deployment raises. The Lloyd pass itself is s26's: per round one
     * K-row-broadcast assignment scan + one partial-agg'd (bucket,
     * dim) shuffle — centroid state never touches the driver. */
+  /** The final Lloyd assignment (vec_id, bucket) d21 buckets on —
+    * exposed for ScaleStress's SemDeDup pair-budget telemetry. */
+  private[graft] def semanticDedupAssignment(
+      s: SparkSession, dir: String): DataFrame =
+    lloydState(s, dir)._2.select(col("vec_id"), col("bucket"))
+
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val (_, assigned) = lloydState(s, dir)
     val e = withNorm(emb(s, dir))

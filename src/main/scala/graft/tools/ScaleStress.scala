@@ -136,6 +136,40 @@ object ScaleStress {
     val d19Matched = hstats.agg(sum("rows").cast("long")).head.getLong(0)
     val d19Spans = Dedup.substringSpans(spark, dir).count()
 
+    // x29: the benchmark gram universe (the join side that must NOT
+    // carry a broadcast hint — it is corpus-proportional under the
+    // 10% split rule), the train-side posting rows probing it, the
+    // join's output rows, and the contaminated-doc census — all must
+    // grow ~linearly for the decontamination join to hold
+    val x29Base = TextHash.fanOut(docs)
+      .select(col("doc_id"), lower(col("text")).as("t"),
+        TextHash.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        TextHash.splitOf(expr(
+          TextHash.rollingHashExpr("t", TextHash.P)) % 100).as("split"),
+        expr(s"array_distinct(${TextHash.hashArrayExpr(
+          TextHash.ngramsExpr("tk", Dedup.DecontamN), TextHash.P)})")
+          .as("gs"))
+      .filter(size(col("gs")) > 0).persist()
+    val x29Bench = x29Base.filter(col("split") === "test")
+      .select(explode(col("gs")).as("g")).distinct().persist()
+    val x29BenchGrams = x29Bench.count()
+    val x29TrainRows = x29Base.filter(col("split") === "train")
+      .agg(sum(size(col("gs"))).cast("long")).head.getLong(0)
+    val x29HitRows = x29Base.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(x29Bench, "g").count()
+    val x29Docs = Dedup.decontaminate(spark, dir).count()
+
+    // d21: within-cluster candidate pairs Σ C(n_c, 2) over the Lloyd
+    // assignment — the SemDeDup pair budget; the paper's contract is
+    // K ∝ n, so at FIXED driver K this grows ~n²/K and the telemetry
+    // makes the K-scaling requirement measurable rather than asserted
+    val d21Cand = pairSum(
+      graft.operators.Similarity.semanticDedupAssignment(spark, dir)
+        .groupBy("bucket").agg(count(lit(1)).as("n")))
+    val d21Rows = graft.operators.Similarity.semanticDedup(spark, dir).count()
+
     // t34: the Heaps-bounded vocabulary every expensive stage runs on
     val t34Vocab = docs
       .select(explode(TextHash.tokens(col("text"))).as("w"))
@@ -173,6 +207,9 @@ object ScaleStress {
         s""""d13":{"boiler_blocks":$d13Boiler,"doc_hits":$d13Hits},""" +
         s""""d19":{"windows":$d19Windows,"dup_hashes":$d19DupHashes,""" +
         s""""matched_rows":$d19Matched,"spans":$d19Spans},""" +
+        s""""x29":{"bench_grams":$x29BenchGrams,"train_rows":$x29TrainRows,""" +
+        s""""hit_rows":$x29HitRows,"contaminated":$x29Docs},""" +
+        s""""d21":{"cand":$d21Cand,"rows":$d21Rows},""" +
         s""""t34_vocab":$t34Vocab,""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds,"s11":$s11Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +

@@ -163,6 +163,60 @@ object DupCluster {
   def embeddingClusters(s: SparkSession, dir: String): DataFrame =
     clustersOf(computeEmbLabels(s, dir), "vec_id")
 
+  /** aHash-pair labels for (session, dir), memoized for [[keepBestMedia]]
+    * the same way [[lastEmbLabels]] serves d10. */
+  @volatile private var lastAhashLabels
+      : Option[(SparkSession, String, DataFrame)] = None
+
+  private def computeAhashLabels(s: SparkSession, dir: String): DataFrame = {
+    val labels = fixpointLabels(
+      graft.operators.Multimodal.ahashPairs(s, dir).select("ida", "idb"))
+    lastAhashLabels = Some((s, dir, labels))
+    labels
+  }
+
+  /** m07: duplicate clusters over the PERCEPTUAL (aHash) near-dup
+    * graph — the multimodal modality gains the same pairs → clusters
+    * stage the text (d03→d06) and embedding (d08→d09) pipelines have:
+    * m04's hamming-≤6 pairs alone over-delete (a~b and b~c must not
+    * delete both b and c independently of a), so re-encoded/resized
+    * variants of one asset collapse to one canonical id first. Same
+    * star-contraction fixpoint, same diameter-bounded round argument.
+    *
+    * Scale shape: the pair graph is m04's (banded equi-join, dense-
+    * bucket capped); the fixpoint shuffles (id, label) longs only —
+    * no payload byte ever enters the clustering. */
+  def ahashClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(computeAhashLabels(s, dir), "doc_id")
+
+  /** m08: keep-best per perceptual cluster — the LAION-class curation
+    * rule: among perceptual duplicates keep the LARGEST payload (the
+    * highest-resolution/least-recompressed variant; byte_len is the
+    * stand-in metadata [[Multimodal.mediaTable]] carries), ties →
+    * smallest doc_id. d07 keeps the longest TEXT per text cluster;
+    * this is its media twin, completing the pairs → clusters →
+    * keep-best triple for all three modalities.
+    *
+    * Scale shape: one per-cluster window rank over the cluster-member
+    * frame joined to metadata longs — payload bytes never shuffle. */
+  def keepBestMedia(s: SparkSession, dir: String): DataFrame = {
+    val labels = lastAhashLabels match {
+      case Some((`s`, `dir`, l)) => l
+      case _ => computeAhashLabels(s, dir)
+    }
+    val cl = clustersOf(labels, "doc_id")
+    val bl = graft.operators.Multimodal.mediaTable(s, dir).toDF()
+      .select(col("doc_id"), col("byte_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("byte_len").desc, col("doc_id"))
+    cl.join(bl, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("cluster_sz"), col("byte_len").as("rep_byte_len"))
+      .orderBy("cluster_id")
+  }
+
   /** s11: semantic clusters — connected components over the
     * mutual-k-NN graph ([[Similarity.mutualKnn]]) instead of the
     * thresholded near-dup graph d09 uses. This is the grouping stage

@@ -235,6 +235,10 @@ object Extensions {
     "m03_ahash" -> (Multimodal.ahashes _),
     // payload near-dups over m03 signatures: 8×8-bit bands + hamming
     "m04_ahash_neardup" -> (Multimodal.ahashPairs _),
+    // pairs -> clusters for the perceptual modality (d06's stage)
+    "m07_ahash_clusters" -> (DupCluster.ahashClusters _),
+    // keep the largest payload per perceptual cluster (d07's stage)
+    "m08_keep_best_media" -> (DupCluster.keepBestMedia _),
     // audio-modality frame card: energy / silence / zero crossings
     "m05_audio_frames" -> (Multimodal.audioCards _),
     // magic-number modality routing card per (source, format)
@@ -434,6 +438,24 @@ object Extensions {
           ELSE 0::BIGINT END
           for b in generate_series(0, 63)]) AS BIGINT) AS ahash
       FROM st)"""
+
+  /** The m04 pair chain on top of [[ahashCtes]] — ends in
+    * `apairs(ida, idb, hamming)`, the confirmed (hamming ≤ 6)
+    * perceptual near-dup pairs; shared by m04 (pair output) and
+    * m07/m08 (connected components / keep-best over the pairs). */
+  private lazy val ahashPairCtes = s"""$ahashCtes,
+      abands AS (SELECT doc_id, ahash, b AS band_idx,
+                  (ahash >> (b * 8)) & 255 AS band_key
+                FROM ah, generate_series(0, 7) t(b)
+                QUALIFY count(*) OVER (PARTITION BY band_idx, band_key)
+                  <= ${Dedup.SimhashBucketCap}),
+      apairs AS (SELECT ida, idb, hamming FROM (
+                 SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+                   CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER)
+                     AS hamming
+                 FROM abands a JOIN abands b ON a.band_idx = b.band_idx
+                   AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+                 WHERE hamming <= 6)"""
 
   /** CTE chain ending in `bands(doc_id, band_idx, band_key)` — the
     * MinHash signature + LSH band construction shared by the d03/d06
@@ -2248,18 +2270,34 @@ object Extensions {
     // rerank via bit_count(xor) ≤ 6 — Multimodal.ahashPairsOf
     // step-for-step
     "m04_ahash_neardup" -> s"""
-      WITH $ahashCtes,
-      bands AS (SELECT doc_id, ahash, b AS band_idx,
-                  (ahash >> (b * 8)) & 255 AS band_key
-                FROM ah, generate_series(0, 7) t(b)
-                QUALIFY count(*) OVER (PARTITION BY band_idx, band_key)
-                  <= ${Dedup.SimhashBucketCap}),
-      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
-                 CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
-               FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-      SELECT ida, idb, hamming FROM cand
-      WHERE hamming <= 6 ORDER BY ida, idb""",
+      WITH $ahashPairCtes
+      SELECT ida, idb, hamming FROM apairs ORDER BY ida, idb""",
+    // the multimodal pairs -> clusters stage: d06's recursive CC over
+    // m04's confirmed perceptual pairs
+    "m07_ahash_clusters" -> s"""
+      WITH RECURSIVE $ahashPairCtes,
+      ${ccOverPairs("apairs")}
+      SELECT id AS doc_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+      FROM lab ORDER BY doc_id""",
+    // keep-best per perceptual cluster: largest payload (byte length
+    // under the documented ASCII-corpus byte==char assumption), ties
+    // to the smallest doc_id — d07's rule with media metadata
+    "m08_keep_best_media" -> s"""
+      WITH RECURSIVE $ahashPairCtes,
+      ${ccOverPairs("apairs")},
+      sz AS (SELECT cluster_id, count(*) AS cluster_sz
+             FROM lab GROUP BY 1),
+      bl AS (SELECT doc_id, strlen(text)::BIGINT AS byte_len
+             FROM documents),
+      r AS (SELECT lab.id AS doc_id, cluster_id, byte_len,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY byte_len DESC, lab.id) AS rn
+            FROM lab JOIN bl ON bl.doc_id = lab.id)
+      SELECT r.cluster_id, r.doc_id AS rep_doc_id, sz.cluster_sz,
+        r.byte_len AS rep_byte_len
+      FROM r JOIN sz USING (cluster_id) WHERE rn = 1
+      ORDER BY r.cluster_id""",
     // audio stand-in: payload bytes → centered PCM8 (ascii − 96),
     // 256-sample frames; energy / silence / zero crossings are pure
     // integers so the byte walk gates the mapPartitions plumbing

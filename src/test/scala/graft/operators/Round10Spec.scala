@@ -633,6 +633,49 @@ class Round10Spec extends AnyFunSuite {
       "a shard id escaped [0, n_shards)")
   }
 
+  test("m07/m08 cluster exactly the m04 pair graph and keep the largest payload") {
+    // sf0.1: the smallest driver SF where the perceptual pair graph is
+    // non-empty (m04 has no hamming<=6 pairs at sf0.001/sf0.01 — the
+    // corpus simply has no ahash twins there, and the oracles agree on
+    // empty) — the pin must check a populated graph or it checks nothing
+    val d01 = "/root/testdata/sf0.1"
+    val pairs = Multimodal.ahashPairs(spark, d01).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")))
+    assert(pairs.nonEmpty, "pair graph empty — the pin checks nothing")
+    // union-find replica of the clustering
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (ra min rb, ra max rb); parent(hi) = lo }
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val sizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val got = DupCluster.ahashClusters(spark, d01).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_sz")))
+    assert(got.map(x => (x._1, x._2)).toMap == expected &&
+      got.forall { case (_, c, sz) => sizes(c) == sz },
+      "m07 diverges from the union-find replica")
+    // m08: one winner per cluster, the max-byte_len (tie -> min id) member
+    val bl = Multimodal.mediaTable(spark, d01).toDF()
+      .select("doc_id", "byte_len").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kb = DupCluster.keepBestMedia(spark, d01).collect()
+    assert(kb.map(_.getAs[Long]("cluster_id")).toSet == sizes.keySet)
+    kb.foreach { r =>
+      val c = r.getAs[Long]("cluster_id")
+      val members = expected.collect { case (id, cc) if cc == c => id }
+      val best = members.minBy(id => (-bl(id), id))
+      assert(r.getAs[Long]("rep_doc_id") == best &&
+        r.getAs[Long]("rep_byte_len") == bl(best),
+        s"cluster $c kept ${r.getAs[Long]("rep_doc_id")}, replica says $best")
+    }
+  }
+
   test("i13 rank-by-counting equals a full-sort ranking replica") {
     // tokenize (the tokens() whitespace split), tf/df/corpus stats,
     // the exact-integer BM25 formula in BigInt, and the TRUE rank via

@@ -610,6 +610,39 @@ class StreamingSpec extends AnyFunSuite {
         s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming shard assignment reproduces the gated x30 manifest") {
+    // x30's live form: S comes from the batch planning step, the
+    // per-doc assignment is stateless, and the running balance is a
+    // bounded-state (S rows) aggregate — replayed across two triggers
+    // the final state must equal the batch manifest exactly
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val nShards = StreamShard.plannedShards(spark, dir)
+    val rows = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamShard.shardBalanceStream(StreamShard.shardStream(
+        mem.toDF().toDF("doc_id", "text"), nShards))
+      .writeStream.format("memory").queryName("shard_out")
+      .outputMode("complete").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("shard_out").collect()
+      .map(r => (r.getAs[Long]("shard"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    q.stop()
+    val batch = graft.operators.Curation.shardManifest(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(streamed.size.toLong <= nShards, "shard state outgrew S")
+    assert(streamed == batch,
+      s"streamed shard balance diverges from the gated x30: " +
+        s"$streamed vs $batch")
+  }
+
   test("streaming centroid moments reproduce the gated s29 card") {
     // s29's mergeability made live: the per-(source, dim) count/Σv/Σv²
     // moments are the whole state (≤ |sources|·dims rows), and probing

@@ -891,6 +891,20 @@ object Dedup {
     * when someone decontaminates against a second corpus). Nothing is
     * pairwise: a gram shared by d train docs costs d rows, not d·|test|. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val (train, hits) = decontamFrames(s, dir)
+    train
+      .join(hits, "doc_id") // inner: only contaminated docs are reported
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_hit"),
+        expr("(1000000L * n_hit) div n_grams").as("hit_ratio_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** The x29 chain up to (train docs with gram counts, per-doc hit
+    * counts) — shared with the x31 card so the split rule, gram
+    * width, and hit algebra cannot drift between the removal list
+    * and its summary. */
+  private def decontamFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val base = fanOut(docs(s, dir))
       .select(col("doc_id"), col("source"), lower(col("text")).as("t"),
         tokens(col("text")).as("tk"))
@@ -907,12 +921,38 @@ object Dedup {
       .join(bench, "g") // no hint: benchmark grams grow with the corpus
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"))
-    base.filter(col("split") === "train")
+    val train = base.filter(col("split") === "train")
       .select(col("doc_id"), col("source"),
         size(col("gs")).cast("long").as("n_grams"))
-      .join(hits, "doc_id") // inner: only contaminated docs are reported
-      .select(col("doc_id"), col("source"), col("n_grams"), col("n_hit"),
-        expr("(1000000L * n_hit) div n_grams").as("hit_ratio_e6"))
-      .orderBy("doc_id")
+    (train, hits)
+  }
+
+  /** x31: per-source decontamination card — x29's doc-level removal
+    * list rolled up to the grain a curation owner reads before
+    * signing a release: per source the train-doc census (x29's
+    * universe: train docs with ≥ 1 gram), how many are contaminated,
+    * the contamination rate, the worst offender's hit ratio and its
+    * id. A source whose rate spikes is mirroring the eval set (or
+    * the eval set leaked from it) and gets excluded wholesale rather
+    * than doc-by-doc — the decision this grain exists for.
+    *
+    * Scale shape: x29's frames (shared — the chain is built once)
+    * plus one partial-agg'd groupBy on the ~20-row source key; the
+    * argmax doc is a struct-max inside the aggregate, not a window. */
+  def decontaminationCard(s: SparkSession, dir: String): DataFrame = {
+    val (train, hits) = decontamFrames(s, dir)
+    val perDoc = train.join(hits, Seq("doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hr", expr("(1000000L * n_hit) div n_grams"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum((col("n_hit") >= 1).cast("long")).as("n_contaminated"),
+        max(struct(col("hr").as("h"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("source"), col("n_train_docs"), col("n_contaminated"),
+        expr("(1000000L * n_contaminated) div n_train_docs").as("rate_e6"),
+        col("m.h").as("max_hit_ratio_e6"),
+        (-col("m.nd")).as("worst_doc"))
+      .orderBy("source")
   }
 }

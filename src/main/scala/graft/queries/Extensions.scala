@@ -57,6 +57,8 @@ object Extensions {
     // exact 8-gram benchmark decontamination (GPT-3 appendix C):
     // train docs sharing ANY verbatim n-gram with the test split
     "x29_decontaminate" -> (Dedup.decontaminate _),
+    // x29 rolled up per source: census, rate, worst offender
+    "x31_decontamination_card" -> (Dedup.decontaminationCard _),
     "d04_dedup_simhash" -> (Dedup.simhashPairs _),
     // gated at the default MaxBruteForceVectors guard
     "d05_embedding_neardup" -> ((s: SparkSession, d: String) =>
@@ -438,6 +440,28 @@ object Extensions {
           ELSE 0::BIGINT END
           for b in generate_series(0, 63)]) AS BIGINT) AS ahash
       FROM st)"""
+
+  /** The x29 decontamination chain — ends in `gr(doc_id, gs)`,
+    * `sp(doc_id, split)` and `hits(doc_id, n_hit)`; shared by the
+    * x29 removal list and the x31 per-source card. */
+  private lazy val decontamCtes = s"""$tkCte,
+      sp AS (SELECT doc_id, CASE WHEN m < 80 THEN 'train'
+               WHEN m < 90 THEN 'val' ELSE 'test' END AS split
+             FROM (SELECT doc_id, ${rh("lower(text)", 1000000007L)} % 100 AS m
+                   FROM documents) g),
+      gr0 AS (SELECT doc_id, CASE WHEN len(tk) >= ${Dedup.DecontamN}
+               THEN [array_to_string(tk[i:i+${Dedup.DecontamN - 1}], ' ')
+                 for i in generate_series(1, len(tk) - ${Dedup.DecontamN - 1})]
+               ELSE [] END AS gstr FROM tk),
+      gr AS (SELECT doc_id,
+               list_distinct([${rh("s", 1000000007L)} for s in gstr]) AS gs
+             FROM gr0 WHERE len(gstr) > 0),
+      bench AS (SELECT DISTINCT unnest(gs) AS g
+                FROM gr JOIN sp USING (doc_id) WHERE split = 'test'),
+      hits AS (SELECT doc_id, count(*) AS n_hit
+               FROM (SELECT doc_id, unnest(gs) AS g FROM gr
+                     JOIN sp USING (doc_id) WHERE split = 'train') u
+               JOIN bench USING (g) GROUP BY 1)"""
 
   /** The m04 pair chain on top of [[ahashCtes]] — ends in
     * `apairs(ida, idb, hamming)`, the confirmed (hamming ≤ 6)
@@ -1187,29 +1211,41 @@ object Extensions {
     // t07 split rule verbatim, contaminated train docs = >= 1 hash in
     // the test-split gram universe; same floor'd integer ratio
     "x29_decontaminate" -> s"""
-      WITH $tkCte,
-      sp AS (SELECT doc_id, CASE WHEN m < 80 THEN 'train'
-               WHEN m < 90 THEN 'val' ELSE 'test' END AS split
-             FROM (SELECT doc_id, ${rh("lower(text)", 1000000007L)} % 100 AS m
-                   FROM documents) g),
-      gr0 AS (SELECT doc_id, CASE WHEN len(tk) >= ${Dedup.DecontamN}
-               THEN [array_to_string(tk[i:i+${Dedup.DecontamN - 1}], ' ')
-                 for i in generate_series(1, len(tk) - ${Dedup.DecontamN - 1})]
-               ELSE [] END AS gstr FROM tk),
-      gr AS (SELECT doc_id,
-               list_distinct([${rh("s", 1000000007L)} for s in gstr]) AS gs
-             FROM gr0 WHERE len(gstr) > 0),
-      bench AS (SELECT DISTINCT unnest(gs) AS g
-                FROM gr JOIN sp USING (doc_id) WHERE split = 'test'),
-      hits AS (SELECT doc_id, count(*) AS n_hit
-               FROM (SELECT doc_id, unnest(gs) AS g FROM gr
-                     JOIN sp USING (doc_id) WHERE split = 'train') u
-               JOIN bench USING (g) GROUP BY 1)
+      WITH $decontamCtes
       SELECT gr.doc_id, d.source, CAST(len(gs) AS BIGINT) AS n_grams,
         CAST(n_hit AS BIGINT) AS n_hit,
         CAST((1000000 * n_hit) // len(gs) AS BIGINT) AS hit_ratio_e6
       FROM gr JOIN hits USING (doc_id) JOIN documents d USING (doc_id)
       ORDER BY doc_id""",
+    // x29 rolled up by source: train census (docs with >= 1 gram),
+    // contaminated count/rate, worst offender (max ratio, tie -> min
+    // doc_id via the no-NULL rn=1 join)
+    "x31_decontamination_card" -> s"""
+      WITH $decontamCtes,
+      pd AS (SELECT gr.doc_id, d.source,
+               CAST(len(gs) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST((1000000 * coalesce(h.n_hit, 0)) // len(gs)
+                 AS BIGINT) AS hr
+             FROM gr JOIN sp USING (doc_id)
+             JOIN documents d USING (doc_id)
+             LEFT JOIN hits h ON h.doc_id = gr.doc_id
+             WHERE sp.split = 'train'),
+      agg AS (SELECT source, count(*) AS n_train_docs,
+                CAST(sum(CASE WHEN n_hit >= 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated,
+                CAST(max(hr) AS BIGINT) AS max_hit_ratio_e6
+              FROM pd GROUP BY source),
+      w AS (SELECT source, doc_id AS worst_doc FROM
+              (SELECT source, doc_id, row_number() OVER
+                 (PARTITION BY source ORDER BY hr DESC, doc_id) AS rn
+               FROM pd) WHERE rn = 1)
+      SELECT agg.source, n_train_docs, n_contaminated,
+        CAST((1000000 * n_contaminated) // n_train_docs AS BIGINT)
+          AS rate_e6,
+        max_hit_ratio_e6, w.worst_doc
+      FROM agg JOIN w USING (source)
+      ORDER BY agg.source""",
     // incremental ingest: batch = doc_id % 5 = 0, index = the rest;
     // cross-side band candidates, same >= 50% signature agreement
     "d11_dedup_incremental" -> s"""

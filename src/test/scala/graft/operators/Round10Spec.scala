@@ -676,6 +676,42 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("x31 card equals the x29 rollup it claims to embed") {
+    // composition law (the x26 discipline): every card cell must be
+    // derivable from the gated x29 list + the split census — the
+    // card's n_contaminated per source is EXACTLY the x29 row count
+    // per source, the rate divides by the train universe, and the
+    // worst doc is x29's argmax (or the min-id zero-hit doc when a
+    // source is clean)
+    val x29 = Dedup.decontaminate(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("hit_ratio_e6")))
+    val card = Dedup.decontaminationCard(spark, dir).collect()
+    assert(card.nonEmpty && x29.nonEmpty)
+    val bySrc = x29.groupBy(_._1)
+    card.foreach { r =>
+      val src = r.getAs[String]("source")
+      val contaminated = bySrc.getOrElse(src, Array.empty)
+      assert(r.getAs[Long]("n_contaminated") == contaminated.length.toLong,
+        s"$src: card says ${r.getAs[Long]("n_contaminated")} contaminated, " +
+          s"x29 lists ${contaminated.length}")
+      assert(r.getAs[Long]("rate_e6") ==
+        1000000L * contaminated.length / r.getAs[Long]("n_train_docs"))
+      if (contaminated.nonEmpty) {
+        val worst = contaminated.minBy { case (_, id, hr) => (-hr, id) }
+        assert(r.getAs[Long]("worst_doc") == worst._2 &&
+          r.getAs[Long]("max_hit_ratio_e6") == worst._3,
+          s"$src: worst (${r.getAs[Long]("worst_doc")}," +
+            s"${r.getAs[Long]("max_hit_ratio_e6")}) != x29 argmax $worst")
+      } else {
+        assert(r.getAs[Long]("max_hit_ratio_e6") == 0L,
+          s"$src clean per x29 but card claims a nonzero max ratio")
+      }
+    }
+    // the census covers every source (the stand-in corpus has 20)
+    assert(card.length == 20, s"card has ${card.length} sources")
+  }
+
   test("i13 rank-by-counting equals a full-sort ranking replica") {
     // tokenize (the tokens() whitespace split), tf/df/corpus stats,
     // the exact-integer BM25 formula in BigInt, and the TRUE rank via

@@ -774,11 +774,35 @@ object Dedup {
     * Nothing is pairwise: a window shared by d documents costs d
     * rows, not d². */
   def substringSpans(s: SparkSession, dir: String): DataFrame =
-    substringSpansCore(s, dir).orderBy("doc_id", "span_start")
+    substringSpansMemo(s, dir).orderBy("doc_id", "span_start")
 
-  /** The d19 chain without the presentation sort — shared with the
-    * d20 rewrite so the span definition cannot drift between the
-    * report and the rewrite that consumes it. */
+  @volatile private var lastSubstringSpans
+      : Option[(SparkSession, String, DataFrame)] = None
+
+  /** Build-once span table — [[substringSpansCore]] localCheckpoint-
+    * materialized per (session, dir): the shingleHashesMemo convention
+    * applied to the chain that d19 (report), d20 (rewrite) and x32
+    * (final assembly) each consume — exactly as a production pipeline
+    * materializes the span table once and every rewrite stage reads
+    * it from storage. The span frame is 4 integers per maximal
+    * duplicated span — orders of magnitude smaller than the window
+    * stream that derives it — and checkpoint blocks survive the
+    * inter-query `clearCache` by design (the CacheSpec-documented
+    * allowed residue). */
+  private[operators] def substringSpansMemo(
+      s: SparkSession, dir: String): DataFrame =
+    lastSubstringSpans match {
+      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir => g
+      case _ =>
+        val g = substringSpansCore(s, dir)
+        lastSubstringSpans = Some((s, dir, g))
+        g
+    }
+
+  /** The d19 chain without the presentation sort — shared (via
+    * [[substringSpansMemo]]) with the d20 rewrite and the x32 final
+    * assembly so the span definition cannot drift between the report
+    * and the rewrites that consume it. */
   private def substringSpansCore(s: SparkSession, dir: String): DataFrame = {
     // token hashes once per token (narrow), then the O(16) fold per
     // position; persisted — the df pass and the match join share it
@@ -799,7 +823,7 @@ object Dedup {
       .filter(col("wdf") >= 2)
       .select("h")
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
-    wins.join(dup, "h")
+    val g = wins.join(dup, "h")
       .select(col("doc_id"), col("pos"))
       .withColumn("prev", lag(col("pos"), 1).over(wOrd))
       .withColumn("brk", when(col("prev").isNull ||
@@ -811,6 +835,9 @@ object Dedup {
         (max(col("pos")) + lit(SubstrToks - 1).cast("long")).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
+      .localCheckpoint() // eager: materializes the span table NOW
+    wins.unpersist(true)
+    g
   }
 
   /** d20: exact-substring REWRITE — d19's detection applied, the d13
@@ -828,7 +855,7 @@ object Dedup {
     * only text-carrying shuffle is the kept-text reassembly, bounded
     * by the operator's own output (d13's argument verbatim). */
   def substringRewrite(s: SparkSession, dir: String): DataFrame = {
-    val cov = substringSpansCore(s, dir)
+    val cov = substringSpansMemo(s, dir)
       .select(col("doc_id"),
         explode(expr("sequence(span_start, span_end)")).as("pos"))
     val toks = fanOut(docs(s, dir))
@@ -899,21 +926,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  @volatile private var lastDecontamBase
+      : Option[(SparkSession, String, DataFrame)] = None
+
+  /** Build-once decontamination base — the tokenize + distinct-8-gram-
+    * hash pass of [[decontamFrames]], localCheckpoint-materialized per
+    * (session, dir): the shingleHashesMemo convention applied to the
+    * census's single most expensive text pass, which x29 (removal
+    * list) and x31 (per-source card) previously each rebuilt from the
+    * raw text. The frame is (doc_id, source, split, gs) — ~8 B per
+    * distinct corpus 8-gram, the d19 cost class paid ONCE — and
+    * checkpoint blocks survive the inter-query `clearCache` by design
+    * (the CacheSpec-documented allowed residue). */
+  private def decontamBaseMemo(s: SparkSession, dir: String): DataFrame =
+    lastDecontamBase match {
+      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir => g
+      case _ =>
+        val g = fanOut(docs(s, dir))
+          .select(col("doc_id"), col("source"), lower(col("text")).as("t"),
+            tokens(col("text")).as("tk"))
+          .select(col("doc_id"), col("source"),
+            splitOf(expr(rollingHashExpr("t", P)) % 100).as("split"),
+            expr(s"array_distinct(${hashArrayExpr(ngramsExpr("tk", DecontamN), P)})")
+              .as("gs"))
+          .filter(size(col("gs")) > 0)
+          .localCheckpoint() // eager: one tokenize+hash pass, shared
+        lastDecontamBase = Some((s, dir, g))
+        g
+    }
+
   /** The x29 chain up to (train docs with gram counts, per-doc hit
     * counts) — shared with the x31 card so the split rule, gram
     * width, and hit algebra cannot drift between the removal list
     * and its summary. */
   private def decontamFrames(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val base = fanOut(docs(s, dir))
-      .select(col("doc_id"), col("source"), lower(col("text")).as("t"),
-        tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("source"),
-        splitOf(expr(rollingHashExpr("t", P)) % 100).as("split"),
-        expr(s"array_distinct(${hashArrayExpr(ngramsExpr("tk", DecontamN), P)})")
-          .as("gs"))
-      .filter(size(col("gs")) > 0)
-      .persist() // one tokenize+hash pass feeds both split branches
+    val base = decontamBaseMemo(s, dir)
     val bench = base.filter(col("split") === "test")
       .select(explode(col("gs")).as("g")).distinct()
     val hits = base.filter(col("split") === "train")

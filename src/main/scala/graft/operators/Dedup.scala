@@ -799,14 +799,11 @@ object Dedup {
         g
     }
 
-  /** The d19 chain without the presentation sort — shared (via
-    * [[substringSpansMemo]]) with the d20 rewrite and the x32 final
-    * assembly so the span definition cannot drift between the report
-    * and the rewrites that consume it. */
-  private def substringSpansCore(s: SparkSession, dir: String): DataFrame = {
-    // token hashes once per token (narrow), then the O(16) fold per
-    // position; persisted — the df pass and the match join share it
-    val wins = fanOut(docs(s, dir))
+  /** The stride-1 window-hash stream: token hashes once per token
+    * (narrow), then the O(16) fold per position — (doc_id, pos, h)
+    * skinny longs, the d19 cost class. */
+  private def substringWins(s: SparkSession, dir: String): DataFrame =
+    fanOut(docs(s, dir))
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), expr(hashArrayExpr("tk", P)).as("hv"))
       .select(col("doc_id"), posexplode(expr(
@@ -817,13 +814,16 @@ object Dedup {
           "ELSE cast(array() as array<bigint>) END")).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("h"))
-      .persist()
+
+  /** The d19 span algebra over a window stream: duplicated-hash df
+    * pass, match join, gaps-and-islands merge. */
+  private def substringSpansFrom(wins: DataFrame): DataFrame = {
     val dup = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("wdf"))
       .filter(col("wdf") >= 2)
       .select("h")
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
-    val g = wins.join(dup, "h")
+    wins.join(dup, "h")
       .select(col("doc_id"), col("pos"))
       .withColumn("prev", lag(col("pos"), 1).over(wOrd))
       .withColumn("brk", when(col("prev").isNull ||
@@ -835,6 +835,26 @@ object Dedup {
         (max(col("pos")) + lit(SubstrToks - 1).cast("long")).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Lazy (un-checkpointed) d19 frame for plan inspection — the gated
+    * entry materializes eagerly (build-once memo convention), which
+    * hides the hash-keyed chain from plan specs behind a checkpoint
+    * scan. Never memoized. */
+  private[graft] def substringSpansLazy(
+      s: SparkSession, dir: String): DataFrame =
+    substringSpansFrom(substringWins(s, dir))
+
+  /** The d19 chain without the presentation sort — built once per
+    * (session, dir) via [[substringSpansMemo]], shared with the d20
+    * rewrite and the x32 final assembly so the span definition cannot
+    * drift between the report and the rewrites that consume it. */
+  private def substringSpansCore(s: SparkSession, dir: String): DataFrame = {
+    // persisted only for the build: the df pass and the match join
+    // share the window stream; dropped once the (small) span table is
+    // checkpoint-materialized
+    val wins = substringWins(s, dir).persist()
+    val g = substringSpansFrom(wins)
       .localCheckpoint() // eager: materializes the span table NOW
     wins.unpersist(true)
     g

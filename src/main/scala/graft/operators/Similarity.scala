@@ -669,6 +669,27 @@ object Similarity {
     * compares like with like. Interpolated into the oracle. */
   val SemDedupTau = 0.4
 
+  /** d21 target chunk width: each k-means cluster is split into
+    * ceil(n_members / this) hash-assigned sub-chunks before the pair
+    * self-join, so the pair budget is ~n·[[SemDedupChunkTarget]]/2 —
+    * LINEAR in the corpus — instead of Σ(n_k²)/2, which at fixed K is
+    * (n/K)²·K/2 (ScaleStress measured ×100 pair growth on ×10 data
+    * before this bound existed). This is the paper's own cluster-
+    * chunking mitigation (Abbas et al. 2023 §3 run the within-cluster
+    * search on bounded blocks); the recall trade is the standard one
+    * — a dup pair split across chunks is missed — and is uniform
+    * (hash assignment), not adversarial. Interpolated into the
+    * oracle, so both engines chunk identically. */
+  val SemDedupChunkTarget = 256L
+
+  /** d21 hard chunk cap for the in-plan guard: 8× the target. Hash
+    * assignment (LCG on vec_id, [[SemDedupChunkTarget]]-sized
+    * expected chunks) concentrates this far above target only under
+    * pathological id patterns; if it ever happens the query REFUSES
+    * (assert_true in the plan — no driver action) rather than running
+    * a quadratic chunk, the d05 MaxBruteForceVectors discipline. */
+  val SemDedupMaxChunk = 8L * SemDedupChunkTarget
+
   /** d21: SemDeDup — Abbas et al. (2023) "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication": partition
     * the corpus with k-means (the s26 Lloyd assignment, reused
@@ -687,14 +708,18 @@ object Similarity {
     * (min ida — deterministic), how many co-cluster twins confirmed
     * it, and the tightest cosine.
     *
-    * Scale shape: the within-cluster self-join is an equi-join on the
-    * bucket id — never a corpus cross join. Per-cluster cost is
-    * (n/K)² — the paper's own contract is that K GROWS with the
-    * corpus (they run 50k clusters over 5B embeddings, n/K ≈ 1e5 —
-    * and bound the pair stage further by chunking clusters); here K
-    * is [[KmeansK]] at the driver SFs and the knob a 100 TB
-    * deployment raises. The Lloyd pass itself is s26's: per round one
-    * K-row-broadcast assignment scan + one partial-agg'd (bucket,
+    * Scale shape: the pair search is an equi-join on (bucket, chunk)
+    * — never a corpus cross join, and never quadratic in a cluster:
+    * each cluster is split into ceil(n_k / [[SemDedupChunkTarget]])
+    * hash-assigned chunks first (the paper's own chunking mitigation
+    * — they also GROW K with the corpus, 50k clusters over 5B
+    * embeddings; [[KmeansK]] stays the deployment knob, but the chunk
+    * layer is what makes the pair budget ~n·ChunkTarget/2 — LINEAR —
+    * at ANY K, where the unchunked stage measured ×100 pair growth on
+    * ×10 data at fixed K). An in-plan assert_true refuses if LCG skew
+    * ever exceeded [[SemDedupMaxChunk]] (no driver action — the guard
+    * is a 1-row crossJoin). The Lloyd pass itself is s26's: per round
+    * one K-row-broadcast assignment scan + one partial-agg'd (bucket,
     * dim) shuffle — centroid state never touches the driver. */
   /** The final Lloyd assignment (vec_id, bucket) d21 buckets on —
     * exposed for ScaleStress's SemDeDup pair-budget telemetry. */
@@ -702,13 +727,57 @@ object Similarity {
       s: SparkSession, dir: String): DataFrame =
     lloydState(s, dir)._2.select(col("vec_id"), col("bucket"))
 
+  /** The d21 chunk rule on any (vec_id, bucket, …) frame: append a
+    * `chunk` id so each bucket splits into ceil(bn /
+    * [[SemDedupChunkTarget]]) hash-assigned sub-chunks. Factored out
+    * so the gated query, the telemetry, and the Round11Spec pair-
+    * budget pin all apply LITERALLY the same rule. The sizes side is
+    * |buckets| rows (K for d21) — AQE broadcasts it. */
+  private[graft] def withSemDedupChunk(a: DataFrame): DataFrame = {
+    val sizes = a.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    a.join(sizes, "bucket")
+      .withColumn("n_chunks", expr(
+        s"(bn + ${SemDedupChunkTarget - 1}L) div ${SemDedupChunkTarget}L"))
+      .withColumn("chunk", expr(
+        s"((vec_id % ${TextHash.P}L) * 2654435761L) % ${TextHash.P}L % n_chunks"))
+      .drop("bn", "n_chunks")
+  }
+
+  /** d21's chunked pair space: per (bucket, chunk) the member count —
+    * exposed so Round11Spec and ScaleStress can pin the pair budget
+    * Σ cn·(cn−1)/2 ≤ n·[[SemDedupChunkTarget]] (the linear bound the
+    * chunk layer guarantees) without re-deriving the chunk rule. */
+  private[graft] def semanticDedupChunks(
+      s: SparkSession, dir: String): DataFrame =
+    withSemDedupChunk(semanticDedupAssignment(s, dir))
+      .groupBy("bucket", "chunk")
+      .agg(count(lit(1)).as("cn"))
+
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val (_, assigned) = lloydState(s, dir)
     val e = withNorm(emb(s, dir))
       .join(assigned.select(col("vec_id"), col("bucket")), "vec_id")
-      .persist() // both pair sides share one norm+assignment pass
-    val pairs = e.as("a").join(e.as("b"),
+      .persist() // both pair sides + sizes share one norm+assignment pass
+    // bounded pair space: ceil(bn / ChunkTarget) hash-assigned chunks
+    // per cluster — the sizes side is K rows (AQE broadcasts it), the
+    // chunk key is an LCG on vec_id (engine-portable: same integer
+    // arithmetic in the oracle), and the self-join below equi-joins on
+    // (bucket, chunk) so per-chunk cost is ~ChunkTarget² regardless of
+    // how hot a cluster is
+    val ec = withSemDedupChunk(e)
+      .select(col("vec_id"), col("bucket"), col("chunk"),
+        col("embedding"), col("nrm"))
+    // in-plan guard (the d05 MaxBruteForceVectors discipline without a
+    // driver action): if hash skew ever concentrated a chunk past the
+    // hard cap, refuse before running it quadratic
+    val guard = ec.groupBy(col("bucket"), col("chunk"))
+      .agg(count(lit(1)).as("cn")).agg(max(col("cn")).as("mx"))
+      .select(assert_true(col("mx") <= SemDedupMaxChunk,
+        concat(lit(s"semanticDedup chunk over the $SemDedupMaxChunk hard " +
+          "cap (LCG skew): "), col("mx"))).as("chunk_ok"))
+    val pairs = ec.as("a").join(ec.as("b"),
         col("a.bucket") === col("b.bucket") &&
+          col("a.chunk") === col("b.chunk") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.bucket").as("bucket"),
         col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
@@ -721,6 +790,10 @@ object Similarity {
       .groupBy("vec_id", "bucket")
       .agg(min("ida").as("dup_of"), count(lit(1)).as("n_dups"),
         max("cs_e6").as("max_cs_e6"))
+      .crossJoin(broadcast(guard)) // 1-row guard rides the plan
+      .filter(col("chunk_ok").isNull) // always true; forces evaluation
+      .select(col("vec_id"), col("bucket"), col("dup_of"),
+        col("n_dups"), col("max_cs_e6"))
       .orderBy("vec_id")
   }
 

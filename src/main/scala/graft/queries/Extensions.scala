@@ -2810,17 +2810,26 @@ object Extensions {
       LEFT JOIN pb ON pb.bucket = t.bucket
       ORDER BY bucket""",
     // SemDeDup: the s26 final assignment (a{KmeansRounds}) bucket-
-    // partitions the pair space; exact sequential-fold cosine within
-    // clusters only, one row per evicted (non-lowest) member
+    // partitions the pair space, each cluster split into hash-assigned
+    // chunks of ~ChunkTarget members (same LCG arithmetic as the Spark
+    // side); exact sequential-fold cosine within (bucket, chunk) only,
+    // one row per evicted (non-lowest) member
     "d21_semantic_dedup" -> s"""
       WITH $kmeansCtes,
       ee AS (SELECT e.vec_id, a.bucket, e.embedding
              FROM embeddings e
              JOIN a${Similarity.KmeansRounds} a USING (vec_id)),
+      bsz AS (SELECT bucket, count(*) AS bn FROM ee GROUP BY bucket),
+      ec AS (SELECT ee.vec_id, ee.bucket, ee.embedding,
+               ((ee.vec_id % 1000000007) * 2654435761) % 1000000007
+                 % ((bsz.bn + ${Similarity.SemDedupChunkTarget - 1})
+                    // ${Similarity.SemDedupChunkTarget}) AS chunk
+             FROM ee JOIN bsz USING (bucket)),
       pr AS (SELECT a.bucket, a.vec_id AS ida, b.vec_id AS idb,
                ${cos("a.embedding", "b.embedding")} AS cs
-             FROM ee a JOIN ee b
-               ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             FROM ec a JOIN ec b
+               ON a.bucket = b.bucket AND a.chunk = b.chunk
+                AND a.vec_id < b.vec_id),
       ok AS (SELECT bucket, ida, idb,
                floor(cs * 1000000)::BIGINT AS cs_e6
              FROM pr WHERE cs >= ${Similarity.SemDedupTau})

@@ -160,12 +160,19 @@ object ScaleStress {
       .select(col("doc_id"), explode(col("gs")).as("g"))
       .join(x29Bench, "g").count()
     val x29Docs = Dedup.decontaminate(spark, dir).count()
+    // drop the corpus-scale gram frames before the later stages (t34
+    // vocab, output counts) so cached 8-gram arrays don't accumulate
+    x29Bench.unpersist(true)
+    x29Base.unpersist(true)
 
-    // d21: within-cluster candidate pairs Σ C(n_c, 2) over the Lloyd
-    // assignment — the SemDeDup pair budget; the paper's contract is
-    // K ∝ n, so at FIXED driver K this grows ~n²/K and the telemetry
-    // makes the K-scaling requirement measurable rather than asserted
+    // d21: the CHUNKED pair budget Σ C(cn, 2) over (bucket, chunk) —
+    // with the chunk layer this must grow ~LINEARLY (~n·ChunkTarget/2
+    // worst case); the unchunked per-cluster budget is reported next
+    // to it so the telemetry shows what the chunk layer saves
     val d21Cand = pairSum(
+      graft.operators.Similarity.semanticDedupChunks(spark, dir)
+        .select(col("cn").as("n")))
+    val d21Unchunked = pairSum(
       graft.operators.Similarity.semanticDedupAssignment(spark, dir)
         .groupBy("bucket").agg(count(lit(1)).as("n")))
     val d21Rows = graft.operators.Similarity.semanticDedup(spark, dir).count()
@@ -209,7 +216,7 @@ object ScaleStress {
         s""""matched_rows":$d19Matched,"spans":$d19Spans},""" +
         s""""x29":{"bench_grams":$x29BenchGrams,"train_rows":$x29TrainRows,""" +
         s""""hit_rows":$x29HitRows,"contaminated":$x29Docs},""" +
-        s""""d21":{"cand":$d21Cand,"rows":$d21Rows},""" +
+        s""""d21":{"cand":$d21Cand,"unchunked":$d21Unchunked,"rows":$d21Rows},""" +
         s""""t34_vocab":$t34Vocab,""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds,"s11":$s11Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +

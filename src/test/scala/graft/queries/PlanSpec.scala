@@ -359,9 +359,10 @@ class PlanSpec extends AnyFunSuite {
                           // + 1-row corpus-total scalar — both bounded
       "s26_kmeans_lloyd", // broadcast K-row (8) centroid side per round
       "s27_kmeans_quality", // same K-row broadcast (shared Lloyd loop)
-      "d21_semantic_dedup", // same K-row Lloyd centroid crossJoin; the
-                            // within-cluster pair stage is an equi-join
-                            // on the bucket id, never a nested loop
+      "d21_semantic_dedup", // same K-row Lloyd centroid crossJoin + the
+                            // 1-row chunk-cap guard scalar; the pair
+                            // stage is an equi-join on (bucket, chunk),
+                            // never a nested loop
       "i12_rocchio_feedback", // i03's 1-row corpus-stats scalar, both rounds
       "i13_retrieval_eval", // i03's 1-row corpus-stats scalar
       "i14_index_pruning", // same 1-row corpus-stats scalar as i03
@@ -405,7 +406,8 @@ class PlanSpec extends AnyFunSuite {
       "s01_ann_topk", "s28_mmr_rerank", "s06_pq_adc", "s07_ivf_pq", "s14_ann_recall",
       "s18_ivf_pq_recall", "s19_filtered_ann", "s21_matryoshka_recall",
       "s26_kmeans_lloyd", "s27_kmeans_quality", "z04_clustering_depth",
-      "d21_semantic_dedup", // s26's K-row Lloyd centroid hint; the
+      "d21_semantic_dedup", // s26's K-row Lloyd centroid hint + the
+                            // 1-row chunk-cap guard scalar; the
                             // corpus-scale frames (assignment, pairs)
                             // carry NO hint — AQE decides
       "s30_residual_pq", // K-row (16) IVF cell-centroid side
@@ -513,7 +515,11 @@ class PlanSpec extends AnyFunSuite {
     // reduces to (doc_id, pos, h) longs BEFORE any exchange; a text
     // column in a shuffle would be corpus-bandwidth-bound, and any
     // pair join would make duplication density quadratic
-    val p = plan(graft.operators.Dedup.substringSpans(spark, dir))
+    // the LAZY variant: the gated d19 entry checkpoint-materializes
+    // (build-once memo convention), so its returned plan is a
+    // checkpoint scan — the shuffle contract must be pinned on the
+    // un-checkpointed build or this spec sees nothing
+    val p = plan(graft.operators.Dedup.substringSpansLazy(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"d19 must stay hash-keyed:\n$p")
     val cols = hashExchangeCols(p)

@@ -33,6 +33,8 @@ import numpy as np
 K = 8
 ROUNDS = 2
 TAU = 0.4
+CHUNK_TARGET = 256  # Similarity.SemDedupChunkTarget
+P = 1000000007
 
 
 def read(con, path):
@@ -54,46 +56,61 @@ def main():
     V = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
     X = np.floor(V.astype(np.float64) * 1e6).astype(np.int64)
 
-    # Lloyd: first-K init, integer argmin d2 (ties -> smallest bucket),
-    # floor(sum/n) means, empty clusters carry the previous centroid
-    cents = X[:K].copy()
+    # Lloyd: init = rows with vec_id < K, bucket label = vec_id (the
+    # engines' rule — NOT positional X[:K], which diverges whenever
+    # vec_ids are not dense 0-based); integer argmin d2 (ties ->
+    # smallest bucket), floor(sum/n) means, empty clusters carry the
+    # previous centroid
+    init = np.where(ids < K)[0]
+    blist = [int(v) for v in sorted(ids[init])]
+    cents = {int(ids[i]): X[i].copy() for i in init}
     asg = None
     for _ in range(ROUNDS):
         # d2 in exact int64: max |x| ~ 2e6 -> 64 * (4e6)^2 ~ 1e15, safe
-        d2 = np.zeros((len(X), K), dtype=np.int64)
-        for k in range(K):
-            diff = X - cents[k]
-            d2[:, k] = np.einsum("ij,ij->i", diff, diff)
-        asg = np.argmin(d2, axis=1)  # argmin ties -> lowest index
-        for k in range(K):
-            m = X[asg == k]
+        d2 = np.zeros((len(X), len(blist)), dtype=np.int64)
+        for bi, b in enumerate(blist):
+            diff = X - cents[b]
+            d2[:, bi] = np.einsum("ij,ij->i", diff, diff)
+        # argmin ties -> lowest index = smallest bucket (blist sorted)
+        asg = np.array([blist[i] for i in np.argmin(d2, axis=1)])
+        for b in blist:
+            m = X[asg == b]
             if len(m):
-                cents[k] = np.floor_divide(m.sum(axis=0), len(m))
+                cents[b] = np.floor_divide(m.sum(axis=0), len(m))
 
     # within-cluster cosine evictions
     nrm = np.sqrt(np.einsum("ij,ij->i", V.astype(np.float64),
                             V.astype(np.float64)))
     expected = {}
-    for k in range(K):
-        sel = np.where(asg == k)[0]
-        sel = sel[np.argsort(ids[sel])]
-        if len(sel) < 2:
+    for b in blist:
+        bsel = np.where(asg == b)[0]
+        if len(bsel) < 2:
             continue
-        Vs = V[sel].astype(np.float64)
-        cs = (Vs @ Vs.T) / np.outer(nrm[sel], nrm[sel])
-        iu, ju = np.triu_indices(len(sel), 1)
-        hit = cs[iu, ju] >= TAU
-        for i, j, c in zip(iu[hit], ju[hit], cs[iu, ju][hit]):
-            vid = int(ids[sel[j]])
-            ida = int(ids[sel[i]])
-            e6 = int(np.floor(c * 1e6))
-            cur = expected.get(vid)
-            if cur is None:
-                expected[vid] = [int(k), ida, 1, e6]
-            else:
-                cur[1] = min(cur[1], ida)
-                cur[2] += 1
-                cur[3] = max(cur[3], e6)
+        # hash-assigned sub-chunks of ~CHUNK_TARGET members: same LCG
+        # arithmetic as both engines, pairs within a chunk only
+        n_chunks = (len(bsel) + CHUNK_TARGET - 1) // CHUNK_TARGET
+        chunks = ((ids[bsel].astype(np.int64) % P) * 2654435761) % P \
+            % n_chunks
+        for ck in np.unique(chunks):
+            sel = bsel[chunks == ck]
+            sel = sel[np.argsort(ids[sel])]
+            if len(sel) < 2:
+                continue
+            Vs = V[sel].astype(np.float64)
+            cs = (Vs @ Vs.T) / np.outer(nrm[sel], nrm[sel])
+            iu, ju = np.triu_indices(len(sel), 1)
+            hit = cs[iu, ju] >= TAU
+            for i, j, c in zip(iu[hit], ju[hit], cs[iu, ju][hit]):
+                vid = int(ids[sel[j]])
+                ida = int(ids[sel[i]])
+                e6 = int(np.floor(c * 1e6))
+                cur = expected.get(vid)
+                if cur is None:
+                    expected[vid] = [int(b), ida, 1, e6]
+                else:
+                    cur[1] = min(cur[1], ida)
+                    cur[2] += 1
+                    cur[3] = max(cur[3], e6)
 
     got = read(con, os.path.join(out_dir, "d21_semantic_dedup"))
     ok = True

@@ -1023,4 +1023,10 @@ object Dedup {
         (-col("m.nd")).as("worst_doc"))
       .orderBy("source")
   }
+
+  private[operators] def invalidateMemos(): Unit = {
+    lastMinhashPairs = None
+    lastSubstringSpans = None
+    lastDecontamBase = None
+  }
 }

@@ -435,4 +435,11 @@ object DupCluster {
             "(1000000L * escape_edges) div (internal_edges + escape_edges)")))
       .orderBy("cluster_id")
   }
+
+  private[operators] def invalidateMemos(): Unit = {
+    lastLabels = None
+    lastEmbLabels = None
+    lastAhashLabels = None
+    lastKnnLabels = None
+  }
 }

@@ -1649,4 +1649,9 @@ object Similarity {
       .join(disp, "source")
       .orderBy("source")
   }
+
+  private[operators] def invalidateMemos(): Unit = {
+    lastNearDupPairs = None
+    lastKnnGraph = None
+  }
 }

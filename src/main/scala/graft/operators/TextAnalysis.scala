@@ -551,11 +551,19 @@ object TextAnalysis {
       col("doc_id").as("doc_full"), col("score_e6").as("score_full_e6"))
     val pk = topK(pruned).select(col("rank"),
       col("doc_id").as("doc_pruned"), col("score_e6").as("score_pruned_e6"))
-    full.join(pk, "rank")
+    // LEFT join from the full ranking: a proportional cut can leave
+    // the pruned index scoring fewer than k docs (a doc may lose all
+    // its postings), and an inner join would silently truncate the
+    // report. Missing pruned ranks show the -1 sentinel (not NULL —
+    // a nullable long turns into float64 in the driver's pandas
+    // compare and breaks the hash gate on dtype alone).
+    full.join(pk, Seq("rank"), "left")
       .join(pk.select(col("doc_pruned").as("doc_full"), lit(1).as("sv")),
         Seq("doc_full"), "left")
       .select(col("rank").cast("int").as("rank"), col("doc_full"),
-        col("score_full_e6"), col("doc_pruned"), col("score_pruned_e6"),
+        col("score_full_e6"),
+        coalesce(col("doc_pruned"), lit(-1L)).as("doc_pruned"),
+        coalesce(col("score_pruned_e6"), lit(-1L)).as("score_pruned_e6"),
         coalesce(col("sv"), lit(0)).cast("int").as("survived"))
       .orderBy("rank")
   }

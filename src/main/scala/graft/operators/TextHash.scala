@@ -139,4 +139,7 @@ object TextHash {
         lastShingleHashes = Some((s, dir, g))
         g
     }
+
+  private[operators] def invalidateMemos(): Unit =
+    lastShingleHashes = None
 }

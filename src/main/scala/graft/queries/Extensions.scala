@@ -1350,11 +1350,11 @@ object Extensions {
               FROM pscp QUALIFY rank <= 10)
       SELECT f.rank, f.doc_id AS doc_full,
         CAST(f.score_e6 AS BIGINT) AS score_full_e6,
-        p.doc_id AS doc_pruned,
-        CAST(p.score_e6 AS BIGINT) AS score_pruned_e6,
+        CAST(coalesce(p.doc_id, -1) AS BIGINT) AS doc_pruned,
+        CAST(coalesce(p.score_e6, -1) AS BIGINT) AS score_pruned_e6,
         CAST(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
           AS survived
-      FROM fk f JOIN pkk p USING (rank)
+      FROM fk f LEFT JOIN pkk p USING (rank)
       LEFT JOIN pkk s ON s.doc_id = f.doc_id
       ORDER BY f.rank""",
     // Rocchio PRF: sc is round 1 verbatim; candidates are the top-R

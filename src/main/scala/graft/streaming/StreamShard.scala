@@ -16,8 +16,9 @@ import graft.operators.{Curation, TextHash}
   * production sharding keys on metadata hashes instead of running
   * totals: a totals-derived assignment (x30's batch form derives S
   * from total tokens) can only be computed after the corpus closes,
-  * so the live form takes S as a parameter and the batch manifest is
-  * the planning step that picks it. The per-shard running balance is
+  * so the live form consumes S as a 1-row static planning frame
+  * (stream-static crossJoin — no driver read) and the batch manifest
+  * is the planning step that picks it. The per-shard running balance is
   * then a plain streaming aggregate over S keys — bounded state S,
   * the StreamDrift discipline.
   *
@@ -28,10 +29,14 @@ import graft.operators.{Curation, TextHash}
   */
 object StreamShard {
 
-  /** Input: streaming (doc_id, text); output: appended per-doc shard
-    * assignments (doc_id, n_toks, key, shard) under the given shard
-    * count and epoch — x30's assignment rule verbatim. */
-  def shardStream(docs: DataFrame, nShards: Long, epoch: Int = 1)
+  /** Input: streaming (doc_id, text) plus the 1-row planned-shards
+    * static frame; output: appended per-doc shard assignments
+    * (doc_id, n_toks, key, shard) under the planned shard count and
+    * the given epoch — x30's assignment rule verbatim. The shard
+    * count rides as a stream-static crossJoin of the 1-row planning
+    * frame (the idiom every gated scalar uses), so nothing is read at
+    * the driver at plan-build time. */
+  def shardStream(docs: DataFrame, planned: DataFrame, epoch: Int = 1)
       : DataFrame = {
     graft.functions.TextHashExprs.register(docs.sparkSession)
     docs
@@ -40,19 +45,23 @@ object StreamShard {
         expr(TextHash.rollingHashExpr(
           s"concat(cast(doc_id as string), ':$epoch')", TextHash.P))
           .as("key"))
-      .withColumn("shard", col("key") % nShards)
+      .crossJoin(planned) // 1-row static side per micro-batch
+      .withColumn("shard", col("key") % col("n_shards"))
+      .drop("n_shards")
   }
 
   /** Running per-shard balance over the assignment stream — bounded
-    * state: exactly `nShards` rows however much text streams through. */
+    * state: exactly the planned shard count of rows however much text
+    * streams through. */
   def shardBalanceStream(assigned: DataFrame): DataFrame =
     assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
 
   /** The batch planning step the live form consumes: x30's
-    * data-derived shard count for a closed corpus directory. */
+    * data-derived shard count for a closed corpus directory, as a
+    * 1-row static frame for the stream-static join. */
   def plannedShards(s: org.apache.spark.sql.SparkSession,
-      dir: String): Long =
+      dir: String): DataFrame =
     Curation.shardManifest(s, dir)
-      .select(max(col("n_shards"))).head().getLong(0)
+      .agg(max(col("n_shards")).as("n_shards"))
 }

@@ -68,6 +68,19 @@ class Round11Spec extends AnyFunSuite {
       s"d21's chunk-cap guard is gone from the optimized plan:\n$p")
   }
 
+  test("memo invalidation forces a rebuild on the next call") {
+    // the build-once memos survive clearCache by design; Memos
+    // .invalidate() is the documented hook for a long-lived session
+    // whose corpus dir changed — after it, the next call must hand
+    // back a FRESH frame instead of the stale checkpoint
+    val g1 = Dedup.substringSpansMemo(spark, dir)
+    assert(Dedup.substringSpansMemo(spark, dir) eq g1,
+      "memo must return the same frame while valid")
+    Memos.invalidate()
+    val g2 = Dedup.substringSpansMemo(spark, dir)
+    assert(!(g2 eq g1), "invalidate must force a rebuild")
+  }
+
   test("d21: chunked evictions are contained in the unchunked " +
       "co-cluster near-dup set") {
     // chunking only ever REMOVES candidate pairs (a chunk is a subset

@@ -618,13 +618,14 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    val nShards = StreamShard.plannedShards(spark, dir)
+    val planned = StreamShard.plannedShards(spark, dir)
+    val nShards = planned.head().getLong(0) // test-side read only
     val rows = graft.engine.Tables.t(spark, dir, "documents")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val mem = MemoryStream[(Long, String)]
     val q = StreamShard.shardBalanceStream(StreamShard.shardStream(
-        mem.toDF().toDF("doc_id", "text"), nShards))
+        mem.toDF().toDF("doc_id", "text"), planned))
       .writeStream.format("memory").queryName("shard_out")
       .outputMode("complete").start()
     val (b1, b2) = rows.splitAt(rows.length / 2)

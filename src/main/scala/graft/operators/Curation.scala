@@ -550,17 +550,34 @@ object Curation {
     * explode doc tokens and join the |vocab| n_sym map (no broadcast
     * hint: vocab grows sublinearly but unboundedly, AQE decides) and
     * re-aggregate per doc_id. */
-  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
-    val words = docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 1)
-      .persist() // feeds the vocab build AND the per-doc re-aggregate
+  /** The trained tokenizer's word → BPE-symbol-count map over a
+    * (…, w) word-occurrence frame: two rounds of (mine top-32 →
+    * greedy one-pass apply) on the distinct-word vocabulary, then the
+    * per-word final symbol count. Factored out so t34 (per-doc
+    * counts) and x32 (final assembly over the KEPT token stream)
+    * apply LITERALLY the same tokenizer — trained once on the full
+    * corpus, the way a production pipeline freezes its tokenizer
+    * before curation. */
+  private[operators] def bpeNSym(words: DataFrame): DataFrame = {
     val v0 = words.groupBy("w").agg(count(lit(1)).as("c"))
       .withColumn("syms",
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
     val v1 = bpeApply(v0, bpeMine(v0)).persist() // round-2 mine + apply share it
     val v2 = bpeApply(v1, bpeMine(v1))
-    val nsym = v2.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    v2.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+  }
+
+  /** The corpus word-occurrence stream the tokenizer trains on —
+    * shared by t34 and x32 so the training corpus cannot drift. */
+  private[operators] def bpeWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeWords(s, dir)
+      .persist() // feeds the vocab build AND the per-doc re-aggregate
+    val nsym = bpeNSym(words)
     words.join(nsym, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

@@ -240,4 +240,75 @@ object Pipeline {
       .withColumn("keep_rate_e6", expr("(n_unique * 1000000L) div n_docs"))
       .orderBy("source")
   }
+
+  /** x32: final assembly — "emit the training shards", the tail-end
+    * twin of x03's front-end chain and the LAST operator a
+    * pretraining owner runs: model-classifier filter (t35's keep
+    * rule) → exact-substring span strip (d19/d20's rewrite, via the
+    * shared span memo) → BPE re-count of the KEPT token stream under
+    * the corpus-trained tokenizer (t34's word→n_sym map verbatim) →
+    * hash-shuffled shard assignment with within-shard packing offsets
+    * (x30's shard rule + x28's running-sum discipline). Output: one
+    * row per emitted document — its kept-BPE token count, its shard,
+    * its byte-plan coordinates (start_tok within the shard's
+    * concatenated stream, x28-style context bins) — exactly the
+    * manifest a shard writer and its dataloader consume.
+    *
+    * Every stage IS the standalone operator's rule (the x26/x27
+    * composition discipline): a doc appears iff it passes t35 AND
+    * keeps ≥ 1 tokenizable token after span stripping; its n_bpe is
+    * what t34 would count on the stripped text (BPE-per-word is
+    * context-free, so per-word symbol counts transfer to any token
+    * subsequence); its shard is x30's LCG key mod the data-derived
+    * shard count over KEPT BPE mass.
+    *
+    * Scale shape: the classifier and span frames reduce to doc_id
+    * keys/(pos ranges) before joining; the kept stream is skinny
+    * (doc_id, pos, tok) rows anti-joined on (doc_id, pos); the nsym
+    * join carries NO hint (Heaps-bounded but unbounded vocabulary —
+    * AQE decides, the t34 convention); the only 1-row scalars are the
+    * total-mass crossJoin (x30's idiom) and t34's ≤32-struct merge
+    * table. The packing window partitions by SHARD — each shard holds
+    * ≤ [[Curation.ShardBudget]] tokens ⇒ bounded docs, so the running
+    * sum never serializes on a global (or even per-source-unbounded)
+    * order: this is why assembly shards FIRST and packs WITHIN shards,
+    * not x04's per-source global prefix sum. */
+  def finalAssembly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keep = TextAnalysis.classifierScore(s, dir)
+      .filter(col("keep_cls") === 1).select("doc_id")
+    val cov = Dedup.substringSpansMemo(s, dir)
+      .select(col("doc_id"),
+        explode(expr("sequence(span_start, span_end)")).as("pos"))
+    val kept = fanOut(Tables.t(s, dir, "documents"))
+      .join(keep, "doc_id")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("source"),
+        (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      .join(cov, Seq("doc_id", "pos"), "left_anti")
+    val nsym = Curation.bpeNSym(Curation.bpeWords(s, dir))
+    val counts = kept
+      .join(nsym, col("tok") === col("w")) // no hint: vocab unbounded
+      .groupBy("doc_id", "source")
+      .agg(sum(col("n_sym")).as("n_bpe"))
+    val tot = counts.agg(sum(col("n_bpe")).as("total_toks"))
+    val w = Window.partitionBy("shard").orderBy("key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot)) // 1-row mass scalar (x30's idiom)
+      .withColumn("n_shards", greatest(lit(1L),
+        expr(s"(total_toks + ${Curation.ShardBudget - 1}L) div " +
+          s"${Curation.ShardBudget}L")))
+      .withColumn("key", expr(rollingHashExpr(
+        "concat(cast(doc_id as string), ':1')", P)))
+      .withColumn("shard", col("key") % col("n_shards"))
+      .withColumn("end_tok", sum(col("n_bpe")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_bpe"))
+      .select(col("doc_id"), col("source"), col("n_bpe"), col("shard"),
+        col("start_tok"),
+        expr(s"start_tok div ${Curation.BpePackBudget}L").as("bin_first"),
+        expr(s"(end_tok - 1) div ${Curation.BpePackBudget}L").as("bin_last"))
+      .orderBy("doc_id")
+  }
 }

@@ -264,6 +264,10 @@ object Extensions {
     // per-source filter-funnel card: survivors after each cumulative
     // stage of the filter stack (t02 -> t06 -> t35 -> d01)
     "x27_filter_funnel" -> (Pipeline.filterFunnel _),
+    // final assembly: t35 filter -> d19/d20 span strip -> t34 BPE
+    // re-count of the kept stream -> x30 sharding + x28 packing
+    // offsets — the emit-the-training-shards manifest
+    "x32_final_assembly" -> (Pipeline.finalAssembly _),
     "x06_resample_ffill" -> (TimeSeries.resampleFfill _),
     "x07_anomaly" -> (TimeSeries.anomalies _),
     "x08_upsert" -> (Merge.snapshotUpsert _),
@@ -877,11 +881,12 @@ object Extensions {
       FROM sel${Similarity.MmrK} ORDER BY query_id, pick"""
   }
 
-  /** The full t34 body — self-contained so its standalone gate AND
-    * the x28 packing embed the identical tokenizer chain. */
-  private lazy val t34Oracle = s"""
-      WITH $tkCte,
-      wdf AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(tk) AS w
+  /** The t34 tokenizer chain (word stream → vocabulary → two
+    * mine/apply rounds → word→n_sym map), assuming a `tk` CTE is in
+    * scope — shared by the t34 standalone gate and the x32 final
+    * assembly so the tokenizer definition cannot drift. */
+  private lazy val t34NsymCtes = s"""wdf AS (SELECT doc_id, w
+             FROM (SELECT doc_id, unnest(tk) AS w
               FROM tk) wd0 WHERE length(w) >= 1),
       v0 AS (SELECT w, count(*) AS c,
                [w[i] for i in generate_series(1, length(w))] AS syms
@@ -890,7 +895,13 @@ object Extensions {
       ${bpeApplyCtes("v0", "m1", "v1", "a")},
       ${bpeMineCtes("v1", "m2", "b")},
       ${bpeApplyCtes("v1", "m2", "v2", "b")},
-      nsym AS (SELECT w, len(syms) AS n_sym FROM v2)
+      nsym AS (SELECT w, len(syms) AS n_sym FROM v2)"""
+
+  /** The full t34 body — self-contained so its standalone gate AND
+    * the x28 packing embed the identical tokenizer chain. */
+  private lazy val t34Oracle = s"""
+      WITH $tkCte,
+      $t34NsymCtes
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         CAST(sum(length(w)) AS BIGINT) AS n_chars,
         CAST(sum(n_sym) AS BIGINT) AS n_bpe
@@ -3331,6 +3342,46 @@ object Extensions {
         fd.first_doc
       FROM m JOIN fd USING (shard)
       ORDER BY m.shard""",
+    // final assembly: keep = t35's oracle body (embedded verbatim);
+    // spans = the d19 CTE chain; n_bpe = the t34 tokenizer chain
+    // applied to the kept token stream; shard/offset = x30's key rule
+    // + x28's running-sum arithmetic within the shard
+    "x32_final_assembly" -> s"""
+      WITH $d19SpanCtes,
+      $t34NsymCtes,
+      keep AS (SELECT doc_id FROM ($t35Oracle) tz WHERE keep_cls = 1),
+      cov AS (SELECT doc_id, unnest(generate_series(span_start, span_end))
+                AS pos FROM sp),
+      tpx AS (SELECT doc_id, u.i AS pos, u.t AS tok
+              FROM (SELECT doc_id, unnest([{'i': i, 't': tk[i]}
+                  for i in generate_series(1, len(tk))]) AS u FROM tk
+                WHERE doc_id IN (SELECT doc_id FROM keep)) z),
+      keptx AS (SELECT t.doc_id, t.tok FROM tpx t
+                LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+                WHERE c.pos IS NULL),
+      kb AS (SELECT k.doc_id, CAST(sum(n.n_sym) AS BIGINT) AS n_bpe
+             FROM keptx k JOIN nsym n ON k.tok = n.w GROUP BY k.doc_id),
+      kbs AS (SELECT kb.doc_id, d.source, kb.n_bpe,
+                ${rh("concat(kb.doc_id::VARCHAR, ':1')", 1000000007L)} AS key
+              FROM kb JOIN documents d ON kb.doc_id = d.doc_id),
+      ttx AS (SELECT CAST(sum(n_bpe) AS BIGINT) AS total_toks FROM kbs),
+      aax AS (SELECT kbs.*, greatest(1,
+                (total_toks + ${Curation.ShardBudget - 1})
+                  // ${Curation.ShardBudget}) AS n_shards
+              FROM kbs, ttx),
+      ggx AS (SELECT aax.*, key % n_shards AS shard,
+                sum(n_bpe) OVER (PARTITION BY key % n_shards
+                  ORDER BY key, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS end_tok
+              FROM aax)
+      SELECT doc_id, source, n_bpe, CAST(shard AS BIGINT) AS shard,
+        CAST(end_tok - n_bpe AS BIGINT) AS start_tok,
+        CAST((end_tok - n_bpe) // ${Curation.BpePackBudget} AS BIGINT)
+          AS bin_first,
+        CAST((end_tok - 1) // ${Curation.BpePackBudget} AS BIGINT)
+          AS bin_last
+      FROM ggx ORDER BY doc_id""",
     // the card embeds the x25/t33/t32/d17/t02/t19 oracle bodies
     // verbatim — six standalone gates composed on the source key
     "x26_pretrain_card" -> s"""

@@ -81,6 +81,74 @@ class Round11Spec extends AnyFunSuite {
     assert(!(g2 eq g1), "invalidate must force a rebuild")
   }
 
+  test("x32: final assembly conserves docs and tokens against the " +
+      "gated stages it composes") {
+    val x32 = Pipeline.finalAssembly(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val keep = TextAnalysis.classifierScore(spark, dir)
+      .filter(col("keep_cls") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val d20 = Dedup.substringRewrite(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_covered"))).toMap
+    val t34 = Curation.bpeTokenize(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe")).toMap
+    // doc conservation: emitted ⊆ t35-keep, and every keep doc with a
+    // kept token survives (no doc at the gate dir strips to empty or
+    // to all-untokenizable tokens, so the sets are EQUAL here)
+    assert(x32.keySet.subsetOf(keep), "x32 emitted a filtered-out doc")
+    val expected = keep.filter(d => {
+      val (n, c) = d20(d); n - c > 0
+    })
+    assert(x32.keySet == expected,
+      s"docs in = kept + filtered must balance: ${expected.size} " +
+        s"expected vs ${x32.size} emitted")
+    // token conservation: stripping only ever shrinks the BPE count,
+    // and an uncovered doc's count equals t34's exactly
+    x32.foreach { case (d, r) =>
+      val nb = r.getAs[Long]("n_bpe")
+      assert(nb >= 1 && nb <= t34(d),
+        s"doc $d: kept n_bpe $nb vs t34 ${t34(d)}")
+      if (d20(d)._2 == 0)
+        assert(nb == t34(d),
+          s"uncovered doc $d must keep its full t34 count")
+    }
+  }
+
+  test("x32: shard intervals partition each shard's token stream " +
+      "and the shard rule replays from first principles") {
+    val rows = Pipeline.finalAssembly(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_bpe")).sum
+    val nShards = math.max(1L,
+      (total + Curation.ShardBudget - 1) / Curation.ShardBudget)
+    // independent replica of x30's key rule: rolling hash base 31
+    // seed 7 mod P over the ASCII of "<doc_id>:1"
+    def key(id: Long): Long =
+      s"$id:1".foldLeft(7L)((a, ch) => (a * 31 + ch.toLong) % 1000000007L)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("shard") == key(d) % nShards,
+        s"doc $d shard diverges from the first-principles key rule")
+      assert(r.getAs[Long]("bin_first") ==
+        r.getAs[Long]("start_tok") / Curation.BpePackBudget)
+      assert(r.getAs[Long]("bin_first") <= r.getAs[Long]("bin_last"))
+    }
+    // within each shard the (start_tok, n_bpe) intervals tile
+    // [0, shard mass) with no gap and no overlap — the writer's plan
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      val iv = rs.map(r =>
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("n_bpe")))
+        .sortBy(_._1)
+      var cursor = 0L
+      iv.foreach { case (st, n) =>
+        assert(st == cursor, s"shard $sh: gap/overlap at $st != $cursor")
+        cursor = st + n
+      }
+      assert(cursor == rs.map(_.getAs[Long]("n_bpe")).sum)
+    }
+  }
+
   test("d21: chunked evictions are contained in the unchunked " +
       "co-cluster near-dup set") {
     // chunking only ever REMOVES candidate pairs (a chunk is a subset

@@ -368,7 +368,9 @@ class PlanSpec extends AnyFunSuite {
       "i14_index_pruning", // same 1-row corpus-stats scalar as i03
       "t34_bpe_tokenize", // 1-row ≤32-struct merge-table crossJoin per round
       "x26_pretrain_card", // composes x25's + t33's 1-row totals scalars
-      "s29_source_embedding_drift" // 1-row corpus-centroid-norm scalar
+      "s29_source_embedding_drift", // 1-row corpus-centroid-norm scalar
+      "x32_final_assembly" // t34's 1-row merge-table crossJoins + the
+                           // 1-row total-mass scalar (x30's idiom)
     )
     // Broadcast-HINT inventory (swept in the same loop so the census
     // walk is paid once): an unconditional broadcast() hint is only
@@ -419,6 +421,10 @@ class PlanSpec extends AnyFunSuite {
       "d14_hot_ngrams", "t24_vocab_coverage",
       "t34_bpe_tokenize", // 1-row collect_list of the ≤32-pair merge table
       "x28_bpe_packing", // composes t34's 1-row merge-table hint
+      "x32_final_assembly", // t34's merge-table hint + the 1-row
+                            // total-mass scalar; the kept-stream nsym
+                            // join and the span/keep joins carry NO
+                            // hint (corpus-proportional — AQE decides)
       // fixed probe lists (literal query workloads)
       "i10_fuzzy_match", "i11_hard_negatives",
       "i13_retrieval_eval", // ≤8-row truth/df rosters + 1-row stats,

@@ -182,6 +182,23 @@ object ScaleStress {
       .select(explode(TextHash.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1).distinct().count()
 
+    // x32: the kept-token stream the final assembly explodes and
+    // probes the nsym vocabulary with — its single corpus-scale
+    // intermediate, which must grow ~linearly. Derived from the gated
+    // stages' own outputs (t35's keep set ⨝ d20's per-doc
+    // n_toks/n_covered), so the telemetry measures exactly the row
+    // count the operator's anti-join emits into the vocab probe.
+    val x32KeptToks = graft.operators.TextAnalysis
+      .classifierScore(spark, dir)
+      .filter(col("keep_cls") === 1).select("doc_id")
+      .join(Dedup.substringRewrite(spark, dir), "doc_id")
+      .agg(sum(col("n_toks") - col("n_covered")).cast("long"))
+      .head.getLong(0)
+    val x32F = graft.operators.Pipeline.finalAssembly(spark, dir).persist()
+    val x32Rows = x32F.count()
+    val x32Shards = x32F.select("shard").distinct().count()
+    x32F.unpersist(true)
+
     // CC rounds + output cardinalities (clusters runs the fixpoint)
     val d06Rows = DupCluster.clusters(spark, dir).count()
     val d06Rounds = DupCluster.lastFixpointRounds
@@ -217,6 +234,8 @@ object ScaleStress {
         s""""x29":{"bench_grams":$x29BenchGrams,"train_rows":$x29TrainRows,""" +
         s""""hit_rows":$x29HitRows,"contaminated":$x29Docs},""" +
         s""""d21":{"cand":$d21Cand,"unchunked":$d21Unchunked,"rows":$d21Rows},""" +
+        s""""x32":{"kept_toks":$x32KeptToks,"rows":$x32Rows,""" +
+        s""""shards":$x32Shards},""" +
         s""""t34_vocab":$t34Vocab,""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds,"s11":$s11Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +

@@ -82,8 +82,14 @@ class CacheSpec extends AnyFunSuite {
                                // by design (t32 is its sketch path)
       "t32_source_minhash",   // persists only |sources|·k component rows
       "s25_label_propagation", // persists the n·k symmetric edge list
-      "x26_pretrain_card")    // composition: shared shingle-hash pass +
+      "x26_pretrain_card",    // composition: shared shingle-hash pass +
                               // its branches' own persists, all compact
+      "x29_decontaminate",    // round-11 memo: the tokenize+8-gram pass
+                              // localCheckpoints |train grams|+|bench
+                              // grams| skinny rows (allowed residue)
+      "x32_final_assembly")   // composition: span memo checkpoint +
+                              // bpeNSym's |vocab| persist — nothing
+                              // corpus-scale may stay resident
     heavies.foreach { name =>
       spark.catalog.clearCache()
       val floor = storageBytes()

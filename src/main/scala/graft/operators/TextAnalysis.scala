@@ -1469,16 +1469,88 @@ object TextAnalysis {
       .select(col("id").as("bucket"),
         (((col("id") + 1L) * lit(2654435761L)) % lit(P)
           % lit(2L * ClsWeightE6 + 1L) - lit(ClsWeightE6)).as("w_e6"))
-    docs(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        expr(s"concat(tk, ${ngramsExpr("tk", 2)})").as("fts"))
-      .select(col("doc_id"), explode(expr(hashArrayExpr("fts", P))).as("h"))
-      .select(col("doc_id"), (col("h") % ClsBuckets).as("bucket"))
+    clsFeatures(s, dir)
       .join(broadcast(w), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("w_e6").as("score_sum_e6"))
       .withColumn("keep_cls", (col("score_sum_e6") >= 0L).cast("int"))
       .orderBy("doc_id")
+  }
+
+  /** The fastText-style hashed feature stream (unigrams + word
+    * bigrams → [[ClsBuckets]] buckets), one row per feature
+    * OCCURRENCE — the ONE featurization shared by t35 (inference)
+    * and t36 (training), so the two sides of the model can never
+    * disagree on tokenize/hash/bucket. `source` rides along for
+    * t36's label rule; t35 prunes it. */
+  private def clsFeatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        expr(s"concat(tk, ${ngramsExpr("tk", 2)})").as("fts"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(hashArrayExpr("fts", P))).as("h"))
+      .select(col("doc_id"), col("source"),
+        (col("h") % ClsBuckets).as("bucket"))
+
+  /** t36 geometry, shared with the unrolled oracle: fixed batch
+    * rounds, and the seed-label rule (sources src0..src4 are the
+    * curated positives — the CCNet/fastText convention of a trusted
+    * corpus as the positive class and the raw crawl as negative). */
+  val PerceptronRounds = 4
+  val ClsSeedSrcMax = 5
+
+  /** t36: quality-classifier TRAINING — the missing half of t35,
+    * whose scaladoc notes no trained model exists in this container.
+    * A batch perceptron (Rosenblatt 1958; the deterministic,
+    * order-free batch variant) over t35's EXACT feature space: per
+    * round, every document's margin is Σ tf·w over its hashed
+    * unigram+bigram buckets; every misclassified document (y·margin
+    * ≤ 0, so round 1 updates on the whole corpus from w = 0)
+    * contributes y·tf to each of its buckets; the weight vector is
+    * the running integer sum. [[PerceptronRounds]] fixed rounds, no
+    * learning rate (the perceptron update is rate-free in integer
+    * arithmetic), labels from [[ClsSeedSrcMax]]. Output: the full
+    * trained weight table — [[ClsBuckets]] rows, the model artifact
+    * t35 would serve.
+    *
+    * Exact-integer discipline: tf, y, margins, and weights are all
+    * BIGINT sums (|w| ≤ rounds·corpus-tokens, |margin| ≤ doc-feats ·
+    * max|w| — inside int64 to ~1e16 corpus tokens), so the 4-round
+    * fixed point crosses the DuckDB hash gate with no float anywhere.
+    *
+    * Scale shape: the canonical distributed linear-model loop — per
+    * round ONE narrow join of the persisted labeled feature stream
+    * against the ≤[[ClsBuckets]]-row weight state (bounded BY
+    * CONSTRUCTION, the s26 K-row-centroid broadcast class) and ONE
+    * partial-agg'd shuffle of (doc) then (bucket) keys; the state is
+    * localCheckpoint-ed each round (4096 rows) so R rounds chain
+    * linearly instead of doubling the plan per round. Weight state
+    * never touches the driver. */
+  def classifierTrain(s: SparkSession, dir: String): DataFrame = {
+    val ft = clsFeatures(s, dir)
+      .select(col("doc_id"),
+        when(expr("cast(substring(source, 4) as int)") < ClsSeedSrcMax,
+          1L).otherwise(-1L).as("y"),
+        col("bucket"))
+      .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("tf"))
+      .persist() // every round joins the labeled feature stream twice
+    var w = s.range(ClsBuckets)
+      .select(col("id").as("bucket"), lit(0L).as("w"))
+    for (_ <- 1 to PerceptronRounds) {
+      val wrong = ft.join(broadcast(w), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("tf") * col("w")).as("m"))
+        .filter(col("y") * col("m") <= 0L)
+        .select("doc_id")
+      val delta = ft.join(wrong, "doc_id")
+        .groupBy("bucket").agg(sum(col("y") * col("tf")).as("dw"))
+      w = w.join(delta, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+        .localCheckpoint() // 4096-row state; keeps the round chain linear
+    }
+    ft.unpersist()
+    w.orderBy("bucket")
   }
 }

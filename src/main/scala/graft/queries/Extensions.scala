@@ -229,6 +229,10 @@ object Extensions {
     // fastText-style hashed linear classifier inference: unigram +
     // bigram buckets joined against a bounded external weight table
     "t35_classifier_score" -> (TextAnalysis.classifierScore _),
+    // quality-classifier TRAINING: batch perceptron over t35's exact
+    // feature space, seed labels from the source roster — the model
+    // artifact t35 serves
+    "t36_classifier_train" -> (TextAnalysis.classifierTrain _),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
@@ -811,17 +815,24 @@ object Extensions {
              ELSE 0::BIGINT END AS dup3_e6
       FROM h ORDER BY doc_id"""
 
-  /** t35's feature stream (unigram + bigram rolling hashes mod P,
-    * bucketed) joined against the deterministic pseudo-weight table —
-    * the constants interpolate from [[TextAnalysis]] so the two
-    * engines (and the x27 funnel embedding) can never drift. */
-  private val t35Oracle = s"""
-      WITH $tkCte,
-      f AS (SELECT doc_id, list_concat(tk,
+  /** The t35/t36 hashed feature stream (unigram + bigram rolling
+    * hashes mod P, bucketed into ClsBuckets) as CTEs `f` and `e`,
+    * assuming `tk` is in scope — ONE featurization shared by the
+    * inference oracle (t35) and the training oracle (t36), mirroring
+    * the Spark-side `clsFeatures` helper. */
+  private val clsFeatureCtes = s"""f AS (SELECT doc_id, list_concat(tk,
         CASE WHEN len(tk) >= 2 THEN [array_to_string(tk[i:i+1], ' ')
           for i in generate_series(1, len(tk)-1)] ELSE [] END) AS fts FROM tk),
       e AS (SELECT doc_id, (${rh("x", 1000000007L)}) % ${TextAnalysis.ClsBuckets} AS bucket
-            FROM (SELECT doc_id, unnest(fts) AS x FROM f) z),
+            FROM (SELECT doc_id, unnest(fts) AS x FROM f) z)"""
+
+  /** t35's feature stream joined against the deterministic
+    * pseudo-weight table — the constants interpolate from
+    * [[TextAnalysis]] so the two engines (and the x27 funnel
+    * embedding) can never drift. */
+  private val t35Oracle = s"""
+      WITH $tkCte,
+      $clsFeatureCtes,
       w AS (SELECT i AS bucket,
               ((i + 1) * 2654435761) % 1000000007
                 % ${2L * TextAnalysis.ClsWeightE6 + 1L}
@@ -832,6 +843,42 @@ object Extensions {
         CAST(CASE WHEN sum(w.w_e6) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep_cls
       FROM e JOIN w USING (bucket)
       GROUP BY e.doc_id ORDER BY doc_id"""
+
+  /** t36's batch perceptron unrolled to [[TextAnalysis
+    * .PerceptronRounds]] rounds — generated (not hand-copied) so the
+    * round count, seed-label rule, bucket space, and the rate-free
+    * integer update all interpolate from the Spark-side constants.
+    * Every round is the same two joins the Spark loop runs: margins
+    * from the labeled feature stream against the previous weights,
+    * then the misclassified documents' y·tf summed per bucket. */
+  private lazy val t36Oracle: String = {
+    val rounds = (1 to TextAnalysis.PerceptronRounds).map { r =>
+      s"""
+      m$r AS (SELECT ft.doc_id, ft.y,
+                CAST(sum(ft.tf * w${r - 1}.w) AS BIGINT) AS m
+              FROM ft JOIN w${r - 1} USING (bucket) GROUP BY 1, 2),
+      d$r AS (SELECT ft.bucket, CAST(sum(ft.y * ft.tf) AS BIGINT) AS dw
+              FROM ft JOIN (SELECT doc_id FROM m$r WHERE y * m <= 0) z$r
+                USING (doc_id) GROUP BY 1),
+      w$r AS (SELECT w${r - 1}.bucket,
+                CAST(w${r - 1}.w + coalesce(d$r.dw, 0) AS BIGINT) AS w
+              FROM w${r - 1} LEFT JOIN d$r USING (bucket))"""
+    }.mkString(",")
+    s"""
+      WITH $tkCte,
+      $clsFeatureCtes,
+      lab AS (SELECT doc_id, CASE WHEN CAST(substring(source, 4) AS INT)
+                < ${TextAnalysis.ClsSeedSrcMax} THEN 1 ELSE -1 END AS y
+              FROM documents),
+      ft AS (SELECT e.doc_id, CAST(lab.y AS BIGINT) AS y, e.bucket,
+               CAST(count(*) AS BIGINT) AS tf
+             FROM e JOIN lab USING (doc_id) GROUP BY 1, 2, 3),
+      w0 AS (SELECT i AS bucket, 0::BIGINT AS w
+             FROM generate_series(0, ${TextAnalysis.ClsBuckets - 1}) t(i)),
+      $rounds
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(w AS BIGINT) AS w
+      FROM w${TextAnalysis.PerceptronRounds} ORDER BY bucket"""
+  }
 
   /** s28's greedy selection unrolled to [[Similarity.MmrK]] rounds —
     * generated (not hand-copied) so the round count, shortlist width,
@@ -2032,6 +2079,7 @@ object Extensions {
       FROM topk, exact""",
     "t06_repetition" -> t06Oracle,
     "t35_classifier_score" -> t35Oracle,
+    "t36_classifier_train" -> t36Oracle,
     "t07_hash_split" -> s"""
       WITH f AS (SELECT doc_id, lower(text) AS t FROM documents),
       g AS (SELECT doc_id, ${rh("t", 1000000007L)} % 100 AS h_mod FROM f)

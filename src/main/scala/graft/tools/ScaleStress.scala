@@ -199,6 +199,23 @@ object ScaleStress {
     val x32Shards = x32F.select("shard").distinct().count()
     x32F.unpersist(true)
 
+    // t36: the labeled feature stream each training round scans
+    // (corpus-linear — it must be) and the trained weight vector's
+    // nonzero support (≤ ClsBuckets REGARDLESS of corpus — the
+    // bounded-state reason the model side can always broadcast)
+    import graft.operators.TextAnalysis
+    val t36Ft = TextHash.fanOut(docs)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        expr(s"concat(tk, ${TextHash.ngramsExpr("tk", 2)})").as("fts"))
+      .select(col("doc_id"),
+        explode(expr(TextHash.hashArrayExpr("fts", TextHash.P))).as("h"))
+      .select(col("doc_id"),
+        (col("h") % TextAnalysis.ClsBuckets).as("bucket"))
+      .distinct().count()
+    val t36W = TextAnalysis.classifierTrain(spark, dir)
+      .filter(col("w") =!= 0L).count()
+
     // CC rounds + output cardinalities (clusters runs the fixpoint)
     val d06Rows = DupCluster.clusters(spark, dir).count()
     val d06Rounds = DupCluster.lastFixpointRounds
@@ -236,6 +253,7 @@ object ScaleStress {
         s""""d21":{"cand":$d21Cand,"unchunked":$d21Unchunked,"rows":$d21Rows},""" +
         s""""x32":{"kept_toks":$x32KeptToks,"rows":$x32Rows,""" +
         s""""shards":$x32Shards},""" +
+        s""""t36":{"ft_rows":$t36Ft,"nonzero_w":$t36W},""" +
         s""""t34_vocab":$t34Vocab,""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds,"s11":$s11Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +

@@ -87,9 +87,13 @@ class CacheSpec extends AnyFunSuite {
       "x29_decontaminate",    // round-11 memo: the tokenize+8-gram pass
                               // localCheckpoints |train grams|+|bench
                               // grams| skinny rows (allowed residue)
-      "x32_final_assembly")   // composition: span memo checkpoint +
+      "x32_final_assembly",   // composition: span memo checkpoint +
                               // bpeNSym's |vocab| persist — nothing
                               // corpus-scale may stay resident
+      "t36_classifier_train") // persists the labeled feature stream
+                              // for its 8 round-scans (skinny longs),
+                              // unpersisted before return; the 4096-row
+                              // round checkpoints are allowed residue
     heavies.foreach { name =>
       spark.catalog.clearCache()
       val floor = storageBytes()

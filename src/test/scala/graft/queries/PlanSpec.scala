@@ -421,6 +421,9 @@ class PlanSpec extends AnyFunSuite {
       "d14_hot_ngrams", "t24_vocab_coverage",
       "t34_bpe_tokenize", // 1-row collect_list of the ≤32-pair merge table
       "x28_bpe_packing", // composes t34's 1-row merge-table hint
+      "t36_classifier_train", // ≤ClsBuckets-row weight state per round
+                              // (bounded BY CONSTRUCTION — the s26
+                              // K-row-centroid broadcast class)
       "x32_final_assembly", // t34's merge-table hint + the 1-row
                             // total-mass scalar; the kept-stream nsym
                             // join and the span/keep joins carry NO

@@ -850,7 +850,12 @@ object Extensions {
     * integer update all interpolate from the Spark-side constants.
     * Every round is the same two joins the Spark loop runs: margins
     * from the labeled feature stream against the previous weights,
-    * then the misclassified documents' y·tf summed per bucket. */
+    * then the misclassified documents' y·tf summed per bucket.
+    * `ft` and each `w_r` are MATERIALIZED: each round references the
+    * previous weights twice, so DuckDB's default CTE inlining would
+    * re-expand the corpus-scale feature chain ~2^rounds times (it
+    * exhausted the spill disk at the ×30 scale dir before this) —
+    * the SQL analog of the Spark loop's per-round localCheckpoint. */
   private lazy val t36Oracle: String = {
     val rounds = (1 to TextAnalysis.PerceptronRounds).map { r =>
       s"""
@@ -860,7 +865,7 @@ object Extensions {
       d$r AS (SELECT ft.bucket, CAST(sum(ft.y * ft.tf) AS BIGINT) AS dw
               FROM ft JOIN (SELECT doc_id FROM m$r WHERE y * m <= 0) z$r
                 USING (doc_id) GROUP BY 1),
-      w$r AS (SELECT w${r - 1}.bucket,
+      w$r AS MATERIALIZED (SELECT w${r - 1}.bucket,
                 CAST(w${r - 1}.w + coalesce(d$r.dw, 0) AS BIGINT) AS w
               FROM w${r - 1} LEFT JOIN d$r USING (bucket))"""
     }.mkString(",")
@@ -870,8 +875,8 @@ object Extensions {
       lab AS (SELECT doc_id, CASE WHEN CAST(substring(source, 4) AS INT)
                 < ${TextAnalysis.ClsSeedSrcMax} THEN 1 ELSE -1 END AS y
               FROM documents),
-      ft AS (SELECT e.doc_id, CAST(lab.y AS BIGINT) AS y, e.bucket,
-               CAST(count(*) AS BIGINT) AS tf
+      ft AS MATERIALIZED (SELECT e.doc_id, CAST(lab.y AS BIGINT) AS y,
+               e.bucket, CAST(count(*) AS BIGINT) AS tf
              FROM e JOIN lab USING (doc_id) GROUP BY 1, 2, 3),
       w0 AS (SELECT i AS bucket, 0::BIGINT AS w
              FROM generate_series(0, ${TextAnalysis.ClsBuckets - 1}) t(i)),

@@ -112,6 +112,7 @@ object ScaleStress {
       .persist()
     val d13Boiler = blBoiler.count()
     val d13Hits = blBoiler.agg(sum("n").cast("long")).head.getLong(0)
+    blBoiler.unpersist(true)
 
     // d19: the stride-1 window universe, the duplicated-hash set (the
     // join side that must NOT be broadcast-hinted), and the matched
@@ -134,6 +135,7 @@ object ScaleStress {
     val d19Windows = winTbl.count()
     val d19DupHashes = hstats.count()
     val d19Matched = hstats.agg(sum("rows").cast("long")).head.getLong(0)
+    hstats.unpersist(true)
     val d19Spans = Dedup.substringSpans(spark, dir).count()
 
     // x29: the benchmark gram universe (the join side that must NOT

@@ -1530,7 +1530,10 @@ object TextAnalysis {
   def classifierTrain(s: SparkSession, dir: String): DataFrame = {
     val ft = clsFeatures(s, dir)
       .select(col("doc_id"),
-        when(expr("cast(substring(source, 4) as int)") < ClsSeedSrcMax,
+        // try_cast: a source name that doesn't parse falls to the
+        // negative class in BOTH engines (a plain cast would be NULL
+        // here but an ERROR in DuckDB — a refresh-proofing divergence)
+        when(expr("try_cast(substring(source, 4) as int)") < ClsSeedSrcMax,
           1L).otherwise(-1L).as("y"),
         col("bucket"))
       .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("tf"))

@@ -872,8 +872,9 @@ object Extensions {
     s"""
       WITH $tkCte,
       $clsFeatureCtes,
-      lab AS (SELECT doc_id, CASE WHEN CAST(substring(source, 4) AS INT)
-                < ${TextAnalysis.ClsSeedSrcMax} THEN 1 ELSE -1 END AS y
+      lab AS (SELECT doc_id,
+                CASE WHEN TRY_CAST(substring(source, 4) AS INT)
+                  < ${TextAnalysis.ClsSeedSrcMax} THEN 1 ELSE -1 END AS y
               FROM documents),
       ft AS MATERIALIZED (SELECT e.doc_id, CAST(lab.y AS BIGINT) AS y,
                e.bucket, CAST(count(*) AS BIGINT) AS tf

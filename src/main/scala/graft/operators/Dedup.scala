@@ -772,7 +772,14 @@ object Dedup {
     * is corpus-proportional under heavy duplication — AQE decides);
     * the island merge shuffles matched positions once on doc_id.
     * Nothing is pairwise: a window shared by d documents costs d
-    * rows, not d². */
+    * rows, not d².
+    *
+    * EAGER ON CONSTRUCTION: the first call per (session, dir) — like
+    * d20/x32, which share [[substringSpansMemo]] — runs the
+    * corpus-scale span build at CONSTRUCTION time (localCheckpoint),
+    * not at the first action; merely building this frame for an
+    * EXPLAIN or a plan census pays the build (plan specs use
+    * [[substringSpansLazy]] instead). */
   def substringSpans(s: SparkSession, dir: String): DataFrame =
     substringSpansMemo(s, dir).orderBy("doc_id", "span_start")
 
@@ -792,7 +799,11 @@ object Dedup {
   private[operators] def substringSpansMemo(
       s: SparkSession, dir: String): DataFrame =
     lastSubstringSpans match {
-      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir => g
+      // Memos.alive: auto-invalidate on lost checkpoint blocks
+      // (executor loss on a real cluster) instead of repeatedly
+      // handing out a dead frame
+      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
+          Memos.alive(g) => g
       case _ =>
         val g = substringSpansCore(s, dir)
         lastSubstringSpans = Some((s, dir, g))
@@ -873,7 +884,9 @@ object Dedup {
     * algebra (spans are disjoint per doc, so positions are unique);
     * the strip is one (doc_id, pos) anti-join of skinny longs; the
     * only text-carrying shuffle is the kept-text reassembly, bounded
-    * by the operator's own output (d13's argument verbatim). */
+    * by the operator's own output (d13's argument verbatim).
+    * EAGER ON CONSTRUCTION: first call per (session, dir) runs the
+    * span build via [[substringSpansMemo]] — see [[substringSpans]]. */
   def substringRewrite(s: SparkSession, dir: String): DataFrame = {
     val cov = substringSpansMemo(s, dir)
       .select(col("doc_id"),
@@ -936,7 +949,10 @@ object Dedup {
     * lesson: AQE broadcasts it while a real benchmark is small —
     * MMLU-sized sets are a few MB — and degrades to a shuffle join
     * when someone decontaminates against a second corpus). Nothing is
-    * pairwise: a gram shared by d train docs costs d rows, not d·|test|. */
+    * pairwise: a gram shared by d train docs costs d rows, not d·|test|.
+    * EAGER ON CONSTRUCTION: first call per (session, dir) runs the
+    * tokenize+hash base build via [[decontamBaseMemo]]
+    * (localCheckpoint) — shared with x31. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val (train, hits) = decontamFrames(s, dir)
     train
@@ -960,7 +976,9 @@ object Dedup {
     * (the CacheSpec-documented allowed residue). */
   private def decontamBaseMemo(s: SparkSession, dir: String): DataFrame =
     lastDecontamBase match {
-      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir => g
+      // Memos.alive: auto-invalidate on lost checkpoint blocks
+      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
+          Memos.alive(g) => g
       case _ =>
         val g = fanOut(docs(s, dir))
           .select(col("doc_id"), col("source"), lower(col("text")).as("t"),
@@ -1006,7 +1024,9 @@ object Dedup {
     *
     * Scale shape: x29's frames (shared — the chain is built once)
     * plus one partial-agg'd groupBy on the ~20-row source key; the
-    * argmax doc is a struct-max inside the aggregate, not a window. */
+    * argmax doc is a struct-max inside the aggregate, not a window.
+    * EAGER ON CONSTRUCTION: first call per (session, dir) runs the
+    * base build via [[decontamBaseMemo]] — see [[decontaminate]]. */
   def decontaminationCard(s: SparkSession, dir: String): DataFrame = {
     val (train, hits) = decontamFrames(s, dir)
     val perDoc = train.join(hits, Seq("doc_id"), "left")

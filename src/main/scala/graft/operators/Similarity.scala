@@ -685,9 +685,14 @@ object Similarity {
   /** d21 hard chunk cap for the in-plan guard: 8× the target. Hash
     * assignment (LCG on vec_id, [[SemDedupChunkTarget]]-sized
     * expected chunks) concentrates this far above target only under
-    * pathological id patterns; if it ever happens the query REFUSES
-    * (assert_true in the plan — no driver action) rather than running
-    * a quadratic chunk, the d05 MaxBruteForceVectors discipline. */
+    * pathological id patterns; if it ever happens the query FAILS
+    * (assert_true in the plan — no driver action) rather than
+    * returning results from a quadratic chunk, the d05
+    * MaxBruteForceVectors discipline. (Under AQE the pair-join
+    * shuffle stages can materialize concurrently with the guard job,
+    * so the guarantee is that no over-cap RESULT is ever served —
+    * some quadratic work may already be in flight when the assert
+    * fires.) */
   val SemDedupMaxChunk = 8L * SemDedupChunkTarget
 
   /** d21: SemDeDup — Abbas et al. (2023) "SemDeDup: Data-efficient
@@ -716,9 +721,12 @@ object Similarity {
     * embeddings; [[KmeansK]] stays the deployment knob, but the chunk
     * layer is what makes the pair budget ~n·ChunkTarget/2 — LINEAR —
     * at ANY K, where the unchunked stage measured ×100 pair growth on
-    * ×10 data at fixed K). An in-plan assert_true refuses if LCG skew
-    * ever exceeded [[SemDedupMaxChunk]] (no driver action — the guard
-    * is a 1-row crossJoin). The Lloyd pass itself is s26's: per round
+    * ×10 data at fixed K). An in-plan assert_true fails the query
+    * rather than returning results from a chunk past
+    * [[SemDedupMaxChunk]] (no driver action — the guard is a 1-row
+    * crossJoin; under AQE the pair stages may start concurrently with
+    * the guard job, so it bounds what is SERVED, not what is
+    * scheduled). The Lloyd pass itself is s26's: per round
     * one K-row-broadcast assignment scan + one partial-agg'd (bucket,
     * dim) shuffle — centroid state never touches the driver. */
   /** The final Lloyd assignment (vec_id, bucket) d21 buckets on —
@@ -769,10 +777,13 @@ object Similarity {
         col("embedding"), col("nrm"))
     // in-plan guard (the d05 MaxBruteForceVectors discipline without a
     // driver action): if hash skew ever concentrated a chunk past the
-    // hard cap, refuse before running it quadratic
+    // hard cap, fail the query rather than serve results from a
+    // quadratic chunk. coalesce: max(cn) over an EMPTY corpus is NULL
+    // and assert_true throws on a NULL condition — an empty corpus
+    // must return 0 rows, not error
     val guard = ec.groupBy(col("bucket"), col("chunk"))
       .agg(count(lit(1)).as("cn")).agg(max(col("cn")).as("mx"))
-      .select(assert_true(col("mx") <= SemDedupMaxChunk,
+      .select(assert_true(coalesce(col("mx"), lit(0L)) <= SemDedupMaxChunk,
         concat(lit(s"semanticDedup chunk over the $SemDedupMaxChunk hard " +
           "cap (LCG skew): "), col("mx"))).as("chunk_ok"))
     val pairs = ec.as("a").join(ec.as("b"),

@@ -53,6 +53,12 @@ def main():
         f"ORDER BY vec_id"
     ).df()
     ids = emb["vec_id"].to_numpy()
+    # the chunk rule below uses numpy %, which is always non-negative,
+    # while Spark and DuckDB % preserve the dividend's sign — the three
+    # implementations diverge on a negative vec_id, so make the
+    # assumption explicit instead of silently mismatching
+    assert len(ids) == 0 or ids.min() >= 0, \
+        f"negative vec_id {ids.min()}: numpy %% != Spark/DuckDB %% here"
     V = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
     X = np.floor(V.astype(np.float64) * 1e6).astype(np.int64)
 

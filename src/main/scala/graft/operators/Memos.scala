@@ -18,6 +18,7 @@ object Memos {
     Dedup.invalidateMemos()
     Similarity.invalidateMemos()
     DupCluster.invalidateMemos()
+    TextAnalysis.invalidateMemos()
   }
 
   /** Lost-checkpoint liveness probe for memo accessors.

@@ -272,11 +272,38 @@ object Pipeline {
     * ≤ [[Curation.ShardBudget]] tokens ⇒ bounded docs, so the running
     * sum never serializes on a global (or even per-source-unbounded)
     * order: this is why assembly shards FIRST and packs WITHIN shards,
-    * not x04's per-source global prefix sum. */
-  def finalAssembly(s: SparkSession, dir: String): DataFrame = {
+    * not x04's per-source global prefix sum.
+    * EAGER ON CONSTRUCTION: first call per (session, dir) runs the
+    * span build via Dedup.substringSpansMemo (localCheckpoint) — see
+    * Dedup.substringSpans. */
+  def finalAssembly(s: SparkSession, dir: String): DataFrame =
+    assembleUnder(s, dir,
+      TextAnalysis.classifierScore(s, dir)
+        .filter(col("keep_cls") === 1).select("doc_id"))
+
+  /** x33: final assembly under the TRAINED filter — x32 with one
+    * stage swapped: the keep rule is no longer t35's deterministic
+    * placeholder weight table but t36's genuinely trained model
+    * ([[TextAnalysis.clsWeightsMemo]], served through
+    * [[TextAnalysis.trainedKeep]]: margin > 0). This is the true
+    * end-to-end chain — train the quality filter, then emit the
+    * training shards under it — that a pretraining owner actually
+    * runs; x32 remains the serving-shape gate for an EXTERNAL weight
+    * artifact. Every other stage (span strip, BPE re-count, shard +
+    * packing rule) is byte-identical to x32 by construction
+    * ([[assembleUnder]] is shared).
+    *
+    * Scale shape: x32's, plus the one-time (session, dir) training
+    * build behind the weight memo; the serving join is the
+    * [[TextAnalysis.ClsBuckets]]-row broadcast class. */
+  def finalAssemblyTrained(s: SparkSession, dir: String): DataFrame =
+    assembleUnder(s, dir, TextAnalysis.trainedKeep(s, dir))
+
+  /** The x32/x33 assembly chain under a caller-supplied keep set —
+    * factored so the two gates cannot drift anywhere but the filter. */
+  private def assembleUnder(
+      s: SparkSession, dir: String, keep: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keep = TextAnalysis.classifierScore(s, dir)
-      .filter(col("keep_cls") === 1).select("doc_id")
     val cov = Dedup.substringSpansMemo(s, dir)
       .select(col("doc_id"),
         explode(expr("sequence(span_start, span_end)")).as("pos"))
@@ -293,6 +320,14 @@ object Pipeline {
       .join(nsym, col("tok") === col("w")) // no hint: vocab unbounded
       .groupBy("doc_id", "source")
       .agg(sum(col("n_sym")).as("n_bpe"))
+      // persisted: BOTH the 1-row total-mass scalar and the shard
+      // assignment read this frame — without the persist the
+      // operator's most expensive chain (classifier keep join, span
+      // anti-join, nsym join, per-doc aggregate) executes twice.
+      // Kept-doc-scale skinny rows (doc_id, source, n_bpe) — inside
+      // the CacheSpec per-query budget; cleared by the inter-query
+      // clearCache hygiene.
+      .persist()
     val tot = counts.agg(sum(col("n_bpe")).as("total_toks"))
     val w = Window.partitionBy("shard").orderBy("key", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

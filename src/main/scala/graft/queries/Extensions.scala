@@ -233,6 +233,11 @@ object Extensions {
     // feature space, seed labels from the source roster — the model
     // artifact t35 serves
     "t36_classifier_train" -> (TextAnalysis.classifierTrain _),
+    // classifier EVALUATION: train t36's loop on the ~80 % LCG fold,
+    // score everything under the trained weights, report per-(source,
+    // holdout) keep counts + seed-label confusion — the acceptance
+    // check that closes the train→serve loop
+    "t37_classifier_eval" -> (TextAnalysis.classifierEval _),
     "t21_k_anonymity" -> ((s: SparkSession, d: String) =>
       Curation.kAnonymity(s, d)),
     "m01_multimodal_features" -> (Multimodal.features _),
@@ -272,6 +277,10 @@ object Extensions {
     // re-count of the kept stream -> x30 sharding + x28 packing
     // offsets — the emit-the-training-shards manifest
     "x32_final_assembly" -> (Pipeline.finalAssembly _),
+    // final assembly under the TRAINED filter: x32 with t35's
+    // placeholder keep rule swapped for t36's trained-model margin —
+    // the true train-the-filter-then-emit-the-shards chain
+    "x33_assembly_trained" -> (Pipeline.finalAssemblyTrained _),
     "x06_resample_ffill" -> (TimeSeries.resampleFfill _),
     "x07_anomaly" -> (TimeSeries.anomalies _),
     "x08_upsert" -> (Merge.snapshotUpsert _),
@@ -856,35 +865,163 @@ object Extensions {
     * re-expand the corpus-scale feature chain ~2^rounds times (it
     * exhausted the spill disk at the ×30 scale dir before this) —
     * the SQL analog of the Spark loop's per-round localCheckpoint. */
-  private lazy val t36Oracle: String = {
-    val rounds = (1 to TextAnalysis.PerceptronRounds).map { r =>
+  /** The hard-example perceptron round CTEs (m_r margins, s_r the
+    * per-class [[TextAnalysis.ClsHardK]] most-misclassified cut, d_r
+    * deltas, w_r MATERIALIZED — see the t36 note) over a labeled
+    * feature-stream CTE named `ftRef` with columns (doc_id, y,
+    * bucket, tf), starting from a `w0` CTE — parameterized so t36
+    * (full corpus), t37 (train fold) and x33 (via
+    * [[clsTrainedMarginSql]]) unroll LITERALLY the same rounds. */
+  private def perceptronRoundsOver(ftRef: String): String =
+    (1 to TextAnalysis.PerceptronRounds).map { r =>
       s"""
-      m$r AS (SELECT ft.doc_id, ft.y,
-                CAST(sum(ft.tf * w${r - 1}.w) AS BIGINT) AS m
-              FROM ft JOIN w${r - 1} USING (bucket) GROUP BY 1, 2),
-      d$r AS (SELECT ft.bucket, CAST(sum(ft.y * ft.tf) AS BIGINT) AS dw
-              FROM ft JOIN (SELECT doc_id FROM m$r WHERE y * m <= 0) z$r
-                USING (doc_id) GROUP BY 1),
+      m$r AS (SELECT $ftRef.doc_id, $ftRef.y,
+                CAST(sum($ftRef.tf * w${r - 1}.w) AS BIGINT) AS m
+              FROM $ftRef JOIN w${r - 1} USING (bucket) GROUP BY 1, 2),
+      s$r AS (SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (PARTITION BY y
+                  ORDER BY y * m, doc_id) AS rn
+                FROM m$r WHERE y * m <= 0) z$r
+              WHERE rn <= ${TextAnalysis.ClsHardK}),
+      d$r AS (SELECT $ftRef.bucket,
+                CAST(sum($ftRef.y * $ftRef.tf) AS BIGINT) AS dw
+              FROM $ftRef JOIN s$r USING (doc_id) GROUP BY 1),
       w$r AS MATERIALIZED (SELECT w${r - 1}.bucket,
                 CAST(w${r - 1}.w + coalesce(d$r.dw, 0) AS BIGINT) AS w
               FROM w${r - 1} LEFT JOIN d$r USING (bucket))"""
     }.mkString(",")
+
+  /** The labeled feature stream (hashed token tf rows + one bias row
+    * per labeled doc) as CTEs fx/fb, assuming `e` (features) and
+    * `lab` (doc_id, …, y) are in scope — mirrors the Spark side's
+    * labeledFeatures union. */
+  private val clsLabeledFeatureCtes: String = s"""
+      fx AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+             FROM e GROUP BY 1, 2),
+      fb AS (SELECT doc_id, ${TextAnalysis.ClsBiasBucket}::BIGINT AS bucket,
+               1::BIGINT AS tf FROM lab)"""
+
+  /** The full-corpus training chain (tokens → features → t02
+    * distillation labels → `ft` MATERIALIZED → w0 → unrolled
+    * hard-example rounds) shared by the t36 gate and x33's
+    * trained-keep rule, ending with CTE
+    * w[[TextAnalysis.PerceptronRounds]] holding the trained table. */
+  private lazy val clsTrainChainCtes: String = s"""$tkCte,
+      $clsFeatureCtes,
+      lab AS (SELECT doc_id, CASE WHEN keep = 1 THEN 1 ELSE -1 END AS y
+              FROM ($t02Oracle) q02),
+      $clsLabeledFeatureCtes,
+      ft AS MATERIALIZED (SELECT u.doc_id, CAST(lab.y AS BIGINT) AS y,
+               u.bucket, u.tf
+             FROM (SELECT * FROM fx UNION ALL SELECT * FROM fb) u
+               JOIN lab USING (doc_id)),
+      w0 AS (SELECT i AS bucket, 0::BIGINT AS w
+             FROM generate_series(0, ${TextAnalysis.ClsBuckets}) t(i)),
+      ${perceptronRoundsOver("ft")}"""
+
+  private lazy val t36Oracle: String = s"""
+      WITH $clsTrainChainCtes
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(w AS BIGINT) AS w
+      FROM w${TextAnalysis.PerceptronRounds} ORDER BY bucket"""
+
+  /** Self-contained (doc_id, trained-model margin) subquery — t36's
+    * chain unrolled one round further into inference; x33's keep rule
+    * is `m > 0` over this (sign(0) negative, the training
+    * convention). */
+  private lazy val clsTrainedMarginSql: String = {
+    val n = TextAnalysis.PerceptronRounds
+    s"""
+      WITH $clsTrainChainCtes
+      SELECT ft.doc_id, CAST(sum(ft.tf * w$n.w) AS BIGINT) AS m
+      FROM ft JOIN w$n USING (bucket) GROUP BY 1"""
+  }
+
+  /** t37's oracle: the t36 chain with labels carrying (source,
+    * holdout), rounds unrolled over the TRAIN fold only, one
+    * inference round over everything, then the per-(source, holdout)
+    * confusion rollup — the same LCG fold rule as the Spark side. */
+  private lazy val t37Oracle: String = {
+    val n = TextAnalysis.PerceptronRounds
     s"""
       WITH $tkCte,
       $clsFeatureCtes,
-      lab AS (SELECT doc_id,
-                CASE WHEN TRY_CAST(substring(source, 4) AS INT)
-                  < ${TextAnalysis.ClsSeedSrcMax} THEN 1 ELSE -1 END AS y
-              FROM documents),
-      ft AS MATERIALIZED (SELECT e.doc_id, CAST(lab.y AS BIGINT) AS y,
-               e.bucket, CAST(count(*) AS BIGINT) AS tf
-             FROM e JOIN lab USING (doc_id) GROUP BY 1, 2, 3),
+      lab AS (SELECT q02.doc_id, d.source,
+                CASE WHEN q02.keep = 1 THEN 1 ELSE -1 END AS y,
+                CASE WHEN ((q02.doc_id % 1000000007) * 2654435761)
+                  % 1000000007 % ${TextAnalysis.EvalFolds} = 0
+                  THEN 1 ELSE 0 END AS holdout
+              FROM ($t02Oracle) q02 JOIN documents d USING (doc_id)),
+      $clsLabeledFeatureCtes,
+      ftall AS MATERIALIZED (SELECT u.doc_id, lab.source,
+               CAST(lab.y AS BIGINT) AS y, lab.holdout,
+               u.bucket, u.tf
+             FROM (SELECT * FROM fx UNION ALL SELECT * FROM fb) u
+               JOIN lab USING (doc_id)),
+      ftr AS (SELECT doc_id, y, bucket, tf FROM ftall WHERE holdout = 0),
       w0 AS (SELECT i AS bucket, 0::BIGINT AS w
-             FROM generate_series(0, ${TextAnalysis.ClsBuckets - 1}) t(i)),
-      $rounds
-      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(w AS BIGINT) AS w
-      FROM w${TextAnalysis.PerceptronRounds} ORDER BY bucket"""
+             FROM generate_series(0, ${TextAnalysis.ClsBuckets}) t(i)),
+      ${perceptronRoundsOver("ftr")},
+      sc AS (SELECT ftall.doc_id, ftall.source, ftall.y, ftall.holdout,
+               CAST(sum(ftall.tf * w$n.w) AS BIGINT) AS m
+             FROM ftall JOIN w$n USING (bucket) GROUP BY 1, 2, 3, 4),
+      pr AS (SELECT source, holdout, y,
+               CASE WHEN m > 0 THEN 1 ELSE -1 END AS pred FROM sc)
+      SELECT source, CAST(holdout AS INTEGER) AS holdout,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_keep,
+        CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS tn
+      FROM pr GROUP BY 1, 2 ORDER BY 1, 2"""
   }
+
+  /** The x32/x33 assembly oracle body under a caller-supplied keep
+    * subquery (the Spark side's assembleUnder, mirrored): spans = the
+    * d19 CTE chain; n_bpe = the t34 tokenizer chain applied to the
+    * kept token stream; shard/offset = x30's key rule + x28's
+    * running-sum arithmetic within the shard. */
+  private def assemblyOracle(keepSql: String): String = s"""
+      WITH $d19SpanCtes,
+      $t34NsymCtes,
+      keep AS ($keepSql),
+      cov AS (SELECT doc_id, unnest(generate_series(span_start, span_end))
+                AS pos FROM sp),
+      tpx AS (SELECT doc_id, u.i AS pos, u.t AS tok
+              FROM (SELECT doc_id, unnest([{'i': i, 't': tk[i]}
+                  for i in generate_series(1, len(tk))]) AS u FROM tk
+                WHERE doc_id IN (SELECT doc_id FROM keep)) z),
+      keptx AS (SELECT t.doc_id, t.tok FROM tpx t
+                LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+                WHERE c.pos IS NULL),
+      kb AS (SELECT k.doc_id, CAST(sum(n.n_sym) AS BIGINT) AS n_bpe
+             FROM keptx k JOIN nsym n ON k.tok = n.w GROUP BY k.doc_id),
+      kbs AS (SELECT kb.doc_id, d.source, kb.n_bpe,
+                ${rh("concat(kb.doc_id::VARCHAR, ':1')", 1000000007L)} AS key
+              FROM kb JOIN documents d ON kb.doc_id = d.doc_id),
+      ttx AS (SELECT CAST(sum(n_bpe) AS BIGINT) AS total_toks FROM kbs),
+      aax AS (SELECT kbs.*, greatest(1,
+                (total_toks + ${Curation.ShardBudget - 1})
+                  // ${Curation.ShardBudget}) AS n_shards
+              FROM kbs, ttx),
+      ggx AS (SELECT aax.*, key % n_shards AS shard,
+                sum(n_bpe) OVER (PARTITION BY key % n_shards
+                  ORDER BY key, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS end_tok
+              FROM aax)
+      SELECT doc_id, source, n_bpe, CAST(shard AS BIGINT) AS shard,
+        CAST(end_tok - n_bpe AS BIGINT) AS start_tok,
+        CAST((end_tok - n_bpe) // ${Curation.BpePackBudget} AS BIGINT)
+          AS bin_first,
+        CAST((end_tok - 1) // ${Curation.BpePackBudget} AS BIGINT)
+          AS bin_last
+      FROM ggx ORDER BY doc_id"""
 
   /** s28's greedy selection unrolled to [[Similarity.MmrK]] rounds —
     * generated (not hand-copied) so the round count, shortlist width,
@@ -2086,6 +2223,7 @@ object Extensions {
     "t06_repetition" -> t06Oracle,
     "t35_classifier_score" -> t35Oracle,
     "t36_classifier_train" -> t36Oracle,
+    "t37_classifier_eval" -> t37Oracle,
     "t07_hash_split" -> s"""
       WITH f AS (SELECT doc_id, lower(text) AS t FROM documents),
       g AS (SELECT doc_id, ${rh("t", 1000000007L)} % 100 AS h_mod FROM f)
@@ -3400,42 +3538,12 @@ object Extensions {
     // spans = the d19 CTE chain; n_bpe = the t34 tokenizer chain
     // applied to the kept token stream; shard/offset = x30's key rule
     // + x28's running-sum arithmetic within the shard
-    "x32_final_assembly" -> s"""
-      WITH $d19SpanCtes,
-      $t34NsymCtes,
-      keep AS (SELECT doc_id FROM ($t35Oracle) tz WHERE keep_cls = 1),
-      cov AS (SELECT doc_id, unnest(generate_series(span_start, span_end))
-                AS pos FROM sp),
-      tpx AS (SELECT doc_id, u.i AS pos, u.t AS tok
-              FROM (SELECT doc_id, unnest([{'i': i, 't': tk[i]}
-                  for i in generate_series(1, len(tk))]) AS u FROM tk
-                WHERE doc_id IN (SELECT doc_id FROM keep)) z),
-      keptx AS (SELECT t.doc_id, t.tok FROM tpx t
-                LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
-                WHERE c.pos IS NULL),
-      kb AS (SELECT k.doc_id, CAST(sum(n.n_sym) AS BIGINT) AS n_bpe
-             FROM keptx k JOIN nsym n ON k.tok = n.w GROUP BY k.doc_id),
-      kbs AS (SELECT kb.doc_id, d.source, kb.n_bpe,
-                ${rh("concat(kb.doc_id::VARCHAR, ':1')", 1000000007L)} AS key
-              FROM kb JOIN documents d ON kb.doc_id = d.doc_id),
-      ttx AS (SELECT CAST(sum(n_bpe) AS BIGINT) AS total_toks FROM kbs),
-      aax AS (SELECT kbs.*, greatest(1,
-                (total_toks + ${Curation.ShardBudget - 1})
-                  // ${Curation.ShardBudget}) AS n_shards
-              FROM kbs, ttx),
-      ggx AS (SELECT aax.*, key % n_shards AS shard,
-                sum(n_bpe) OVER (PARTITION BY key % n_shards
-                  ORDER BY key, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS end_tok
-              FROM aax)
-      SELECT doc_id, source, n_bpe, CAST(shard AS BIGINT) AS shard,
-        CAST(end_tok - n_bpe AS BIGINT) AS start_tok,
-        CAST((end_tok - n_bpe) // ${Curation.BpePackBudget} AS BIGINT)
-          AS bin_first,
-        CAST((end_tok - 1) // ${Curation.BpePackBudget} AS BIGINT)
-          AS bin_last
-      FROM ggx ORDER BY doc_id""",
+    "x32_final_assembly" -> assemblyOracle(
+      s"SELECT doc_id FROM ($t35Oracle) tz WHERE keep_cls = 1"),
+    // x33: the same assembly chain under t36's TRAINED weights
+    // (margin > 0) instead of t35's placeholder table
+    "x33_assembly_trained" -> assemblyOracle(
+      s"SELECT doc_id FROM ($clsTrainedMarginSql) tz WHERE m > 0"),
     // the card embeds the x25/t33/t32/d17/t02/t19 oracle bodies
     // verbatim — six standalone gates composed on the source key
     "x26_pretrain_card" -> s"""

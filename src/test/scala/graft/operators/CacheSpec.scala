@@ -90,10 +90,14 @@ class CacheSpec extends AnyFunSuite {
       "x32_final_assembly",   // composition: span memo checkpoint +
                               // bpeNSym's |vocab| persist — nothing
                               // corpus-scale may stay resident
-      "t36_classifier_train") // persists the labeled feature stream
-                              // for its 8 round-scans (skinny longs),
-                              // unpersisted before return; the 4096-row
+      "t36_classifier_train", // persists the labeled feature stream
+                              // for its round-scans (skinny longs),
+                              // unpersisted before return; the 4097-row
                               // round checkpoints are allowed residue
+      "t37_classifier_eval",  // same stream persisted for split
+                              // training + the final scoring pass
+      "x33_assembly_trained") // x32's persists + the weight-memo
+                              // checkpoint (4097 rows, allowed residue)
     heavies.foreach { name =>
       spark.catalog.clearCache()
       val floor = storageBytes()

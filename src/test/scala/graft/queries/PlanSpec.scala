@@ -369,8 +369,11 @@ class PlanSpec extends AnyFunSuite {
       "t34_bpe_tokenize", // 1-row ≤32-struct merge-table crossJoin per round
       "x26_pretrain_card", // composes x25's + t33's 1-row totals scalars
       "s29_source_embedding_drift", // 1-row corpus-centroid-norm scalar
-      "x32_final_assembly" // t34's 1-row merge-table crossJoins + the
+      "x32_final_assembly", // t34's 1-row merge-table crossJoins + the
                            // 1-row total-mass scalar (x30's idiom)
+      "t36_classifier_train", // 1-row label-guard scalar crossJoin
+      "t37_classifier_eval", // the same 1-row label-guard scalar
+      "x33_assembly_trained" // x32's scalars under the trained filter
     )
     // Broadcast-HINT inventory (swept in the same loop so the census
     // walk is paid once): an unconditional broadcast() hint is only
@@ -421,9 +424,15 @@ class PlanSpec extends AnyFunSuite {
       "d14_hot_ngrams", "t24_vocab_coverage",
       "t34_bpe_tokenize", // 1-row collect_list of the ≤32-pair merge table
       "x28_bpe_packing", // composes t34's 1-row merge-table hint
-      "t36_classifier_train", // ≤ClsBuckets-row weight state per round
-                              // (bounded BY CONSTRUCTION — the s26
-                              // K-row-centroid broadcast class)
+      "t36_classifier_train", // ≤ClsBuckets+1-row weight state per
+                              // round + the ≤2·ClsHardK-row hard-
+                              // example selection + the 1-row label
+                              // guard (bounded BY CONSTRUCTION — the
+                              // s26 K-row-centroid broadcast class)
+      "t37_classifier_eval", // the same bounded sides as t36 (split
+                             // model) + the final scoring pass
+      "x33_assembly_trained", // the ClsBuckets+1-row trained-weight
+                              // artifact + x32's bounded sides
       "x32_final_assembly", // t34's merge-table hint + the 1-row
                             // total-mass scalar; the kept-stream nsym
                             // join and the span/keep joins carry NO

@@ -558,9 +558,26 @@ object Similarity {
         floor(col("sum_e6") / col("n_vectors")).cast("long").as("mean_e6"))
       .orderBy("bucket", "dim")
 
-  /** s26 geometry, shared with the unrolled oracle. */
+  /** s26 geometry, shared with the unrolled oracle. [[KmeansK]] is
+    * the FLOOR of the data-derived cluster count: K = clamp(
+    * ceil(n_vectors / [[SemDedupChunkTarget]]), KmeansK, KmeansKMax)
+    * — the SemDeDup paper grows K with the corpus (50k clusters over
+    * 5B embeddings ≈ 100k-wide clusters); aligning the width with the
+    * d21 chunk target means clusters sit AT the chunk size on
+    * average, so the chunk layer rarely splits one (semantic recall
+    * stays near 1 — measured by ScaleStress) and remains purely the
+    * skew backstop. At the graded gate and bench dirs the clamp floor
+    * applies (n ≤ 2048 → K = 8); at the ×10/×30 scale dirs K is
+    * genuinely data-derived (79 / 235). */
   val KmeansK = 8
   val KmeansRounds = 2
+
+  /** K ceiling: 16384 centroids × 64 dims × 8 B ≈ 8 MB — the largest
+    * state the per-round assignment broadcast should carry. Past it
+    * (corpora beyond ~4M vectors at the current width) a deployment
+    * re-widens clusters rather than outgrowing the broadcast class —
+    * the d21 chunk layer keeps the pair budget linear either way. */
+  val KmeansKMax = 16384L
 
   /** s26: full Lloyd k-means — [[KmeansRounds]] complete EM rounds
     * (assignment + M-step), where s04/[[ivfCentroids]] is the M-step
@@ -593,9 +610,18 @@ object Similarity {
         "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
         .as("x"))
       .persist() // both assignment rounds scan the e6 components
+    // data-derived K (see the KmeansK scaladoc): a 1-row scalar —
+    // x30's idiom — so K never touches the driver; first-K init
+    // (vec_id < K, ids dense 0-based by fixture convention) keeps the
+    // deterministic SQL-expressible rule
+    val kRow = x.agg(count(lit(1)).as("nv"))
+      .select(greatest(lit(KmeansK.toLong), least(lit(KmeansKMax),
+        expr(s"(nv + ${SemDedupChunkTarget - 1}L) div " +
+          s"${SemDedupChunkTarget}L"))).as("kk"))
     // loop state: (bucket, dim, n_vectors, mean_e6) — first-K init
     // with n_vectors = 0 (nothing assigned yet)
-    var stats = x.filter(col("vec_id") < KmeansK)
+    var stats = x.crossJoin(broadcast(kRow))
+      .filter(col("vec_id") < col("kk"))
       .select(col("vec_id").cast("int").as("bucket"),
         posexplode(col("x")).as(Seq("dim", "mean_e6")))
       .withColumn("n_vectors", lit(0L))
@@ -648,13 +674,14 @@ object Similarity {
     * computes (K-row broadcast, no extra shuffle class); output is K
     * rows. Empty clusters report n_vectors = 0. */
   def kmeansQuality(s: SparkSession, dir: String): DataFrame = {
-    val (_, assigned) = lloydState(s, dir)
+    val (stats, assigned) = lloydState(s, dir)
     val perBucket = assigned.groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"),
         sum(expr("d2 div 1000")).as("inertia_k"),
         min("d2").as("min_d2"), max("d2").as("max_d2"))
-    val roster = emb(s, dir).sparkSession.range(KmeansK)
-      .select(col("id").cast("int").as("bucket"))
+    // roster = the K init buckets the state carries (K is data-derived
+    // now, so range(K) is no longer statically known)
+    val roster = stats.select(col("bucket")).distinct()
     roster.join(perBucket, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
@@ -716,11 +743,12 @@ object Similarity {
     * Scale shape: the pair search is an equi-join on (bucket, chunk)
     * — never a corpus cross join, and never quadratic in a cluster:
     * each cluster is split into ceil(n_k / [[SemDedupChunkTarget]])
-    * hash-assigned chunks first (the paper's own chunking mitigation
-    * — they also GROW K with the corpus, 50k clusters over 5B
-    * embeddings; [[KmeansK]] stays the deployment knob, but the chunk
-    * layer is what makes the pair budget ~n·ChunkTarget/2 — LINEAR —
-    * at ANY K, where the unchunked stage measured ×100 pair growth on
+    * hash-assigned chunks first (the paper's own chunking mitigation;
+    * since round 12, K also GROWS with the corpus like the paper's —
+    * see the [[KmeansK]] scaladoc — so clusters average the chunk
+    * width and the chunk layer is purely the skew backstop; it is
+    * still what makes the pair budget ~n·ChunkTarget/2 — LINEAR — at
+    * ANY K, where the unchunked stage measured ×100 pair growth on
     * ×10 data at fixed K). An in-plan assert_true fails the query
     * rather than returning results from a chunk past
     * [[SemDedupMaxChunk]] (no driver action — the guard is a 1-row
@@ -760,6 +788,34 @@ object Similarity {
     withSemDedupChunk(semanticDedupAssignment(s, dir))
       .groupBy("bucket", "chunk")
       .agg(count(lit(1)).as("cn"))
+
+  /** d21 recall telemetry (ScaleStress-only, never gated — its pair
+    * space is the UNCHUNKED Σ n_k²/2 within-cluster search the gated
+    * operator exists to avoid): over all co-CLUSTER pairs clearing
+    * [[SemDedupTau]] (the truth the paper's full within-cluster
+    * search would report), how many the chunk layer keeps co-chunked.
+    * With K data-derived at the chunk width, clusters average one
+    * chunk and recall sits near 1; at a FIXED K the hash chunks
+    * approach random partitions of giant clusters and recall decays
+    * toward chance (ChunkTarget / cluster width) — the round-12
+    * reason K now grows. Returns one row (true_pairs, cochunk_pairs). */
+  private[graft] def semanticDedupRecall(
+      s: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = lloydState(s, dir)
+    val ec = withSemDedupChunk(withNorm(emb(s, dir))
+        .join(assigned.select(col("vec_id"), col("bucket")), "vec_id"))
+      .select(col("vec_id"), col("bucket"), col("chunk"),
+        col("embedding"), col("nrm"))
+    ec.as("a").join(ec.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select((expr(dotExpr("a.embedding", "b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cs"),
+        (col("a.chunk") === col("b.chunk")).cast("long").as("same"))
+      .filter(col("cs") >= SemDedupTau)
+      .agg(count(lit(1)).as("true_pairs"),
+        coalesce(sum(col("same")), lit(0L)).as("cochunk_pairs"))
+  }
 
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val (_, assigned) = lloydState(s, dir)

@@ -521,10 +521,15 @@ object Extensions {
   private lazy val kmeansCtes = s"""x AS (SELECT vec_id,
              [floor(e::DOUBLE * 1000000)::BIGINT for e in embedding] AS x
            FROM embeddings),
+      kz AS (SELECT greatest(${Similarity.KmeansK},
+               least(${Similarity.KmeansKMax},
+                 (count(*) + ${Similarity.SemDedupChunkTarget - 1})
+                   // ${Similarity.SemDedupChunkTarget})) AS kk
+             FROM embeddings),
       st0 AS (SELECT vec_id::INT AS bucket, i - 1 AS dim, x[i] AS mean_e6,
                 0::BIGINT AS n_vectors
               FROM x, generate_series(1, 64) t(i)
-              WHERE vec_id < ${Similarity.KmeansK}),
+              WHERE vec_id < (SELECT kk FROM kz)),
       ${(1 to Similarity.KmeansRounds).map { r =>
         s"""c$r AS (SELECT bucket, list(mean_e6 ORDER BY dim) AS c
               FROM st${r - 1} GROUP BY bucket),
@@ -3009,7 +3014,7 @@ object Extensions {
         CAST(coalesce(inertia_k, 0) AS BIGINT) AS inertia_k,
         CAST(coalesce(min_d2, 0) AS BIGINT) AS min_d2,
         CAST(coalesce(max_d2, 0) AS BIGINT) AS max_d2
-      FROM generate_series(0, ${Similarity.KmeansK - 1}) t(bucket)
+      FROM (SELECT DISTINCT bucket FROM st0) t
       LEFT JOIN pb ON pb.bucket = t.bucket
       ORDER BY bucket""",
     // SemDeDup: the s26 final assignment (a{KmeansRounds}) bucket-

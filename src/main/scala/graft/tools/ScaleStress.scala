@@ -178,6 +178,13 @@ object ScaleStress {
       graft.operators.Similarity.semanticDedupAssignment(spark, dir)
         .groupBy("bucket").agg(count(lit(1)).as("n")))
     val d21Rows = graft.operators.Similarity.semanticDedup(spark, dir).count()
+    // d21 semantic recall of the chunk layer: of all co-cluster pairs
+    // clearing tau (the unchunked truth), how many stay co-chunked —
+    // the round-12 reason K is data-derived (fixed K would decay this
+    // toward chance as clusters outgrow the chunk width)
+    val d21Rec = graft.operators.Similarity.semanticDedupRecall(spark, dir)
+      .head()
+    val (d21True, d21CoChunk) = (d21Rec.getLong(0), d21Rec.getLong(1))
 
     // t34: the Heaps-bounded vocabulary every expensive stage runs on
     val t34Vocab = docs
@@ -252,7 +259,8 @@ object ScaleStress {
         s""""matched_rows":$d19Matched,"spans":$d19Spans},""" +
         s""""x29":{"bench_grams":$x29BenchGrams,"train_rows":$x29TrainRows,""" +
         s""""hit_rows":$x29HitRows,"contaminated":$x29Docs},""" +
-        s""""d21":{"cand":$d21Cand,"unchunked":$d21Unchunked,"rows":$d21Rows},""" +
+        s""""d21":{"cand":$d21Cand,"unchunked":$d21Unchunked,"rows":$d21Rows,""" +
+        s""""true_pairs":$d21True,"cochunk_pairs":$d21CoChunk},""" +
         s""""x32":{"kept_toks":$x32KeptToks,"rows":$x32Rows,""" +
         s""""shards":$x32Shards},""" +
         s""""t36":{"ft_rows":$t36Ft,"nonzero_w":$t36W},""" +

@@ -426,11 +426,16 @@ class Round10Spec extends AnyFunSuite {
     // components, 2 Lloyd rounds (argmin d2, ties -> smallest bucket,
     // empty clusters carry), within-cluster double-fold cosine, the
     // tau bar, and the eviction aggregation
-    val k = Similarity.KmeansK
     val vecs = graft.engine.Tables.t(spark, dir, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
+    // round-12 data-derived K (the engines' clamp rule; the floor
+    // applies at this dir)
+    val k = math.max(Similarity.KmeansK.toLong,
+      math.min(Similarity.KmeansKMax,
+        (vecs.length + Similarity.SemDedupChunkTarget - 1) /
+          Similarity.SemDedupChunkTarget)).toInt
     val dims = vecs.head._2.length
     val x = vecs.map { case (id, v) =>
       id -> v.map(f => math.floor(f.toDouble * 1e6).toLong)

@@ -102,7 +102,12 @@ class Round9Spec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Long]("s") == n,
         s"dim ${r.get(0)}: assignments sum to ${r.get(1)}, corpus is $n"))
     // K buckets × 64 dims, no empty-cluster carry at the gate SF
-    assert(out.count() == Similarity.KmeansK * 64L)
+    // (K is data-derived since round 12; the clamp floor applies here)
+    val k = math.max(Similarity.KmeansK.toLong,
+      math.min(Similarity.KmeansKMax,
+        (n + Similarity.SemDedupChunkTarget - 1) /
+          Similarity.SemDedupChunkTarget))
+    assert(out.count() == k * 64L)
   }
 
   test("d17: the provenance matrix partitions d03's confirmed pairs") {

@@ -30,11 +30,18 @@ import sys
 import duckdb
 import numpy as np
 
-K = 8
+K_MIN = 8        # Similarity.KmeansK (the clamp floor)
+K_MAX = 16384    # Similarity.KmeansKMax
 ROUNDS = 2
 TAU = 0.4
-CHUNK_TARGET = 256  # Similarity.SemDedupChunkTarget
+CHUNK_TARGET = 256  # Similarity.SemDedupChunkTarget (also the K width)
 P = 1000000007
+
+
+def k_of(n):
+    """Data-derived K, round 12: ceil(n / width) clamped — must match
+    Similarity.lloydState's kRow and the oracle's kz CTE exactly."""
+    return max(K_MIN, min(K_MAX, (n + CHUNK_TARGET - 1) // CHUNK_TARGET))
 
 
 def read(con, path):
@@ -67,6 +74,7 @@ def main():
     # vec_ids are not dense 0-based); integer argmin d2 (ties ->
     # smallest bucket), floor(sum/n) means, empty clusters carry the
     # previous centroid
+    K = k_of(len(ids))
     init = np.where(ids < K)[0]
     blist = [int(v) for v in sorted(ids[init])]
     cents = {int(ids[i]): X[i].copy() for i in init}

@@ -1707,13 +1707,19 @@ object TextAnalysis {
     * stream (tf multiplicity carried by row multiplicity, so no
     * pre-aggregation shuffle is needed). */
   private[operators] def trainedKeep(s: SparkSession, dir: String): DataFrame =
+    trainedMargins(s, dir)
+      .filter(col("m") > 0L)
+      .select("doc_id")
+
+  /** Every document's margin under the trained weights — the frame
+    * [[trainedKeep]] thresholds; exposed so the streaming serving
+    * twin (StreamClassifier) can pin exact batch equivalence. */
+  private[graft] def trainedMargins(s: SparkSession, dir: String): DataFrame =
     clsFeatures(s, dir).select("doc_id", "bucket")
       .unionByName(docs(s, dir)
         .select(col("doc_id"), lit(ClsBiasBucket).as("bucket")))
       .join(broadcast(clsWeightsMemo(s, dir)), "bucket")
       .groupBy("doc_id").agg(sum(col("w")).as("m"))
-      .filter(col("m") > 0L)
-      .select("doc_id")
 
   /** t37 holdout rule: LCG(doc_id) mod this == 0 → held out (~20 % of
     * documents) — deterministic and engine-portable, the d21 chunk

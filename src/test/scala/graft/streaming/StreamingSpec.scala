@@ -610,6 +610,46 @@ class StreamingSpec extends AnyFunSuite {
         s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming classifier serving reproduces the batch trained margins") {
+    // the t36→serve loop's live form: train offline (t36), accept
+    // offline (t37), then score the ingest stream statelessly under
+    // the fixed 1-row weight-map artifact — appended verdicts must
+    // equal the batch trained margins EXACTLY, doc for doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val wm = StreamClassifier.weightMap(spark, dir).persist()
+    val rows = graft.engine.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamClassifier.scoreStream(
+        mem.toDF().toDF("doc_id", "source", "text"), wm)
+      .writeStream.format("memory").queryName("cls_out")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("cls_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("m"), r.getAs[Int]("keep_cls"))).toMap
+    q.stop()
+    val batch = graft.operators.TextAnalysis.trainedMargins(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("m")).toMap
+    assert(streamed.size == rows.length, "a document went unscored")
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (d, (m, k)) =>
+      assert(m == batch(d), s"doc $d: streamed margin $m vs batch ${batch(d)}")
+      assert(k == (if (m > 0) 1 else 0))
+    }
+    // non-vacuous: the served filter must both keep and reject here
+    assert(streamed.values.exists(_._2 == 1) &&
+      streamed.values.exists(_._2 == 0),
+      "one-class serving — the equivalence pin would check nothing")
+    wm.unpersist()
+  }
+
   test("streaming shard assignment reproduces the gated x30 manifest") {
     // x30's live form: S comes from the batch planning step, the
     // per-doc assignment is stateless, and the running balance is a

@@ -1693,8 +1693,10 @@ object TextAnalysis {
         g
     }
 
-  private[operators] def invalidateMemos(): Unit =
+  private[operators] def invalidateMemos(): Unit = {
     lastClsWeights = None
+    lastClsEval = None
+  }
 
   /** Keep set under the TRAINED model (x33's filter): documents whose
     * perceptron margin under [[clsWeightsMemo]]'s weights is > 0 —
@@ -1749,20 +1751,43 @@ object TextAnalysis {
     *
     * Scale shape: t36's — the labeled feature stream persists once
     * and serves both the training rounds (train fold) and the
-    * final scoring pass (all docs); every weight join is the
+    * final scoring pass (all docs), then unpersists (the ~40-row
+    * card is checkpoint-materialized); every weight join is the
     * ≤[[ClsBuckets]]+1-row broadcast class; the confusion rollup is a
-    * partial-agg'd groupBy on the ~20-row (source, holdout) key. The
-    * persisted stream is catalog-managed (kept-corpus skinny longs,
-    * inside the CacheSpec budget) and reclaimed by the inter-query
-    * clearCache hygiene. */
-  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+    * partial-agg'd groupBy on the ~20-row (source, holdout) key.
+    * Memoized per (session, dir) — [[clsEvalMemo]], EAGER ON
+    * CONSTRUCTION: the split model trains once per corpus, like the
+    * offline acceptance run it models. */
+  def classifierEval(s: SparkSession, dir: String): DataFrame =
+    clsEvalMemo(s, dir).orderBy("source", "holdout")
+
+  @volatile private var lastClsEval
+      : Option[(SparkSession, String, DataFrame)] = None
+
+  /** Build-once t37 acceptance report per (session, dir) — the
+    * clsWeightsMemo convention: the split model trains once and its
+    * ~40-row confusion card is read many times (exactly how an
+    * offline acceptance check is consumed). EAGER ON CONSTRUCTION:
+    * the first call runs the 16-round split training. */
+  private def clsEvalMemo(s: SparkSession, dir: String): DataFrame =
+    lastClsEval match {
+      // Memos.alive: auto-invalidate on lost checkpoint blocks
+      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
+          Memos.alive(g) => g
+      case _ =>
+        val g = buildClassifierEval(s, dir)
+        lastClsEval = Some((s, dir, g))
+        g
+    }
+
+  private def buildClassifierEval(s: SparkSession, dir: String): DataFrame = {
     val ft = labeledFeatures(s, dir)
       .withColumn("holdout",
         (expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L") % EvalFolds === 0L)
           .cast("int"))
       .persist() // training rounds + the final scoring pass share it
     val w = trainWeights(s, ft.filter(col("holdout") === 0))
-    ft.join(broadcast(w), "bucket")
+    val out = ft.join(broadcast(w), "bucket")
       .groupBy("doc_id", "source", "y", "holdout")
       .agg(sum(col("tf") * col("w")).as("m"))
       .withColumn("pred", when(col("m") > 0L, 1L).otherwise(-1L))
@@ -1777,6 +1802,8 @@ object TextAnalysis {
           .as("fn"),
         sum(when(col("y") === -1L && col("pred") === -1L, 1L).otherwise(0L))
           .as("tn"))
-      .orderBy("source", "holdout")
+      .localCheckpoint() // eager ~40-row card; the memo hands it out
+    ft.unpersist() // rounds + the scoring pass are materialized; drop
+    out
   }
 }

@@ -159,16 +159,13 @@ class Round12Spec extends AnyFunSuite {
     // plan is a checkpoint scan (the memo trains eagerly at
     // construction), so the pin goes on the training input the rounds
     // actually execute...
+    // (t37's gated plan is a checkpoint scan too since its eval memo
+    // — the guard executes inside both builders; the degenerate-
+    // corpus test below proves it actually fires)
     val p = TextAnalysis.labeledFeatures(spark, dir)
       .queryExecution.optimizedPlan.toString
     assert(p.contains("assert_true") || p.contains("raise_error"),
       s"the label guard is gone from the training input's plan:\n$p")
-    // ...and t37's gated plan carries it end-to-end (its scoring pass
-    // reads the guarded stream directly, not a checkpoint)
-    val p37 = graft.SparkEntry.queries("t37_classifier_eval")(spark, dir)
-      .queryExecution.optimizedPlan.toString
-    assert(p37.contains("assert_true") || p37.contains("raise_error"),
-      s"t37 lost the label guard:\n$p37")
   }
 
   test("t36: the label guard FIRES on a degenerate corpus") {

@@ -117,6 +117,34 @@ object Bench {
       .getOrElse(buildCollapsed())
   }
 
+  /** Plan fingerprint: md5 of the formatted physical plan with the
+    * volatile tokens stripped — stable across JVMs of the same code,
+    * changed by any real plan-shape change. Recorded per query in the
+    * detail file so a future bench can separate "same plan, slower
+    * host" from "plan regressed" without re-reading source.
+    * Volatile tokens (all proven run-varying): expr ids `#123`,
+    * exchange markers `[id=#n]`, `[plan_id=n]` (a GLOBAL JVM counter
+    * that AQE's racy stage re-planning advances nondeterministically —
+    * unnormalized it made every fingerprint unique per run and the
+    * drift check vacuously green, the round-12 finding), RDD ids in
+    * checkpoint scans, and the data path. */
+  def planFp(spark: SparkSession, name: String, sfDir: String): String =
+    try {
+      val p = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+        .replaceAll("#\\d+L?", "#")
+        .replaceAll("\\[id=#?\\d+\\]", "")
+        .replaceAll("\\[plan_id=\\d+\\]", "")
+        .replaceAll("RDD\\[\\d+\\]", "RDD")
+        .replaceAll("RDD at [A-Za-z.]+:\\d+", "RDD")
+        // JVM-assigned lambda identities in MapPartitions/object nodes
+        // (the multimodal codec boundary): Foo$$Lambda$1397/0x7f...
+        .replaceAll("\\$\\$Lambda[$/0-9a-fx@.]*", "\\$\\$Lambda")
+        .replaceAll(java.util.regex.Pattern.quote(sfDir), "<sf>")
+      java.security.MessageDigest.getInstance("MD5").digest(
+        p.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "err" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -264,22 +292,7 @@ object Bench {
       .filter { case (_, (mn, mx)) => mx > 1.5 * mn && mx - mn > 1.0 }
       .sortBy { case (_, (mn, mx)) => -(mx - mn) }
       .take(8)
-    // Plan fingerprint: md5 of the formatted physical plan with the
-    // volatile tokens (expr ids #123, plan id markers, [id=#n]) and
-    // the data path stripped — stable across runs of the same code,
-    // changed by any real plan-shape change. Recorded per query in the
-    // detail file so a future bench can separate "same plan, slower
-    // host" from "plan regressed" without re-reading source.
-    def planFp(name: String): String =
-      try {
-        val p = SparkEntry.queries(name)(spark, sfDir).queryExecution
-          .explainString(org.apache.spark.sql.execution.FormattedMode)
-          .replaceAll("#\\d+L?", "#")
-          .replaceAll("\\[id=#?\\d+\\]", "")
-          .replaceAll(java.util.regex.Pattern.quote(sfDir), "<sf>")
-        java.security.MessageDigest.getInstance("MD5").digest(
-          p.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      } catch { case _: Throwable => "err" }
+    def planFp(name: String): String = Bench.planFp(spark, name, sfDir)
 
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the JSON line out of that window (BENCH_r{1,2,4}.json all show

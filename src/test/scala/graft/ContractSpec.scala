@@ -143,4 +143,32 @@ class ContractSpec extends AnyFunSuite {
       s"README carries stale census counts: $stale (contract is $n)")
   }
 
+  test("committed bench baselines are repeat-carrying medians, " +
+      "never a selected single run") {
+    // VERDICT r11 finding 2: committing the faster of two repeats
+    // biases every round-over-round comparison downward. The
+    // committed baselines must be tools/bench_merge.py artifacts:
+    // headline per-query medians FIRST (so the drift check above and
+    // any flat reader see the median), with EVERY repeat embedded —
+    // selection is then structurally impossible. A freshly-committed
+    // single run fails here until merged.
+    for (name <- Seq("BENCH_SF01_BASE.json", "BENCH_SF1.json")) {
+      val f = new java.io.File(name)
+      if (f.exists) {
+        val s = scala.io.Source.fromFile(f, "UTF-8")
+        val t = try s.mkString finally s.close()
+        assert(t.contains("\"stat\": \"median_of_repeats\"") ||
+          t.contains("\"stat\":\"median_of_repeats\""),
+          s"$name is not a median-of-repeats artifact")
+        val n = raw""""n_repeats":\s*(\d+)""".r
+          .findFirstMatchIn(t).map(_.group(1).toInt).getOrElse(0)
+        assert(n >= 2, s"$name carries $n repeats — need every repeat")
+        val qIdx = t.indexOf("\"queries\"")
+        val rIdx = t.indexOf("\"repeats\"")
+        assert(qIdx >= 0 && rIdx > qIdx,
+          s"$name must put the median 'queries' block before 'repeats' " +
+            "so flat readers see the median")
+      }
+    }
+  }
 }

@@ -32,8 +32,28 @@ object Memos {
     * reads at most one partition — milliseconds against materialized
     * blocks — so it cannot catch a PARTIAL loss confined to a later
     * partition; a session that knows it lost executors still calls
-    * [[invalidate]] for certainty. */
-  private[operators] def alive(g: org.apache.spark.sql.DataFrame): Boolean =
-    try { g.limit(1).count(); true }
-    catch { case scala.util.control.NonFatal(_) => false }
+    * [[invalidate]] for certainty.
+    *
+    * RATE-LIMITED per frame (round-13 ADVICE fix): hot accessors —
+    * substringSpansMemo under d19/d20/x32/x33, lloydStateMemo under
+    * s27/d21 — are consulted during PLAN CONSTRUCTION (EXPLAIN
+    * sweeps, plan census), and an unconditional probe made every
+    * such access pay a Spark job. A frame probed alive within
+    * [[ProbeIntervalNs]] is trusted without a job; the cost is a
+    * ≤30 s stale window after an executor loss, in which the
+    * consumer's own action throws (and the NEXT access rebuilds) —
+    * the same terminal behavior, one failed action later. */
+  private val ProbeIntervalNs = 30L * 1000 * 1000 * 1000
+  private val lastProbeNs =
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+  private[operators] def alive(g: org.apache.spark.sql.DataFrame): Boolean = {
+    val key = Integer.valueOf(System.identityHashCode(g))
+    val now = System.nanoTime()
+    val last = lastProbeNs.get(key)
+    if (last != null && now - last < ProbeIntervalNs) true
+    else
+      try { g.limit(1).count(); lastProbeNs.put(key, now); true }
+      catch { case scala.util.control.NonFatal(_) =>
+        lastProbeNs.remove(key); false }
+  }
 }

@@ -275,7 +275,16 @@ object Pipeline {
     * not x04's per-source global prefix sum.
     * EAGER ON CONSTRUCTION: first call per (session, dir) runs the
     * span build via Dedup.substringSpansMemo (localCheckpoint) — see
-    * Dedup.substringSpans. */
+    * Dedup.substringSpans.
+    *
+    * CACHE LIFETIME (library callers): each call persists a
+    * kept-doc-scale skinny counts frame (doc_id, source, n_bpe) that
+    * the returned plan reads twice; Spark has no plan-completion
+    * unpersist hook, so the cache lives until
+    * `spark.catalog.clearCache()` or session end. A long-lived
+    * session calls clearCache between operator invocations (the
+    * Verify/Bench hygiene) — repeated calls WITHOUT it accumulate one
+    * such frame per call. Applies equally to [[finalAssemblyTrained]]. */
   def finalAssembly(s: SparkSession, dir: String): DataFrame =
     assembleUnder(s, dir,
       TextAnalysis.classifierScore(s, dir)

@@ -1417,10 +1417,18 @@ object TextAnalysis {
       .select(col("term"), col("df"),
         (col("rtf") * expr(Bm25IdfExpr)).as("w"))
       .orderBy(col("w").desc, col("term")).limit(RocchioExpTerms)
-    // round 2: same scorer over the expansion term set
-    val tf2 = base
-      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
-      .join(broadcast(expTerms.select("term")), "term")
+    // round 2: same scorer over the expansion term set — the E terms
+    // collapse to a 1-row sorted array (x30's scalar idiom) and each
+    // doc filters its tokens BEFORE the explode (i03's own
+    // filter-before-explode law; round 12 exploded the full corpus
+    // token stream and discarded ~all of it in the broadcast join)
+    val expArr = expTerms.agg(expr(
+      "array_sort(collect_list(term))").as("et"))
+    val tf2 = base.crossJoin(broadcast(expArr))
+      .select(col("doc_id"), col("dl"),
+        expr("filter(tk, t2 -> array_contains(et, t2))").as("etk"))
+      .filter(size(col("etk")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("etk")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val sc2 = bm25ContribOf(tf2, dfCand, stats).groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_exp"),

@@ -178,6 +178,15 @@ object ScaleStress {
       graft.operators.Similarity.semanticDedupAssignment(spark, dir)
         .groupBy("bucket").agg(count(lit(1)).as("n")))
     val d21Rows = graft.operators.Similarity.semanticDedup(spark, dir).count()
+    // Lloyd shared state (s26/s27/d21): the assignment stage must emit
+    // exactly ONE row per vector — the round-13 map-side argmin over
+    // the 1-row centroid array. Round 12 shuffled an n·K frame per
+    // round here (n²/256 under the data-derived K — the verdict's one
+    // 100-TB killer); assign_rows == n_vectors is the proof it's gone.
+    val lloydAsgRows = graft.operators.Similarity
+      .semanticDedupAssignment(spark, dir).count()
+    val lloydK = graft.operators.Similarity.kmeansQuality(spark, dir).count()
+    val nVectors = embT.count()
     // d21 semantic recall of the chunk layer: of all co-cluster pairs
     // clearing tau (the unchunked truth), how many stay co-chunked —
     // the round-12 reason K is data-derived (fixed K would decay this
@@ -261,6 +270,8 @@ object ScaleStress {
         s""""hit_rows":$x29HitRows,"contaminated":$x29Docs},""" +
         s""""d21":{"cand":$d21Cand,"unchunked":$d21Unchunked,"rows":$d21Rows,""" +
         s""""true_pairs":$d21True,"cochunk_pairs":$d21CoChunk},""" +
+        s""""lloyd":{"assign_rows":$lloydAsgRows,"n_vectors":$nVectors,""" +
+        s""""k":$lloydK},""" +
         s""""x32":{"kept_toks":$x32KeptToks,"rows":$x32Rows,""" +
         s""""shards":$x32Shards},""" +
         s""""t36":{"ft_rows":$t36Ft,"nonzero_w":$t36W},""" +

@@ -214,13 +214,24 @@ class Round12Spec extends AnyFunSuite {
     assert(x33.nonEmpty, "x33 emitted nothing — the trained filter " +
       "keeps no documents (a degenerate model reached serving)")
     assert(x33.keySet.subsetOf(keep), "x33 emitted a filtered-out doc")
-    val expected = keep.filter(d => { val (n, c) = d20(d); n - c > 0 })
+    // d20/t34 are corpus-total dumps, so every kept doc must appear in
+    // both; .get + a labelled assert so a coverage gap fails readably
+    // instead of as a bare NoSuchElementException (round-13 ADVICE fix)
+    val expected = keep.filter { d =>
+      val nc = d20.get(d)
+      assert(nc.nonEmpty, s"doc $d kept but absent from d20's " +
+        "substringRewrite output — stage coverage gap")
+      val (n, c) = nc.get; n - c > 0
+    }
     assert(x33.keySet == expected,
       s"docs in = kept + has-kept-tokens must balance: " +
         s"${expected.size} expected vs ${x33.size} emitted")
     x33.foreach { case (d, r) =>
       val nb = r.getAs[Long]("n_bpe")
-      assert(nb >= 1 && nb <= t34(d), s"doc $d: n_bpe $nb vs t34 ${t34(d)}")
+      val tb = t34.get(d)
+      assert(tb.nonEmpty, s"doc $d emitted by x33 but absent from " +
+        "t34's bpeTokenize output — stage coverage gap")
+      assert(nb >= 1 && nb <= tb.get, s"doc $d: n_bpe $nb vs t34 ${tb.get}")
     }
     // within each shard the intervals tile [0, mass) — x32's law
     // under the swapped filter

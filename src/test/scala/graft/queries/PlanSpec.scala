@@ -357,9 +357,12 @@ class PlanSpec extends AnyFunSuite {
       "i11_hard_negatives", // 1-row query vector + i03's stats scalar
       "t33_source_drift", // |sources| × broadcast top-V (≤200-row) grid
                           // + 1-row corpus-total scalar — both bounded
-      "s26_kmeans_lloyd", // broadcast K-row (8) centroid side per round
-      "s27_kmeans_quality", // same K-row broadcast (shared Lloyd loop)
-      "d21_semantic_dedup", // same K-row Lloyd centroid crossJoin + the
+      "s26_kmeans_lloyd", // 1-row centroid-ARRAY scalar per round (the
+                          // round-13 map-side argmin; the gated plan is
+                          // a checkpoint scan — shape pinned on
+                          // lloydStateLazy below)
+      "s27_kmeans_quality", // same 1-row centroid array (shared memo)
+      "d21_semantic_dedup", // same 1-row Lloyd centroid array + the
                             // 1-row chunk-cap guard scalar; the pair
                             // stage is an equi-join on (bucket, chunk),
                             // never a nested loop
@@ -411,7 +414,7 @@ class PlanSpec extends AnyFunSuite {
       "s01_ann_topk", "s28_mmr_rerank", "s06_pq_adc", "s07_ivf_pq", "s14_ann_recall",
       "s18_ivf_pq_recall", "s19_filtered_ann", "s21_matryoshka_recall",
       "s26_kmeans_lloyd", "s27_kmeans_quality", "z04_clustering_depth",
-      "d21_semantic_dedup", // s26's K-row Lloyd centroid hint + the
+      "d21_semantic_dedup", // s26's 1-row centroid-array hint + the
                             // 1-row chunk-cap guard scalar; the
                             // corpus-scale frames (assignment, pairs)
                             // carry NO hint — AQE decides
@@ -544,6 +547,27 @@ class PlanSpec extends AnyFunSuite {
     assert(cols.nonEmpty, s"expected hash exchanges in the d19 plan:\n$p")
     cols.foreach(c => assert(!c.contains("text"),
       s"d19 shuffles document text: [$c]"))
+  }
+
+  test("Lloyd assignment is a map-side argmin — no window, no n·K frame") {
+    // the round-12 verdict's one 100-TB killer: the assignment stage
+    // crossJoined the K-ROW centroid frame (n·K rows) and picked the
+    // argmin with row_number over partitionBy(vec_id) — an exchange +
+    // sort of n·K rows per Lloyd round (n²/256 under the data-derived
+    // K). The fix folds the argmin per vector over a 1-row bucket-
+    // sorted centroid ARRAY: one output row per vector, no Window,
+    // no vec_id exchange. The gated s26/s27/d21 entries ride the
+    // build-once memo (checkpoint scan), so the shape is pinned on
+    // the LAZY state — the d19/substringSpansLazy convention.
+    val (_, asg) = graft.operators.Similarity.lloydStateLazy(spark, dir)
+    val p = plan(asg)
+    assert(!raw"\(\d+\) Window".r.findFirstIn(p).isDefined,
+      s"Lloyd assignment regressed to a window argmin:\n$p")
+    // the only exchanges the loop may plan are the (bucket, dim)
+    // M-step partial aggregate and the centroid collapse — never a
+    // vec_id-keyed exchange (that IS the n·K shuffle)
+    hashExchangeCols(p).foreach(c => assert(!c.contains("vec_id"),
+      s"Lloyd loop shuffles on vec_id — the n·K frame is back: [$c]"))
   }
 
   test("t34 rewrites stay narrow: no shuffle carries symbol arrays") {

@@ -122,6 +122,11 @@ def main():
             f"FROM read_parquet('{dp}')")
     raw = con.sql(
         "SELECT doc_id, source, text FROM documents ORDER BY doc_id").df()
+    # Python % is always non-negative while Spark/DuckDB % keep the
+    # dividend's sign — the holdout fold below would silently diverge
+    # on a negative doc_id (the d21_check.py guard, mirrored here)
+    assert int(raw.doc_id.min()) >= 0, \
+        f"negative doc_id {raw.doc_id.min()}: fold arithmetic diverges"
     docs = []
     for did, src, text in zip(raw.doc_id, raw.source, raw.text):
         tk, tf = featurize(text)

@@ -117,6 +117,75 @@ object Bench {
       .getOrElse(buildCollapsed())
   }
 
+  /** Canonicalize a plan line whose element ORDER is
+    * allocation-dependent: RewriteDistinctAggregates groups the
+    * distinct aggregates of a multi-countDistinct query in a HashMap
+    * keyed by ExpressionSet, whose bucket order follows raw exprId
+    * VALUES — stable in a fresh JVM, but in a long bench session the
+    * global expression counter differs per run (noisy queries
+    * resample → more expressions allocated), flipping which group
+    * gets which `gid` and reordering the Expand projections, the
+    * grouping Keys, and the per-gid FILTER functions (measured: q14's
+    * fingerprint flipped in 1 of 3 same-code runs, breaking the
+    * bench_merge fp-agreement gate). Every affected line carries the
+    * `gid#` column, so: blank the gid literals, then sort the
+    * top-level comma elements inside every bracket/paren group of
+    * those lines — order inside a list is never the structural signal
+    * the fingerprint exists to catch. */
+  private[graft] def canonGidLine(line: String): String = {
+    val blanked = line
+      .replaceAll("gid# = \\d+", "gid# = _")
+      .replaceAll(", \\d+\\]", ", _]") // Expand projections' gid value
+    def matching(s: String, open: Int): Int = {
+      val (o, c) = (s.charAt(open),
+        if (s.charAt(open) == '[') ']' else ')')
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == o) depth += 1
+        else if (ch == c) { depth -= 1; if (depth == 0) return i }
+        else if (ch == '[' || ch == '(') depth += 1 // mixed nesting
+        else if (ch == ']' || ch == ')') depth -= 1
+        i += 1
+      }
+      -1
+    }
+    // rebuild, sorting each group's top-level comma elements
+    def canonElem(e: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < e.length) {
+        val ch = e.charAt(i)
+        if (ch == '[' || ch == '(') {
+          val close = matching(e, i)
+          if (close < 0) { sb.append(e.substring(i)); i = e.length }
+          else {
+            sb.append(ch).append(canonSeg(e.substring(i + 1, close)))
+              .append(if (ch == '[') ']' else ')')
+            i = close + 1
+          }
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.result()
+    }
+    def canonSeg(s: String): String = {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach { ch =>
+        if (ch == '[' || ch == '(') depth += 1
+        else if (ch == ']' || ch == ')') depth -= 1
+        if (ch == ',' && depth == 0) { parts += cur.result(); cur.clear() }
+        else cur.append(ch)
+      }
+      parts += cur.result()
+      val canoned = parts.map(p => canonElem(p.trim))
+      (if (canoned.size > 1) canoned.sorted else canoned).mkString(", ")
+    }
+    try canonElem(blanked) catch { case _: Throwable => blanked }
+  }
+
   /** Plan fingerprint: md5 of the formatted physical plan with the
     * volatile tokens stripped — stable across JVMs of the same code,
     * changed by any real plan-shape change. Recorded per query in the
@@ -127,7 +196,8 @@ object Bench {
     * that AQE's racy stage re-planning advances nondeterministically —
     * unnormalized it made every fingerprint unique per run and the
     * drift check vacuously green, the round-12 finding), RDD ids in
-    * checkpoint scans, and the data path. */
+    * checkpoint scans, the data path, and the element order of
+    * `gid#`-carrying distinct-aggregate lines ([[canonGidLine]]). */
   def planFp(spark: SparkSession, name: String, sfDir: String): String =
     try {
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution
@@ -141,6 +211,18 @@ object Bench {
         // (the multimodal codec boundary): Foo$$Lambda$1397/0x7f...
         .replaceAll("\\$\\$Lambda[$/0-9a-fx@.]*", "\\$\\$Lambda")
         .replaceAll(java.util.regex.Pattern.quote(sfDir), "<sf>")
+        .linesIterator
+        .map(l => if (l.contains("gid#")) canonGidLine(l) else l)
+        .mkString("\n")
+      // SPARK_GRAFT_FP_DUMP=<dir>: write the NORMALIZED plan text per
+      // query, so a cross-run fingerprint flip can be diffed to its
+      // varying token instead of reverse-engineered from two hashes
+      // (dev-only; the driver never sets it)
+      sys.env.get("SPARK_GRAFT_FP_DUMP").foreach { d =>
+        new java.io.File(d).mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$d/$name.txt"), p.getBytes("UTF-8"))
+      }
       java.security.MessageDigest.getInstance("MD5").digest(
         p.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     } catch { case _: Throwable => "err" }

@@ -336,10 +336,79 @@ object IvfAssign {
   }
 }
 
+/** `lloyd_argmin(array<bigint>, array<struct<bucket:int,c:array<bigint>>>)`
+  * → struct<bucket:int, d2:bigint>: the k-means assignment step over
+  * TRAINED centroids (the data-derived half [[IvfAssign]]'s fixed
+  * quantizer deliberately lacks). Squared L2 in exact BIGINT over the
+  * e6-floored components; strict `<` keeps the FIRST minimum, so with
+  * a bucket-ascending centroid array ties break to the smallest
+  * bucket — the oracle's (d2, bucket) rule.
+  *
+  * Exists for the constant factor, not the plan shape: the same
+  * argmin as a `aggregate(transform(cents, … zip_with …))` fold is
+  * interpreted per element and allocates a boxed 64-long array per
+  * (vector, centroid) pair — measured 8.2 s for s26 at the ×10 dir
+  * (50k vectors × K=79 ≈ 4M allocations per Lloyd round) where this
+  * primitive loop reads both ArrayDatas in place and allocates only
+  * the 2-field result row. */
+case class LloydArgmin(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LloydArgmin.outType
+
+  override def nullSafeEval(x: Any, cents: Any): Any =
+    LloydArgmin.argmin(x.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, c) =>
+      s"${ev.value} = graft.functions.LloydArgmin.argmin($x, $c);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LloydArgmin = copy(l, r)
+}
+
+object LloydArgmin {
+  val outType: StructType = StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("d2", LongType, nullable = false)))
+
+  def argmin(x: ArrayData, cents: ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    val k = cents.numElements()
+    // degenerate/corrupt state must fail loudly (the Pq.checkDims
+    // rule): an empty centroid array or a dim mismatch would
+    // otherwise hand every vector a wrong-but-plausible bucket
+    if (k == 0)
+      throw new IllegalArgumentException("lloyd_argmin: empty centroid array")
+    var bestBucket = 0
+    var bestD2 = Long.MaxValue
+    var i = 0
+    while (i < k) {
+      val row = cents.getStruct(i, 2)
+      val c = row.getArray(1)
+      if (c.numElements() != n)
+        throw new IllegalArgumentException(
+          s"lloyd_argmin: centroid dims ${c.numElements()} != vector dims $n")
+      var d2 = 0L
+      var d = 0
+      while (d < n) {
+        val diff = x.getLong(d) - c.getLong(d)
+        d2 += diff * diff
+        d += 1
+      }
+      if (d2 < bestD2) { bestD2 = d2; bestBucket = row.getInt(0) }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestBucket, bestD2)
+  }
+}
+
 object TextHashExprs {
   /** Register SQL-callable forms (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("lloyd_argmin",
+      es => LloydArgmin(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("ivf_assign",
       es => IvfAssign(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash_arr",

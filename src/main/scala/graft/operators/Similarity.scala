@@ -599,15 +599,18 @@ object Similarity {
     * partial-agg'd shuffle of (bucket, dim) keys. The K centroids ride
     * a SINGLE broadcast row as a bucket-sorted array-of-arrays (the
     * x30/StreamLeak scalar idiom — ≤ [[KmeansKMax]]·dims longs ≈ 8 MB)
-    * and each vector folds its argmin over that array in place:
-    * `aggregate(transform(cents, …d2…), …)` emits exactly ONE
-    * (bucket, d2) per vector — no n·K row explosion, no window, no
-    * exchange. (Round 12 shipped a crossJoin + `row_number` argmin
-    * that shuffled n·K rows per round — n²/256 under the data-derived
-    * K — the one 100-TB killer the round-12 verdict named; this is
-    * the fix, and the MLlib KMeans broadcast-centroids shape minus
-    * its driver-side collect per round.) Centroid state lives in the
-    * plan (K·dims rows), never on the driver. */
+    * and each vector takes its argmin over that array in place via
+    * the codegen'd [[graft.functions.LloydArgmin]] expression —
+    * exactly ONE (bucket, d2) per vector, no n·K row explosion, no
+    * window, no exchange, and no per-pair boxing (the interpreted
+    * `aggregate(transform(…zip_with…))` fold this replaced allocated
+    * a boxed 64-long array per (vector, centroid) pair — 1.6× slower
+    * at the ×10 dir). (Round 12 shipped a crossJoin + `row_number`
+    * argmin that shuffled n·K rows per round — n²/256 under the
+    * data-derived K — the one 100-TB killer the round-12 verdict
+    * named; this is the fix, and the MLlib KMeans broadcast-centroids
+    * shape minus its driver-side collect per round.) Centroid state
+    * lives in the plan (K·dims rows), never on the driver. */
   /** The Lloyd loop state shared by s26 (centroid output) and s27
     * (assignment-quality output): returns the final per-(bucket, dim)
     * stats, the final-round assignment (vec_id, bucket, d2), and the
@@ -642,18 +645,12 @@ object Similarity {
           "transform(array_sort(collect_list(struct(dim, mean_e6))), p -> p.mean_e6)")
           .as("c"))
         .agg(expr("array_sort(collect_list(struct(bucket, c)))").as("cents"))
-      // map-side argmin: fold over the bucket-ascending centroid array
-      // with a strict `<` — ties keep the FIRST (= smallest bucket),
-      // the same (d2, bucket) rule the oracle's row_number applies
+      // map-side argmin over the bucket-ascending centroid array with
+      // a strict `<` — ties keep the FIRST (= smallest bucket), the
+      // same (d2, bucket) rule the oracle's row_number applies; the
+      // codegen'd expression keeps the whole pass allocation-free
       val assigned = x.crossJoin(broadcast(centArr))
-        .withColumn("best", expr(
-          "aggregate(" +
-            "transform(cents, ct -> named_struct(" +
-              "'bucket', ct.bucket, " +
-              "'d2', aggregate(zip_with(x, ct.c, (a, b) -> (a - b) * (a - b)), " +
-                "0L, (s2, v) -> s2 + v))), " +
-            "named_struct('bucket', -1, 'd2', 9223372036854775807L), " +
-            "(best, p) -> IF(p.d2 < best.d2, p, best))"))
+        .withColumn("best", expr("lloyd_argmin(x, cents)"))
         .select(col("vec_id"), col("x"),
           col("best.bucket").as("bucket"), col("best.d2").as("d2"))
       lastAssigned = assigned

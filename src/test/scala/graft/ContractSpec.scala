@@ -22,6 +22,42 @@ class ContractSpec extends AnyFunSuite {
       "duplicate id prefix would force the bench line back to full names")
   }
 
+  test("gid-carrying plan lines canonicalize order-free (fp stability)") {
+    // The two real orderings RewriteDistinctAggregates emitted for
+    // q14 across same-code bench runs (the gid flip: which distinct
+    // group gets gid 1 vs 2 follows the JVM's expression-allocation
+    // history). Both must canonicalize identically, else bench_merge
+    // refuses same-code repeats.
+    val expandA = "Arguments: [[l_returnflag#, null, null, 0], " +
+      "[l_returnflag#, l_suppkey#, null, 1], " +
+      "[l_returnflag#, null, l_partkey#, 2]], " +
+      "[l_returnflag#, lineitem.l_suppkey#, lineitem.l_partkey#, gid#]"
+    val expandB = "Arguments: [[l_returnflag#, null, null, 0], " +
+      "[l_returnflag#, null, l_partkey#, 1], " +
+      "[l_returnflag#, l_suppkey#, null, 2]], " +
+      "[l_returnflag#, lineitem.l_partkey#, lineitem.l_suppkey#, gid#]"
+    assert(Bench.canonGidLine(expandA) == Bench.canonGidLine(expandB))
+    val fnA = "Functions [3]: [partial_count(lineitem.l_partkey#) " +
+      "FILTER (WHERE (gid# = 2)), partial_count(lineitem.l_suppkey#) " +
+      "FILTER (WHERE (gid# = 1)), partial_first(count(1)#, true) " +
+      "FILTER (WHERE (gid# = 0))]"
+    val fnB = "Functions [3]: [partial_count(lineitem.l_suppkey#) " +
+      "FILTER (WHERE (gid# = 2)), partial_count(lineitem.l_partkey#) " +
+      "FILTER (WHERE (gid# = 1)), partial_first(count(1)#, true) " +
+      "FILTER (WHERE (gid# = 0))]"
+    assert(Bench.canonGidLine(fnA) == Bench.canonGidLine(fnB))
+    val hpA = "Arguments: hashpartitioning(l_returnflag#, " +
+      "lineitem.l_suppkey#, lineitem.l_partkey#, gid#, 32), " +
+      "ENSURE_REQUIREMENTS, "
+    val hpB = "Arguments: hashpartitioning(l_returnflag#, " +
+      "lineitem.l_partkey#, lineitem.l_suppkey#, gid#, 32), " +
+      "ENSURE_REQUIREMENTS, "
+    assert(Bench.canonGidLine(hpA) == Bench.canonGidLine(hpB))
+    // a REAL structural difference must still separate
+    assert(Bench.canonGidLine(fnA) !=
+      Bench.canonGidLine(fnA.replace("partial_first", "partial_max")))
+  }
+
   test("bench line never outgrows the driver tail window (self-truncating)") {
     // Bench.compactLine measures the REAL string and folds the
     // cheapest queries into other_n/other_sec until it fits — so the

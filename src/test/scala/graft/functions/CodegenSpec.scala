@@ -35,7 +35,11 @@ class CodegenSpec extends AnyFunSuite {
              simhash32(rolling_hash_arr(split(t, ' '), 4294967296L)) AS sh,
              lsh_sig16(v) AS ls,
              ivf_assign(v, 2) AS iv,
-             float_dot(v, v) AS fd
+             float_dot(v, v) AS fd,
+             lloyd_argmin(array(1L, 3L), array(
+               named_struct('bucket', 0, 'c', array(1L, 1L)),
+               named_struct('bucket', 1, 'c', array(1L, 3L)),
+               named_struct('bucket', 2, 'c', array(1L, 3L)))) AS la
       FROM cg_probe""").collect()
   }
 
@@ -51,6 +55,9 @@ class CodegenSpec extends AnyFunSuite {
       case x => x
     }).toSeq)
     assert(gen.head.getAs[Long]("h") > 0)
+    // lloyd_argmin: buckets 1 and 2 are both exact (d2 = 0); the
+    // strict-< fold must keep the FIRST — the (d2, bucket) oracle rule
+    assert(gen.head.getAs[Row]("la") == Row(1, 0L))
   }
 
   private def edgeCases(mode: String): Array[Row] = {

@@ -518,7 +518,12 @@ object TextAnalysis {
     * matches-bound frames; the side-by-side join is k rows against k
     * rows. Corpus-scale work is i03's token fan-out, paid once and
     * shared by both branches through one persisted postings frame. */
-  def indexPruning(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** i14's scored postings frame (term, doc_id, df, contrib_e6) —
+    * extracted so ScaleStress can measure the per-term pruning
+    * window's skew (max df = the largest single-term sort) on exactly
+    * the frame the operator windows over. */
+  private[graft] def indexPruningPostings(
+      s: SparkSession, dir: String): DataFrame = {
     val termsIn = Similarity.HybridQueryTerms
       .map(t => s"'$t'").mkString("(", ", ", ")")
     val base = docs(s, dir)
@@ -531,7 +536,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val postings = tf.join(broadcast(dfreq), "term")
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col("term"), col("doc_id"), col("df"),
         expr(Bm25TfPartExpr).as("tfpart_e6"),
@@ -539,6 +544,10 @@ object TextAnalysis {
       .select(col("term"), col("doc_id"), col("df"),
         expr("""cast((cast(tfpart_e6 as decimal(38,0)) * idf_e6)
              div 1000000 as long)""").as("contrib_e6"))
+  }
+
+  def indexPruning(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val postings = indexPruningPostings(s, dir)
       .persist() // the full and pruned rankings share one postings pass
     val pruned = postings.withColumn("rn", row_number().over(
         Window.partitionBy("term")
@@ -845,30 +854,101 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t29's rank-bucket fan-out: each frequency OCTAVE `⌊log₂ freq⌋`
+    * splits into this many equal sub-ranges, and (octave, sub) is the
+    * deterministic sort bucket the global rank is assembled from.
+    * Bucket census ≤ 64 octaves × this — the bound that lets the
+    * bucket-offset table broadcast regardless of corpus size. */
+  val ZipfRankSubBuckets = 64
+
+  /** t29's distinct-FREQUENCY census with its deterministic rank
+    * bucket: one row per distinct frequency value, `cnt` = how many
+    * terms share it, `pid` = the (octave × sub-range) bucket. The
+    * census is ≤ √(2·corpus_tokens) rows (k distinct frequencies
+    * force Σ ≥ 1+2+…+k tokens) vs Heaps-scale vocabulary, and `pid`
+    * is a PURE monotone function of freq — no sampling, no
+    * spark_partition_id — so re-evaluating the frame in two plan
+    * branches can never disagree on bucket membership. Per-bucket
+    * row bound: min(⌈2^o/S⌉, corpus/2^o) ≤ √(corpus_tokens/S) —
+    * ~560k rows at 2·10¹³ tokens with S = 64. Exposed for
+    * ScaleStress's max-sort-bucket telemetry. */
+  private[graft] def zipfFreqGroups(
+      s: SparkSession, dir: String): DataFrame = {
+    val sb = ZipfRankSubBuckets
+    docs(s, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("cnt"))
+      .withColumn("oct_f", (length(bin(col("freq"))) - 1).cast("int"))
+      // sub-range inside the octave, exact integer (decimal keeps the
+      // ×S product overflow-proof for any 64-bit freq)
+      .withColumn("pid", (col("oct_f") * sb +
+        expr(s"""cast((cast(freq - shiftleft(1L, oct_f) as decimal(38,0))
+               * $sb) div shiftleft(1L, oct_f) as int)""")).cast("int"))
+  }
+
   /** t29: Zipf rank-frequency octave profile — the corpus-level
     * diagnostic a data-quality pass runs to see whether token
     * frequencies follow the expected power law (a bot-generated or
     * template corpus shows a flattened head / truncated tail). Terms
-    * are ranked by frequency desc and grouped into rank octaves
-    * `⌊log₂ rank⌋` — computed as `length(bin(rank)) − 1`, an exact
-    * integer in both engines (no transcendental log anywhere) — and
-    * each octave reports its term count, frequency mass, and
-    * min/max frequency. Under Zipf, sum_freq per octave is roughly
-    * constant; the octave table makes deviation visible as integers.
-    * Scale: the groupBy collapses the corpus to its Heaps-bounded
-    * vocabulary BEFORE the rank — the single-partition row_number
-    * window only ever sees (term, freq) pairs, ~√corpus, and the
-    * output is ~⌈log₂ vocab⌉ rows. */
+    * are ranked by frequency desc (ties by term) and grouped into
+    * rank octaves `⌊log₂ rank⌋` — computed as `length(bin(rank)) − 1`,
+    * an exact integer in both engines (no transcendental log
+    * anywhere) — and each octave reports its term count, frequency
+    * mass, and min/max frequency. Under Zipf, sum_freq per octave is
+    * roughly constant; the octave table makes deviation visible as
+    * integers.
+    *
+    * Scale: NO term is ever individually ranked. The corpus first
+    * collapses to the distinct-frequency census ([[zipfFreqGroups]]),
+    * and each frequency group's terms occupy the CONTIGUOUS rank
+    * interval [base+1, base+cnt] where base = Σ cnt over higher
+    * frequencies — which terms take which rank inside the interval
+    * is the term-name tiebreak, and every octave aggregate is
+    * tiebreak-INVARIANT (all terms in a group share freq, so an
+    * octave's share of the group is a pure interval intersection:
+    * how many, never which). base comes from a two-level exclusive
+    * prefix sum: a freq-desc running total inside each deterministic
+    * rank bucket (PARTITIONED window, ≤ √(corpus/S) rows per bucket)
+    * plus per-bucket offsets from a broadcast self-join over the
+    * ≤ 64·S-row bucket table — bounded by construction, corpus-
+    * independent. The round-13 version ranked the full vocabulary
+    * through ONE unpartitioned row_number window — the classic
+    * single-reducer killer at web-corpus vocabulary (10⁸–10⁹ terms
+    * under Heaps' law); this plan's largest single task is one rank
+    * bucket, and PlanSpec pins that no unpartitioned Window survives
+    * anywhere in the plan. Oracle unchanged: identical octave table,
+    * proven by the interval-intersection identity above. */
   def zipfOctaves(s: SparkSession, dir: String): DataFrame = {
-    val tf = docs(s, dir)
-      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy("term").agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("term"))
-    tf.withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("octave", (length(bin(col("rank"))) - 1).cast("int"))
+    val fg = zipfFreqGroups(s, dir)
+      .persist() // feeds the in-bucket scan AND the bucket totals
+    // exclusive running term-count above each freq, inside its bucket
+    val wIn = Window.partitionBy("pid").orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inPart = fg.withColumn("pre_in",
+      coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+    // per-bucket totals (≤ 64·S rows by construction) → exclusive
+    // offsets via a broadcast self-join: pid is monotone in freq, so
+    // ranks above a bucket = Σ totals of strictly higher pids
+    val perPid = fg.groupBy("pid").agg(sum(col("cnt")).as("psum"))
+    val prior = perPid.select(col("pid").as("pid_b"), col("psum").as("psum_b"))
+    val offsets = perPid.join(broadcast(prior), col("pid_b") > col("pid"), "left")
+      .groupBy("pid").agg(coalesce(sum(col("psum_b")), lit(0L)).as("off"))
+    inPart.join(broadcast(offsets), "pid")
+      .withColumn("lo", col("off") + col("pre_in") + lit(1L))
+      .withColumn("hi", col("off") + col("pre_in") + col("cnt"))
+      // a group spans ≤ log₂(cnt)+1 octaves; its share of each is an
+      // exact interval intersection with [2^o, 2^(o+1)−1]
+      .withColumn("octave", explode(sequence(
+        (length(bin(col("lo"))) - 1).cast("int"),
+        (length(bin(col("hi"))) - 1).cast("int"))))
+      .withColumn("n_in",
+        least(col("hi"), expr("shiftleft(1L, octave + 1) - 1L")) -
+          greatest(col("lo"), expr("shiftleft(1L, octave)")) + lit(1L))
       .groupBy("octave")
-      .agg(count(lit(1)).as("n_terms"), sum(col("freq")).as("sum_freq"),
+      .agg(sum(col("n_in")).as("n_terms"),
+        sum(col("n_in") * col("freq")).as("sum_freq"),
         max(col("freq")).as("max_freq"), min(col("freq")).as("min_freq"))
       .orderBy("octave")
   }

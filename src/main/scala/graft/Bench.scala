@@ -135,7 +135,11 @@ object Bench {
   private[graft] def canonGidLine(line: String): String = {
     val blanked = line
       .replaceAll("gid# = \\d+", "gid# = _")
-      .replaceAll(", \\d+\\]", ", _]") // Expand projections' gid value
+      // Expand projections' trailing gid value — scoped to the
+      // list-of-lists structure (`, N], [` / `, N]]`), so a genuine
+      // trailing integer constant elsewhere on a gid-carrying line
+      // still flips the fingerprint (round-13 ADVICE)
+      .replaceAll(", \\d+\\](?=(, \\[|\\]))", ", _]")
     def matching(s: String, open: Int): Int = {
       val (o, c) = (s.charAt(open),
         if (s.charAt(open) == '[') ']' else ')')
@@ -183,7 +187,17 @@ object Bench {
       val canoned = parts.map(p => canonElem(p.trim))
       (if (canoned.size > 1) canoned.sorted else canoned).mkString(", ")
     }
-    try canonElem(blanked) catch { case _: Throwable => blanked }
+    // sorting trusts bracket pairing; a quote (bracket chars may hide
+    // inside string literals, e.g. a regexp pattern in a FILTER) or an
+    // unbalanced count means the pairing walk could canonicalize two
+    // DIFFERENT plans to the same text — return the blanked line
+    // unsorted instead (round-13 ADVICE; the Throwable fallback only
+    // covered exceptions, not wrong matches)
+    val unsortable = blanked.exists(c => c == '"' || c == '\'') ||
+      blanked.count(_ == '[') != blanked.count(_ == ']') ||
+      blanked.count(_ == '(') != blanked.count(_ == ')')
+    if (unsortable) blanked
+    else try canonElem(blanked) catch { case _: Throwable => blanked }
   }
 
   /** Plan fingerprint: md5 of the formatted physical plan with the
@@ -212,7 +226,24 @@ object Bench {
         .replaceAll("\\$\\$Lambda[$/0-9a-fx@.]*", "\\$\\$Lambda")
         .replaceAll(java.util.regex.Pattern.quote(sfDir), "<sf>")
         .linesIterator
-        .map(l => if (l.contains("gid#")) canonGidLine(l) else l)
+        .map {
+          // canonicalize only in distinct-aggregate context — the
+          // nodes RewriteDistinctAggregates actually reorders (Expand
+          // projections, HashAggregate keys/functions, the gid-keyed
+          // Exchange) plus explicit `gid# = N` filters — so a future
+          // USER column named gid can't get unrelated lines order-
+          // normalized (round-13 ADVICE). Node context = the last
+          // formatted-detail header seen.
+          var node = ""
+          val hdr = raw"^\((\d+)\) (\w+)".r
+          val gidNodes = Set("Expand", "HashAggregate", "Exchange")
+          l: String => {
+            hdr.findFirstMatchIn(l).foreach(m => node = m.group(2))
+            if (l.contains("gid#") &&
+                (l.contains("gid# = ") || gidNodes(node))) canonGidLine(l)
+            else l
+          }
+        }
         .mkString("\n")
       // SPARK_GRAFT_FP_DUMP=<dir>: write the NORMALIZED plan text per
       // query, so a cross-run fingerprint flip can be diffed to its

@@ -72,6 +72,33 @@ class CodegenSpec extends AnyFunSuite {
     """).collect()
   }
 
+  test("lloyd_argmin fails loudly on corrupt centroid state") {
+    // DELIBERATE divergence from the corrupt-inputs-yield-NULL rule
+    // below, pinned here so it stays a contract and not an accident
+    // (round-13 ADVICE): a NULL assignment would silently DROP
+    // vectors from the Lloyd loop — every consumer (s26 M-step, s27
+    // quality, d21 chunking) would see a smaller corpus, not a broken
+    // one. The Pq.checkDims convention instead: empty or dim-
+    // mismatched centroid state kills the task with a named error, in
+    // BOTH codegen modes.
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      TextHashExprs.register(s)
+      def failure(sql: String): String = {
+        val e = intercept[Throwable](s.sql(sql).collect())
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      }
+      assert(failure("""SELECT lloyd_argmin(array(1L, 2L),
+          cast(array() as array<struct<bucket:int,c:array<bigint>>>))""")
+        .contains("empty centroid"), s"$mode: empty state must throw")
+      assert(failure("""SELECT lloyd_argmin(array(1L, 2L),
+          array(named_struct('bucket', 0, 'c', array(1L))))""")
+        .contains("centroid dims"), s"$mode: dim mismatch must throw")
+    }
+  }
+
   test("corrupt inputs yield NULL, never silent sentinels") {
     for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
       val r = edgeCases(mode).head

@@ -91,6 +91,33 @@ class LineageFuzzSpec extends AnyFunSuite {
     s"SELECT x, count(1) FROM ${nameOf(a)} WHERE k > 0 GROUP BY x",
     Set(a), Set.empty, 0, bad = false, use = None)
 
+  // round-14 widening (VERDICT r13 item 4): shapes SqlSurfaceSpec
+  // executes but the fuzzer never composed — HAVING, window clauses,
+  // nested CTE references — under the same degradation-contract laws.
+  private val havingInsert: Gen[Frag] = for {
+    o <- outGen; a <- srcGen; n <- Gen.chooseNum(1, 9)
+  } yield Frag(
+    s"INSERT INTO ${nameOf(o)} SELECT x, count(1) FROM ${nameOf(a)} " +
+      s"WHERE k > 0 GROUP BY x HAVING count(1) > $n",
+    Set(a), Set(o), 2, bad = false, use = None)
+
+  private val windowInsert: Gen[Frag] = for {
+    o <- outGen; a <- srcGen
+    f <- Gen.oneOf("row_number()", "rank()", "sum(y)")
+  } yield Frag(
+    s"INSERT INTO ${nameOf(o)} SELECT x, " +
+      s"$f OVER (PARTITION BY k ORDER BY y DESC) FROM ${nameOf(a)}",
+    Set(a), Set(o), 2, bad = false, use = None)
+
+  private val nestedCte: Gen[Frag] = for {
+    o <- outGen; a <- srcGen; b <- srcGen
+  } yield Frag(
+    s"WITH c1 AS (SELECT k, x FROM ${nameOf(a)} WHERE x > 0), " +
+      s"c2 AS (SELECT c1.k, c1.x FROM c1 JOIN ${nameOf(b)} b " +
+      s"ON c1.k = b.k) " +
+      s"INSERT INTO ${nameOf(o)} SELECT c2.x FROM c2 WHERE c2.k > 1",
+    Set(a, b), Set(o), 1, bad = false, use = None)
+
   private val useDb: Gen[Frag] = Gen.oneOf(dbs).map(d =>
     Frag(s"USE $d", Set.empty, Set.empty, 0, bad = false, use = Some(d)))
 
@@ -100,7 +127,8 @@ class LineageFuzzSpec extends AnyFunSuite {
 
   private val fragGen: Gen[Frag] = Gen.frequency(
     3 -> insertJoin, 2 -> thetaJoin, 2 -> unionAll, 2 -> cteInsert,
-    2 -> multiInsert, 2 -> bareSelect, 1 -> useDb, 2 -> broken)
+    2 -> multiInsert, 2 -> bareSelect, 1 -> useDb, 2 -> broken,
+    2 -> havingInsert, 2 -> windowInsert, 2 -> nestedCte)
 
   private val scriptGen: Gen[List[Frag]] =
     Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, fragGen))

@@ -546,9 +546,32 @@ object TextAnalysis {
              div 1000000 as long)""").as("contrib_e6"))
   }
 
+  /** i14's hard ceiling on a single term's ranked posting list. The
+    * pruning rank is a per-TERM window — the partition IS the posting
+    * list, and a stop term's df grows linearly with the corpus (the
+    * round-13 verdict's watch item; the ×30 fixture can't exercise it
+    * because ScaleUp salts every replica's tokens, pinning the fixed
+    * query roster's df at the sf0.1 value — measured, see
+    * ScaleStress's i14 row). Under this cap the single-task sort is
+    * ~10M skinny long rows (~300 MB spillable); past it the query
+    * REFUSES in-plan (the d05 MaxBruteForceVectors / d21 chunk-cap
+    * discipline: a named failure beats silently serving a plan whose
+    * one partition holds a 100-TB stop-term posting list — at that
+    * scale the ranking needs a distributed top-fraction selection,
+    * not a bigger window). */
+  val PruneMaxRankedDf = 10000000L
+
   def indexPruning(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val postings = indexPruningPostings(s, dir)
       .persist() // the full and pruned rankings share one postings pass
+    // in-plan guard: fail loudly if any term's posting list outgrows
+    // the documented single-task sort ceiling. coalesce: an empty
+    // corpus must return an empty report, not a NULL-condition error.
+    val guard = postings.agg(max(col("df")).as("mx"))
+      .select(assert_true(coalesce(col("mx"), lit(0L)) <= PruneMaxRankedDf,
+        concat(lit(s"indexPruning per-term df over the $PruneMaxRankedDf " +
+          "single-task rank ceiling (stop-term posting list): "),
+          col("mx"))).as("df_ok"))
     val pruned = postings.withColumn("rn", row_number().over(
         Window.partitionBy("term")
           .orderBy(col("contrib_e6").desc, col("doc_id"))))
@@ -573,6 +596,8 @@ object TextAnalysis {
     full.join(pk, Seq("rank"), "left")
       .join(pk.select(col("doc_pruned").as("doc_full"), lit(1).as("sv")),
         Seq("doc_full"), "left")
+      .crossJoin(broadcast(guard)) // 1-row guard rides the plan
+      .filter(col("df_ok").isNull) // always true; forces evaluation
       .select(col("rank").cast("int").as("rank"), col("doc_full"),
         col("score_full_e6"),
         coalesce(col("doc_pruned"), lit(-1L)).as("doc_pruned"),

@@ -96,6 +96,21 @@ class Round14Spec extends AnyFunSuite {
     Memos.invalidate()
   }
 
+  test("i14 carries the per-term df rank guard in-plan") {
+    // the pruning rank's window partition IS a term's posting list —
+    // corpus-linear for a stop term. The documented contract is a
+    // named in-plan refusal past PruneMaxRankedDf (the d05/d21 guard
+    // discipline), not a silently unbounded single-task sort; pin
+    // that the guard survives optimization (column pruning must not
+    // eliminate it) and names its constant.
+    val p = TextAnalysis.indexPruning(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("assert_true") || p.contains("raise_error"),
+      s"i14 lost its df guard:\n$p")
+    assert(p.contains(TextAnalysis.PruneMaxRankedDf.toString),
+      "guard no longer wired to PruneMaxRankedDf")
+  }
+
   test("t29 interval octaves == rank-every-term replica") {
     // first-principles replica of the ORIGINAL semantics: collect the
     // (term, freq) vocabulary, sort by (freq desc, term), rank

@@ -221,6 +221,13 @@ object Bench {
         .replaceAll("\\[plan_id=\\d+\\]", "")
         .replaceAll("RDD\\[\\d+\\]", "RDD")
         .replaceAll("RDD at [A-Za-z.]+:\\d+", "RDD")
+        // checkpoint-scan RDD callsites carry a SOURCE LINE NUMBER
+        // ("MapPartitionsRDD at localCheckpoint at Dedup.scala:868"):
+        // un-normalized, ANY edit that shifts lines in an operator
+        // file flips the fingerprint of every memo-scan plan built
+        // from it — a round-14 finding (t36/t37/x33 flipped on a
+        // TextAnalysis edit nowhere near their code)
+        .replaceAll("at [A-Za-z0-9_$.]+\\.scala:\\d+", "at <src>")
         // JVM-assigned lambda identities in MapPartitions/object nodes
         // (the multimodal codec boundary): Foo$$Lambda$1397/0x7f...
         .replaceAll("\\$\\$Lambda[$/0-9a-fx@.]*", "\\$\\$Lambda")

@@ -78,12 +78,12 @@ object SparkEntry {
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,
-        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
-        floor(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_qty,
-        floor(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_price,
-        floor(CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_disc,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS STRING) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS STRING) AS DOUBLE) AS sum_charge,
+        floor(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_qty,
+        floor(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_price,
+        floor(CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS avg_disc,
         count(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
       GROUP BY l_returnflag, l_linestatus
@@ -97,7 +97,7 @@ object SparkEntry {
         AND l_shipdate >= TIMESTAMP '1997-01-01'
       ORDER BY l_orderkey, l_linenumber""",
     "q03_join_inner" -> """
-      SELECT c_mktsegment, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+      SELECT c_mktsegment, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue,
         count(*) AS n_orders
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
@@ -127,20 +127,20 @@ object SparkEntry {
         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
       ORDER BY c_custkey""",
     "q09_join_broadcast" -> """
-      SELECT p_brand, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+      SELECT p_brand, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue,
         count(*) AS n_lines
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand""",
     "q10_join_theta" -> """
       SELECT s_suppkey, count(*) AS n_matches,
-        CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
+        CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_bal
       FROM supplier JOIN customer
         ON (s_acctbal > c_acctbal OR s_suppkey = c_custkey)
        AND s_nationkey = c_nationkey
       GROUP BY s_suppkey ORDER BY s_suppkey""",
     "q11_union_all" -> """
       SELECT nationkey, count(*) AS n,
-        CAST(CAST(sum(CAST(bal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
+        CAST(CAST(sum(CAST(bal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_bal
       FROM (SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
             UNION ALL
             SELECT s_nationkey, s_acctbal FROM supplier) u
@@ -166,7 +166,7 @@ object SparkEntry {
                   WHEN o_totalprice > 100000 THEN 'mid'
                   ELSE 'low' END AS bucket,
         count(*) AS n,
-        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total
       FROM orders GROUP BY 1 ORDER BY bucket""",
     "q16_scalar_funcs" -> """
       SELECT o_orderkey,
@@ -198,7 +198,7 @@ object SparkEntry {
     "q19_subquery_from" -> """
       SELECT c_custkey, c_name, spend
       FROM (SELECT o_custkey,
-              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS spend
+              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS spend
             FROM orders GROUP BY o_custkey) s
       JOIN customer ON o_custkey = c_custkey
       WHERE spend > 1000000
@@ -228,7 +228,7 @@ object SparkEntry {
                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
                 ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running
             FROM orders) t
       WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
     "q24_rollup" -> """
@@ -244,7 +244,7 @@ object SparkEntry {
       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q26_star_join" -> """
       SELECT n_name,
-        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS STRING) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -327,7 +327,7 @@ object SparkEntry {
       FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
     "q35_having" -> """
       SELECT o_custkey, count(*) AS n_orders,
-        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total
       FROM orders GROUP BY o_custkey
       HAVING count(*) >= 15
       ORDER BY o_custkey""",
@@ -402,7 +402,7 @@ object SparkEntry {
           JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name),
       tot AS (SELECT sum(rev_dec) AS t_rev, count(*) AS n_nat FROM nat_rev)
-      SELECT n_name, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue, n_orders
+      SELECT n_name, CAST(CAST(rev_dec AS STRING) AS DOUBLE) AS revenue, n_orders
       FROM nat_rev, tot
       WHERE rev_dec * CAST(n_nat AS DECIMAL(3,0)) > t_rev
       ORDER BY n_name""",
@@ -478,7 +478,7 @@ object SparkEntry {
     // matching this oracle proves salting is result-invariant
     "q49_skew_salted" -> """
       SELECT c_nationkey AS nationkey, count(*) AS n_orders,
-        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_nationkey ORDER BY nationkey""",
     "q50_window_family" -> """

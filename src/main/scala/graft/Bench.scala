@@ -65,7 +65,8 @@ object Bench {
   def compactLine(results: Seq[(String, Double)], total: Double,
       runs: Int, failedRuns: Seq[(String, Int)], resampledTotal: Int,
       sfDir: String, maxChars: Int = MaxLineChars,
-      noisy: Seq[(String, (Double, Double))] = Nil): String = {
+      noisy: Seq[(String, (Double, Double))] = Nil,
+      memoBuild: Seq[(String, Double)] = Nil): String = {
     def short(n: String): String = n.takeWhile(_ != '_')
     val ambiguous = results.map(_._1).groupBy(short).exists(_._2.size > 1)
     def key(n: String): String = if (ambiguous) n else short(n)
@@ -93,6 +94,13 @@ object Bench {
         extras ++= ",\"spread\":" + jsonObj(noisy.map {
           case (k, mm) => key(k) -> mm
         }) { case (mn, mx) => s"[${fmt(mn)},${fmt(mx)}]" }
+      // first-touch cost of each build-once memo frame under THIS
+      // sfDir (round-14 verdict item 5): median-of-repeats correctly
+      // excludes the cold build from steady-state numbers, but that
+      // made cold-start cost visible only as a sample spread; here it
+      // is an artifact. Memo frame names are already short.
+      if (memoBuild.nonEmpty)
+        extras ++= ",\"memo_build_sec\":" + jsonObj(memoBuild)(fmt)
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":$qs,"runs":$runs,"stat":"median"$extras,""" +
         s""""sf":"$sfDir"}"""
@@ -187,17 +195,48 @@ object Bench {
       val canoned = parts.map(p => canonElem(p.trim))
       (if (canoned.size > 1) canoned.sorted else canoned).mkString(", ")
     }
-    // sorting trusts bracket pairing; a quote (bracket chars may hide
-    // inside string literals, e.g. a regexp pattern in a FILTER) or an
-    // unbalanced count means the pairing walk could canonicalize two
-    // DIFFERENT plans to the same text — return the blanked line
-    // unsorted instead (round-13 ADVICE; the Throwable fallback only
-    // covered exceptions, not wrong matches)
-    val unsortable = blanked.exists(c => c == '"' || c == '\'') ||
-      blanked.count(_ == '[') != blanked.count(_ == ']') ||
-      blanked.count(_ == '(') != blanked.count(_ == ')')
+    // sorting trusts bracket pairing, and bracket chars may hide
+    // inside string literals (e.g. a regexp pattern in a FILTER).
+    // Round 13 bailed out of canonicalization for ANY quoted line —
+    // which left the exprId-dependent reorder the function exists to
+    // suppress live on every gid line embedding a string literal
+    // (round-14 ADVICE). Instead, mask only the STRUCTURAL characters
+    // inside quoted spans (brackets/commas → '_'), so the pairing
+    // walk sees the real structure while literal content still
+    // distinguishes plans; an unterminated quote or a line still
+    // unbalanced after masking keeps the bail-out (two DIFFERENT
+    // plans must never canonicalize to the same text).
+    val masked = maskQuotedStructure(blanked)
+    val unsortable = masked.isEmpty ||
+      masked.count(_ == '[') != masked.count(_ == ']') ||
+      masked.count(_ == '(') != masked.count(_ == ')')
     if (unsortable) blanked
-    else try canonElem(blanked) catch { case _: Throwable => blanked }
+    else try canonElem(masked) catch { case _: Throwable => blanked }
+  }
+
+  /** Replace brackets/parens/commas INSIDE quoted spans with '_',
+    * honoring backslash escapes; returns "" when a quote never
+    * terminates (the caller then skips sorting entirely). */
+  private[graft] def maskQuotedStructure(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var q: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q == 0) {
+        if (c == '"' || c == '\'') q = c
+        sb.append(c)
+      } else if (c == '\\' && i + 1 < s.length) {
+        sb.append(c).append(
+          if ("[](),".contains(s.charAt(i + 1))) '_' else s.charAt(i + 1))
+        i += 1
+      } else {
+        if (c == q) q = 0
+        sb.append(if ("[](),".contains(c)) '_' else c)
+      }
+      i += 1
+    }
+    if (q != 0) "" else sb.result()
   }
 
   /** Plan fingerprint: md5 of the formatted physical plan with the
@@ -421,9 +460,11 @@ object Bench {
     // ("q01_pricing_summary" → "q01" — prefixes are unique by
     // construction) and 3-decimal seconds; the full-name, full-
     // precision record goes to BENCH_DETAIL.json next to the build.
+    val memoBuild = graft.operators.Memos.buildSecFor(sfDir)
+      .toSeq.sortBy(_._1)
     val line = compactLine(results, total, runs,
       failedRuns.toSeq.sortBy(_._1), resampled.values.sum, sfDir,
-      noisy = noisy)
+      noisy = noisy, memoBuild = memoBuild)
     try {
       val detail = jsonObj(results)(_.toString)
       val errDetail = jsonObj(failedRuns.toSeq.sortBy(_._1))(_.toString)
@@ -435,8 +476,9 @@ object Bench {
           n -> (math.round(b / 104857.6) / 10.0) })(_.toString)
       val spreadDetail = jsonObj(spread) { case (mn, mx) => s"[$mn,$mx]" }
       val fpDetail = jsonObj(names.map(n => n -> planFp(n)))("\"" + _ + "\"")
+      val memoDetail = jsonObj(memoBuild)(_.toString)
       val detailLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","failed_runs":$errDetail,"resampled":$resDetail,"storage_mb":$stoDetail,"spread":$spreadDetail,"plan_fp":$fpDetail,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"runs":$runs,"stat":"median","failed_runs":$errDetail,"resampled":$resDetail,"storage_mb":$stoDetail,"spread":$spreadDetail,"memo_build_sec":$memoDetail,"plan_fp":$fpDetail,"sf":"$sfDir"}"""
       // Scale runs write to their OWN artifact (SPARK_GRAFT_BENCH_DETAIL
       // = e.g. BENCH_SF1.json) so the default sf0.1 driver run can't
       // overwrite the sf1 evidence a doc cites — the round-9 finding.

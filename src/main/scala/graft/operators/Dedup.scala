@@ -388,7 +388,8 @@ object Dedup {
       s: SparkSession, dir: String): DataFrame =
     lastMinhashPairs match {
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir => g
-      case _ => minhashLshPairs(s, dir)
+      case _ => Memos.timedBuild("minhash_pairs", dir)(
+        minhashLshPairs(s, dir))
     }
 
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
@@ -804,10 +805,11 @@ object Dedup {
       // handing out a dead frame
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
           Memos.alive(g) => g
-      case _ =>
+      case _ => Memos.timedBuild("substring_spans", dir) {
         val g = substringSpansCore(s, dir)
         lastSubstringSpans = Some((s, dir, g))
         g
+      }
     }
 
   /** The stride-1 window-hash stream: token hashes once per token
@@ -979,7 +981,7 @@ object Dedup {
       // Memos.alive: auto-invalidate on lost checkpoint blocks
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
           Memos.alive(g) => g
-      case _ =>
+      case _ => Memos.timedBuild("decontam_base", dir) {
         val g = fanOut(docs(s, dir))
           .select(col("doc_id"), col("source"), lower(col("text")).as("t"),
             tokens(col("text")).as("tk"))
@@ -991,6 +993,7 @@ object Dedup {
           .localCheckpoint() // eager: one tokenize+hash pass, shared
         lastDecontamBase = Some((s, dir, g))
         g
+      }
     }
 
   /** The x29 chain up to (train docs with gram counts, per-doc hit

@@ -190,7 +190,8 @@ object Similarity {
       s: SparkSession, dir: String): DataFrame =
     lastNearDupPairs match {
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir => g
-      case _ => embeddingNearDupsBucketed(s, dir)
+      case _ => Memos.timedBuild("neardup_bucketed", dir)(
+        embeddingNearDupsBucketed(s, dir))
     }
 
   /** Shared core of d08 and s09: exact cosine over the LSH-band
@@ -321,7 +322,7 @@ object Similarity {
       s: SparkSession, dir: String, k: Int = 3): DataFrame =
     lastKnnGraph match {
       case Some((ms, mdir, mk, g)) if (ms eq s) && mdir == dir && mk == k => g
-      case _ => knnGraph(s, dir, k)
+      case _ => Memos.timedBuild("knn_graph", dir)(knnGraph(s, dir, k))
     }
 
   /** s10: mutual-k-NN filter — the symmetrization step every
@@ -710,7 +711,7 @@ object Similarity {
     lastLloyd match {
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
           Memos.alive(g._1) && Memos.alive(g._2) => g
-      case _ => lloydStateFresh(s, dir)
+      case _ => Memos.timedBuild("lloyd_state", dir)(lloydStateFresh(s, dir))
     }
 
   def kmeansLloyd(s: SparkSession, dir: String): DataFrame = {
@@ -782,6 +783,19 @@ object Similarity {
     * some quadratic work may already be in flight when the assert
     * fires.) */
   val SemDedupMaxChunk = 8L * SemDedupChunkTarget
+
+  /** d21's chunk-cap refusal as a 1-row guard frame over any
+    * (bucket, chunk) membership frame — factored so the guard-sweep
+    * spec can fire it on a synthetic over-cap input (and so the
+    * message text lives in exactly one place). coalesce: max(cn)
+    * over an EMPTY corpus is NULL and assert_true throws on a NULL
+    * condition — an empty corpus must return 0 rows, not error. */
+  private[graft] def chunkCapGuard(ec: DataFrame): DataFrame =
+    ec.groupBy(col("bucket"), col("chunk"))
+      .agg(count(lit(1)).as("cn")).agg(max(col("cn")).as("mx"))
+      .select(assert_true(coalesce(col("mx"), lit(0L)) <= SemDedupMaxChunk,
+        concat(lit(s"semanticDedup chunk over the $SemDedupMaxChunk hard " +
+          "cap (LCG skew): "), col("mx"))).as("chunk_ok"))
 
   /** d21: SemDeDup — Abbas et al. (2023) "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication": partition
@@ -895,14 +909,8 @@ object Similarity {
     // in-plan guard (the d05 MaxBruteForceVectors discipline without a
     // driver action): if hash skew ever concentrated a chunk past the
     // hard cap, fail the query rather than serve results from a
-    // quadratic chunk. coalesce: max(cn) over an EMPTY corpus is NULL
-    // and assert_true throws on a NULL condition — an empty corpus
-    // must return 0 rows, not error
-    val guard = ec.groupBy(col("bucket"), col("chunk"))
-      .agg(count(lit(1)).as("cn")).agg(max(col("cn")).as("mx"))
-      .select(assert_true(coalesce(col("mx"), lit(0L)) <= SemDedupMaxChunk,
-        concat(lit(s"semanticDedup chunk over the $SemDedupMaxChunk hard " +
-          "cap (LCG skew): "), col("mx"))).as("chunk_ok"))
+    // quadratic chunk.
+    val guard = chunkCapGuard(ec)
     val pairs = ec.as("a").join(ec.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.chunk") === col("b.chunk") &&

@@ -511,10 +511,15 @@ object TextAnalysis {
     * pruned index puts at that rank, its (possibly degraded) score,
     * and whether the full doc survived anywhere in the pruned top-10.
     *
-    * Scale shape: the per-term top-P cut is ONE window over the
-    * postings frame partitioned by term — the canonical distributed
-    * index-build job (each term's postings sort independently;
-    * nothing global). Both rankings are partial-agg'd sums over
+    * Scale shape (round 15): the per-term top-P cut is the
+    * distributed top-fraction selection in [[prunedPostings]] — a
+    * 7-level radix walk over per-term contribution histograms (each
+    * level one partial-agg pass over the persisted postings plus a
+    * ≤512-row-per-term prefix window) that finds the exact threshold
+    * value, then a broadcast-join filter; no task ever sorts a
+    * posting list, so a stop term's Θ(corpus) df meets no
+    * single-task work (the old refusal guard now pins only the
+    * threshold TIE set). Both rankings are partial-agg'd sums over
     * matches-bound frames; the side-by-side join is k rows against k
     * rows. Corpus-scale work is i03's token fan-out, paid once and
     * shared by both branches through one persisted postings frame. */
@@ -546,38 +551,124 @@ object TextAnalysis {
              div 1000000 as long)""").as("contrib_e6"))
   }
 
-  /** i14's hard ceiling on a single term's ranked posting list. The
-    * pruning rank is a per-TERM window — the partition IS the posting
-    * list, and a stop term's df grows linearly with the corpus (the
-    * round-13 verdict's watch item; the ×30 fixture can't exercise it
-    * because ScaleUp salts every replica's tokens, pinning the fixed
-    * query roster's df at the sf0.1 value — measured, see
-    * ScaleStress's i14 row). Under this cap the single-task sort is
-    * ~10M skinny long rows (~300 MB spillable); past it the query
-    * REFUSES in-plan (the d05 MaxBruteForceVectors / d21 chunk-cap
-    * discipline: a named failure beats silently serving a plan whose
-    * one partition holds a 100-TB stop-term posting list — at that
-    * scale the ranking needs a distributed top-fraction selection,
-    * not a bigger window). */
+  /** i14's bounded tie-resolution ceiling. Through round 14 this
+    * capped the whole per-term posting sort (the pruning rank was a
+    * per-TERM window, so a stop term's Θ(corpus-docs) df meant one
+    * task sorting one 100-TB posting list — the query REFUSED past
+    * 10M). Round 15 replaced that window with the distributed
+    * top-fraction selection in [[prunedPostings]]: the threshold
+    * contribution value is found by a 7-level radix walk over
+    * per-term histograms (every window ≤ 512 rows per term), so df
+    * growth no longer meets any single-task sort. The cap now pins
+    * only the TIE SET at the threshold value — the one place an
+    * exact cut still needs a per-term row_number (contribution ties
+    * broken by doc_id asc). It fires only when more than 10M
+    * postings of ONE term share the EXACT threshold contribution —
+    * a fixed-point hash collision, not a function of corpus size —
+    * and under the cap that tie sort is the same ~300 MB spillable
+    * single task the old guard budgeted. */
   val PruneMaxRankedDf = 10000000L
+
+  /** The 9-bit radix levels that walk a nonnegative long's value
+    * space down to a single value: shiftright by 54,45,…,9,0 (the
+    * level-1 key of any long < 2^63 fits in [0, 512); level 7 is the
+    * value itself). contrib_e6 is provably nonnegative — both BM25
+    * fragments are ratios of positive integers — and bounded by
+    * tfpart_e6·idf_e6/1e6 ≤ 2.2e6 · 0.67·nn < 2^62 for any
+    * representable corpus, so seven levels always reach exactness. */
+  private val PruneRadixShifts = Seq(54, 45, 36, 27, 18, 9, 0)
+
+  /** i14's distributed top-fraction selection: per term, keep the
+    * top ceil(df·[[PruneKeepPermille]]/1000) postings by
+    * (contrib_e6 desc, doc_id asc) — the identical cut the old
+    * per-term rank window produced (Round15Spec proves the identity
+    * law) — WITHOUT ever sorting a posting list:
+    *
+    *  1. k_t per term from df (one row per roster term).
+    *  2. Seven radix levels: histogram the current candidate range
+    *     into ≤512 per-term buckets (partial-agg groupBy — the only
+    *     corpus-scale work, embarrassingly parallel), exclusive
+    *     prefix-sum the ≤512-row-per-term bucket table from the top
+    *     (a window over the HISTOGRAM, never over postings), pick
+    *     the bucket where the cumulative count crosses the residual
+    *     need, and descend. After level 7 the bucket IS the exact
+    *     threshold value v_t and the residual need is the tie
+    *     budget.
+    *  3. Postings with contrib > v_t are kept by a broadcast-join
+    *     filter; postings AT v_t keep the tie_need smallest doc_ids
+    *     (exact bounded tie-resolution — the per-term window runs
+    *     over the tie set alone, whose size [[PruneMaxRankedDf]]
+    *     pins in-plan).
+    *
+    * At 100 TB each level is one rescan of the persisted roster
+    * postings plus a ≤ terms×512-row shuffle; no task ever holds
+    * more than one histogram bucket or the (capped) tie set. The
+    * returned frame carries the tie-set guard in-plan, so every
+    * caller inherits the named refusal. */
+  private[graft] def prunedPostings(postings: DataFrame): DataFrame = {
+    var bound = postings.groupBy("term").agg(max("df").as("df"))
+      .select(col("term"),
+        expr(s"(df * $PruneKeepPermille + 999) div 1000").as("need"))
+    var cur = postings.select(col("term"), col("contrib_e6"))
+    var sel: DataFrame = null
+    for (shift <- PruneRadixShifts) {
+      val hist = cur
+        .select(col("term"), shiftright(col("contrib_e6"), shift).as("bk"))
+        .groupBy("term", "bk").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(bound), "term")
+      // exclusive prefix over the ≤512-row per-term bucket table,
+      // highest bucket first: `above` = postings strictly above this
+      // bucket within the current candidate range.
+      val pref = hist.withColumn("above",
+        coalesce(sum("cnt").over(Window.partitionBy("term")
+          .orderBy(col("bk").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // exactly one row per term: cumulative count crosses the need.
+      // eager localCheckpoint (the DupCluster fixpoint discipline):
+      // sel is ≤ 1 row per roster term, but it is BOTH the next
+      // level's filter join side and its histogram bound — without
+      // truncation each level's plan embeds two copies of the
+      // previous level's, and the broadcast subplans re-execute
+      // exponentially (2^7 by level 7). Truncating the ≤4-row frame
+      // keeps every level's plan linear over the persisted postings.
+      sel = pref
+        .filter(col("above") < col("need") &&
+          col("above") + col("cnt") >= col("need"))
+        .select(col("term"), col("bk"),
+          (col("need") - col("above")).as("need"), col("cnt"))
+        .localCheckpoint(true)
+      cur = cur.join(broadcast(sel.select(col("term"), col("bk"))), Seq("term"))
+        .filter(shiftright(col("contrib_e6"), shift) === col("bk"))
+        .select(col("term"), col("contrib_e6"))
+      bound = sel.select(col("term"), col("need"))
+    }
+    val thr = sel.select(col("term"), col("bk").as("vt"),
+      col("need").as("tie_need"), col("cnt").as("tie_cnt"))
+    // tie-resolution bound: the only remaining per-term window runs
+    // over the tie set; refuse loudly past the documented ceiling.
+    // coalesce: an empty corpus must return empty, not a NULL error.
+    val guard = thr.agg(max(col("tie_cnt")).as("mx"))
+      .select(assert_true(coalesce(col("mx"), lit(0L)) <= PruneMaxRankedDf,
+        concat(lit(s"indexPruning threshold tie set over the " +
+          s"$PruneMaxRankedDf bounded tie-resolution ceiling " +
+          "(postings sharing one exact contribution value): "),
+          col("mx"))).as("tie_ok"))
+    val withThr = postings.join(broadcast(thr), "term")
+    val keptHigh = withThr.filter(col("contrib_e6") > col("vt"))
+    val keptTies = withThr.filter(col("contrib_e6") === col("vt"))
+      .withColumn("trn", row_number().over(
+        Window.partitionBy("term").orderBy("doc_id")))
+      .filter(col("trn") <= col("tie_need")).drop("trn")
+    keptHigh.unionByName(keptTies)
+      .crossJoin(broadcast(guard)) // 1-row guard rides the plan
+      .filter(col("tie_ok").isNull) // always true; forces evaluation
+      .select(col("term"), col("doc_id"), col("df"), col("contrib_e6"))
+  }
 
   def indexPruning(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val postings = indexPruningPostings(s, dir)
       .persist() // the full and pruned rankings share one postings pass
-    // in-plan guard: fail loudly if any term's posting list outgrows
-    // the documented single-task sort ceiling. coalesce: an empty
-    // corpus must return an empty report, not a NULL-condition error.
-    val guard = postings.agg(max(col("df")).as("mx"))
-      .select(assert_true(coalesce(col("mx"), lit(0L)) <= PruneMaxRankedDf,
-        concat(lit(s"indexPruning per-term df over the $PruneMaxRankedDf " +
-          "single-task rank ceiling (stop-term posting list): "),
-          col("mx"))).as("df_ok"))
-    val pruned = postings.withColumn("rn", row_number().over(
-        Window.partitionBy("term")
-          .orderBy(col("contrib_e6").desc, col("doc_id"))))
-      .filter(col("rn") <=
-        expr(s"(df * $PruneKeepPermille + 999) div 1000")) // ceil
-      .drop("rn")
+    val pruned = prunedPostings(postings)
     def topK(c: DataFrame): DataFrame = c.groupBy("doc_id")
       .agg(sum("contrib_e6").as("score_e6"))
       .orderBy(col("score_e6").desc, col("doc_id")).limit(k)
@@ -596,8 +687,6 @@ object TextAnalysis {
     full.join(pk, Seq("rank"), "left")
       .join(pk.select(col("doc_pruned").as("doc_full"), lit(1).as("sv")),
         Seq("doc_full"), "left")
-      .crossJoin(broadcast(guard)) // 1-row guard rides the plan
-      .filter(col("df_ok").isNull) // always true; forces evaluation
       .select(col("rank").cast("int").as("rank"), col("doc_full"),
         col("score_full_e6"),
         coalesce(col("doc_pruned"), lit(-1L)).as("doc_pruned"),
@@ -1719,19 +1808,29 @@ object TextAnalysis {
     * also fails — training on nothing is an error, unlike d21's
     * report-0-rows case). The guard aggregates the label frame — one
     * narrow pass, not a second corpus tokenize. */
-  private[operators] def labeledFeatures(
-      s: SparkSession, dir: String): DataFrame = {
-    val lab = qualityLabels(s, dir)
-    val guard = lab
+  /** t36's label-space refusal as a 1-row guard frame over any
+    * labeled frame with a ±1 `y` column — factored so the guard-sweep
+    * spec can fire it on a synthetic single-class input. */
+  private[graft] def labelGuard(lab: DataFrame): DataFrame =
+    lab
       .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
         sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
       .select(assert_true(
         coalesce(col("np"), lit(0L)) > 0L &&
           coalesce(col("nn"), lit(0L)) > 0L,
+        // coalesce in the MESSAGE too: on an empty corpus the sums
+        // are NULL and a NULL concat operand would null the whole
+        // refusal text (raise_error(NULL) — the guard would fire
+        // nameless; the guard-sweep spec caught exactly this)
         concat(lit("classifier distillation labels are degenerate " +
-          "(n_pos, n_neg): "), col("np"), lit(", "),
-          col("nn"), lit(" — did a testdata refresh break the " +
-            "quality rule?"))).as("label_ok"))
+          "(n_pos, n_neg): "), coalesce(col("np"), lit(0L)), lit(", "),
+          coalesce(col("nn"), lit(0L)), lit(" — did a testdata refresh " +
+            "break the quality rule?"))).as("label_ok"))
+
+  private[operators] def labeledFeatures(
+      s: SparkSession, dir: String): DataFrame = {
+    val lab = qualityLabels(s, dir)
+    val guard = labelGuard(lab)
     val tok = clsFeatures(s, dir)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
     val bias = lab.select(col("doc_id"),
@@ -1797,13 +1896,14 @@ object TextAnalysis {
       // Memos.alive: auto-invalidate on lost checkpoint blocks
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
           Memos.alive(g) => g
-      case _ =>
+      case _ => Memos.timedBuild("cls_weights", dir) {
         val ft = labeledFeatures(s, dir)
           .persist() // every round joins the labeled feature stream twice
         val g = trainWeights(s, ft)
         ft.unpersist() // rounds are checkpoint-materialized; safe to drop
         lastClsWeights = Some((s, dir, g))
         g
+      }
     }
 
   private[operators] def invalidateMemos(): Unit = {
@@ -1887,10 +1987,11 @@ object TextAnalysis {
       // Memos.alive: auto-invalidate on lost checkpoint blocks
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
           Memos.alive(g) => g
-      case _ =>
+      case _ => Memos.timedBuild("cls_eval", dir) {
         val g = buildClassifierEval(s, dir)
         lastClsEval = Some((s, dir, g))
         g
+      }
     }
 
   private def buildClassifierEval(s: SparkSession, dir: String): DataFrame = {

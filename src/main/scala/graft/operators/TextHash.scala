@@ -133,11 +133,12 @@ object TextHash {
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     lastShingleHashes match {
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir => g
-      case _ =>
+      case _ => Memos.timedBuild("shingle_hashes", dir) {
         val g = shingleHashes(graft.engine.Tables.t(s, dir, "documents"))
           .localCheckpoint()
         lastShingleHashes = Some((s, dir, g))
         g
+      }
     }
 
   private[operators] def invalidateMemos(): Unit =

@@ -206,25 +206,37 @@ object ScaleStress {
     // three levels (vocab ≫ distinct freqs ≥ max bucket) so the
     // collapse is measured, not asserted; the construction bound is
     // max_bucket ≤ √(corpus_tokens / ZipfRankSubBuckets).
+    // coalesce on every scalar aggregate in this block: on an empty
+    // or shingle-free corpus dir sum/max are NULL, and getLong would
+    // crash the whole stress sweep instead of reporting zeros
+    // (round-14 ADVICE).
     val t29Fg = graft.operators.TextAnalysis
       .zipfFreqGroups(spark, dir).persist()
-    val t29Vocab = t29Fg.agg(sum("cnt")).head.getLong(0)
+    val t29Vocab = t29Fg.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
     val t29D = t29Fg.count()
     val t29MaxBucket = t29Fg.groupBy("pid").agg(count(lit(1)).as("n"))
-      .agg(max("n")).head.getLong(0)
+      .agg(coalesce(max("n"), lit(0L))).head.getLong(0)
     t29Fg.unpersist(true)
 
-    // i14: the per-term pruning window inherits the df skew of
-    // stop-word terms — its largest single-task sort is max df over
-    // the query roster (the posting list of the most common query
-    // term). Inherent to impact-ordered index pruning (the window IS
-    // per-term); recorded so the skew is a measured number per scale,
-    // not a guess (round-13 verdict watch item).
-    val i14MaxDf = graft.operators.TextAnalysis
-      .indexPruningPostings(spark, dir)
+    // i14: the df skew of stop-word query terms. Through round 14 max
+    // df bounded a per-term SORT (the pruning rank window's partition
+    // was the posting list — the round-13 watch item); the round-15
+    // radix selection removed that sort, so max df now bounds only
+    // embarrassingly-parallel scan work, and the single-task quantity
+    // is the THRESHOLD TIE SET — postings of one term sharing one
+    // exact contribution value. max_tie (the largest tie group
+    // anywhere, an upper bound on any threshold tie set) is what must
+    // stay far under PruneMaxRankedDf as the corpus grows.
+    val i14P = graft.operators.TextAnalysis
+      .indexPruningPostings(spark, dir).persist()
+    val i14MaxDf = i14P
       .groupBy("term").agg(count(lit(1)).as("n"))
-      .agg(max("n"), sum("n")).head
+      .agg(coalesce(max("n"), lit(0L)), coalesce(sum("n"), lit(0L))).head
     val (i14Max, i14Rows) = (i14MaxDf.getLong(0), i14MaxDf.getLong(1))
+    val i14MaxTie = i14P.groupBy("term", "contrib_e6")
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head.getLong(0)
+    i14P.unpersist(true)
 
     // x32: the kept-token stream the final assembly explodes and
     // probes the nsym vocabulary with — its single corpus-scale
@@ -304,7 +316,8 @@ object ScaleStress {
         s""""t34_vocab":$t34Vocab,""" +
         s""""t29":{"vocab":$t29Vocab,"distinct_freqs":$t29D,""" +
         s""""max_rank_bucket":$t29MaxBucket},""" +
-        s""""i14":{"max_df":$i14Max,"postings_rows":$i14Rows},""" +
+        s""""i14":{"max_df":$i14Max,"postings_rows":$i14Rows,""" +
+        s""""max_tie":$i14MaxTie},""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds,"s11":$s11Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +
         s""""d08":$d08Rows,"d09":$d09Rows,"s11":$s11Rows,""" +

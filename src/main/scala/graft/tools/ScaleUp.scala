@@ -48,7 +48,24 @@ import graft.engine.Tables
   *    per-customer chains sf0.1-length (×factor more chains).
   * Small dimension tables copy through unchanged.
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir destDir factor]
+  * The per-replica token salt has one honest blind spot (recorded in
+  * BASELINE.md since round 13): FIXED-LITERAL query rosters
+  * (i02/i03/i04/i14/s08 probe [[graft.operators.Similarity
+  * .HybridQueryTerms]] verbatim) only ever match the embedded
+  * original replica, so their document frequencies stay pinned at
+  * the source value no matter the factor — the one operator class
+  * the salted fixture structurally cannot stress. The `keep-roster`
+  * mode (round-15 verdict item 2) closes it: every token EXCEPT a
+  * roster term is salted, so roster dfs grow ×factor while
+  * everything else keeps the decorrelation story above. The mode is
+  * NOT the default because exempted tokens do leak shingles across
+  * replicas (an n-gram containing "hash" can collide cross-replica),
+  * mildly inflating near-dup candidate counts — use the default
+  * fixture for dedup telemetry and the keep-roster fixture for
+  * retrieval-df telemetry.
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir destDir factor
+  *   [keep-roster]]
   */
 object ScaleUp {
 
@@ -58,6 +75,17 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/tmp/scale/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val keepRoster = args.lift(3).contains("keep-roster")
+    // token-start-anchored salt pattern; in keep-roster mode a
+    // negative lookahead exempts exact (case-insensitive) roster
+    // terms — "scans" still salts when the roster holds "scan"
+    val saltPat =
+      if (!keepRoster) "(\\S+)"
+      else {
+        val alt = graft.operators.Similarity.HybridQueryTerms
+          .map(java.util.regex.Pattern.quote).mkString("|")
+        s"(?<!\\S)(?!(?i:$alt)(?!\\S))(\\S+)"
+      }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -85,7 +113,7 @@ object ScaleUp {
       val salted =
         if (r == 0) d
         else d.withColumn("text",
-          regexp_replace(col("text"), "(\\S+)", s"$$1x$r"))
+          regexp_replace(col("text"), saltPat, s"$$1x$r"))
       salted
         .withColumn("doc_id", col("doc_id") + lit(r * docOff))
         .withColumn("n_chars", length(col("text")).cast("long"))

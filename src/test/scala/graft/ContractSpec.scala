@@ -56,6 +56,25 @@ class ContractSpec extends AnyFunSuite {
     // a REAL structural difference must still separate
     assert(Bench.canonGidLine(fnA) !=
       Bench.canonGidLine(fnA.replace("partial_first", "partial_max")))
+    // round-14 ADVICE: a gid line EMBEDDING A STRING LITERAL (with a
+    // bracket hiding inside) must still order-canonicalize — the
+    // round-13 quote bail-out left the exprId reorder live there
+    val litA = "Functions [2]: [partial_count(a#) FILTER (WHERE " +
+      "((gid# = 1) AND rlike(s#, \"x[0-9]+\"))), partial_count(b#) " +
+      "FILTER (WHERE (gid# = 2))]"
+    val litB = "Functions [2]: [partial_count(b#) FILTER (WHERE " +
+      "(gid# = 2)), partial_count(a#) FILTER (WHERE ((gid# = 1) " +
+      "AND rlike(s#, \"x[0-9]+\")))]"
+    assert(Bench.canonGidLine(litA) == Bench.canonGidLine(litB),
+      "quoted-literal gid lines no longer order-canonicalize")
+    // ...while literal CONTENT still separates plans (non-structural
+    // characters inside the quotes are preserved, not blanked)
+    assert(Bench.canonGidLine(litA) !=
+      Bench.canonGidLine(litA.replace("x[0-9]+", "y[0-9]+")))
+    // an unterminated quote keeps the bail-out: returns the line
+    // blanked but unsorted, never a wrong pairing walk
+    val broken = "Keys [2]: [gid# = 1, rlike(s#, \"x[(])]"
+    assert(Bench.canonGidLine(broken).contains("gid# = _"))
   }
 
   test("bench line never outgrows the driver tail window (self-truncating)") {
@@ -157,6 +176,61 @@ class ContractSpec extends AnyFunSuite {
           s"the census held (median ratio $censusRatio): " +
           suspects.map { case (n, c, b) => s"$n $b->$c" }.mkString(", "))
     }
+  }
+
+  test("baseline ratchet: cumulative unpriced drift since epoch is bounded") {
+    // VERDICT r14 item 4: each "host drift" re-baseline looked honest
+    // in isolation (documented, per-query-attributed), but nothing
+    // bounded the CUMULATIVE ratchet — N successive +10% drifts
+    // compound into a baseline no regression can ever trip. The
+    // ledger in BASELINE.md records every re-commit since the
+    // round-12 epoch as (old, new, priced Δ, attributed drift); this
+    // law makes it load-bearing: the rows must chain and add up, the
+    // last row must match the committed artifact, and the committed
+    // total must stay under 1.5× the priced-adjusted epoch
+    // (epoch + Σ priced) — past that, re-baselining requires either
+    // pricing the change or fixing the regression, not a ledger row.
+    val baseF = new java.io.File("BENCH_SF01_BASE.json")
+    val ledF = new java.io.File("BASELINE.md")
+    assume(baseF.exists && ledF.exists, "baseline artifacts absent")
+    def read(f: java.io.File): String = {
+      val s = scala.io.Source.fromFile(f, "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val md = read(ledF)
+    val secs = md.split("## Baseline ratchet ledger")
+    assert(secs.length == 2, "BASELINE.md lost its ratchet ledger section")
+    val sec = secs(1).split("\n## ")(0)
+    val rowRe = raw"\|\s*(\d+)\s*\|\s*([-+]?[0-9.]+)\s*\|\s*([-+]?[0-9.]+)" +
+      raw"\s*\|\s*([-+]?[0-9.]+)\s*\|\s*([-+]?[0-9.]+)\s*\|"
+    val rows = rowRe.r.findAllMatchIn(sec).map(m =>
+      (m.group(1).toInt, m.group(2).toDouble, m.group(3).toDouble,
+        m.group(4).toDouble, m.group(5).toDouble)).toSeq
+    assert(rows.nonEmpty, "ratchet ledger table has no rows")
+    // rows chain: each re-baseline starts from the previous commit
+    rows.sliding(2).foreach {
+      case Seq(a, b) => assert(b._2 == a._3,
+        s"ledger rounds ${a._1}->${b._1} do not chain: ${a._3} vs ${b._2}")
+      case _ =>
+    }
+    // per-row arithmetic: new − old = priced + drift (table rounding)
+    rows.foreach { r =>
+      assert(math.abs((r._3 - r._2) - (r._4 + r._5)) < 0.15,
+        s"ledger round ${r._1} does not add up: ${r._2}->${r._3} " +
+          s"!= priced ${r._4} + drift ${r._5}")
+    }
+    val committed = raw""""value":\s*([0-9.]+)""".r
+      .findFirstMatchIn(read(baseF)).map(_.group(1).toDouble)
+    assert(committed.isDefined, "BENCH_SF01_BASE.json has no total value")
+    assert(math.abs(rows.last._3 - committed.get) < 0.1,
+      s"ledger is stale: last row ${rows.last._3} vs committed " +
+        s"${committed.get} — a re-baseline must append its ledger row")
+    val epoch = rows.head._2
+    val pricedAdjusted = epoch + rows.map(_._4).sum
+    assert(committed.get <= 1.5 * pricedAdjusted,
+      f"cumulative unpriced drift breached the ratchet bound: committed " +
+        f"${committed.get}%.1f s > 1.5 x priced-adjusted epoch " +
+        f"$pricedAdjusted%.1f s — price the changes or fix the regression")
   }
 
   test("README census count matches the registered contract") {

@@ -118,6 +118,27 @@ class LineageFuzzSpec extends AnyFunSuite {
       s"INSERT INTO ${nameOf(o)} SELECT c2.x FROM c2 WHERE c2.k > 1",
     Set(a, b), Set(o), 1, bad = false, use = None)
 
+  // round-15 widening (VERDICT r14 item 6): LATERAL VIEW / EXPLODE
+  // and INSERT…PARTITION — SqlSurfaceSpec executes both on real
+  // tables, but the fuzzer never composed them into scripts (with
+  // USE-db switches and broken statements interleaved). Same
+  // degradation-contract laws. The generator alias survives in the
+  // ColLine qualifier (default.t.w — the generic fold's behavior,
+  // deterministic), so the count bound is what the law pins.
+  private val lateralViewInsert: Gen[Frag] = for {
+    o <- outGen; a <- srcGen
+  } yield Frag(
+    s"INSERT INTO ${nameOf(o)} SELECT t.w, count(1) FROM ${nameOf(a)} " +
+      "LATERAL VIEW explode(split(x, ' ')) t AS w GROUP BY t.w",
+    Set(a), Set(o), 2, bad = false, use = None)
+
+  private val partitionInsert: Gen[Frag] = for {
+    o <- outGen; a <- srcGen; d <- Gen.chooseNum(1, 28)
+  } yield Frag(
+    s"INSERT OVERWRITE TABLE ${nameOf(o)} PARTITION (dt='2024-01-$d') " +
+      s"SELECT x, y FROM ${nameOf(a)} WHERE k > $d",
+    Set(a), Set(o), 2, bad = false, use = None)
+
   private val useDb: Gen[Frag] = Gen.oneOf(dbs).map(d =>
     Frag(s"USE $d", Set.empty, Set.empty, 0, bad = false, use = Some(d)))
 
@@ -128,7 +149,8 @@ class LineageFuzzSpec extends AnyFunSuite {
   private val fragGen: Gen[Frag] = Gen.frequency(
     3 -> insertJoin, 2 -> thetaJoin, 2 -> unionAll, 2 -> cteInsert,
     2 -> multiInsert, 2 -> bareSelect, 1 -> useDb, 2 -> broken,
-    2 -> havingInsert, 2 -> windowInsert, 2 -> nestedCte)
+    2 -> havingInsert, 2 -> windowInsert, 2 -> nestedCte,
+    2 -> lateralViewInsert, 2 -> partitionInsert)
 
   private val scriptGen: Gen[List[Frag]] =
     Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, fragGen))

@@ -110,6 +110,41 @@ class MultimodalSpec extends AnyFunSuite {
     out
   }
 
+  test("codec boundary is partition-layout independent (repartition(k) law)") {
+    // VERDICT r14 item 7: the fake codec runs inside mapPartitions —
+    // the one structural freedom a real codec swap must also respect
+    // is that NOTHING may depend on which rows share a partition or
+    // their order within it (a codec that carried state across rows,
+    // seeded per-partition, or emitted partition-relative values
+    // would pass every row-level test and still break under Spark's
+    // free choice of layout). Law: every m-family codec output is
+    // invariant, AS A SET, under repartition(k) for random k.
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val media = Multimodal.mediaTable(spark, dir)
+    // deep-render rows: array fields stringify by identity otherwise
+    def deep(p: Product): String = p.productIterator.map {
+      case a: Array[_] => a.mkString("[", ",", "]")
+      case x => String.valueOf(x)
+    }.mkString("|")
+    def run(m: org.apache.spark.sql.Dataset[MediaRow]): Seq[Set[String]] =
+      Seq(
+        Multimodal.extractFeatures(m).collect().map(deep).toSet,
+        Multimodal.resizeFrames(m).collect().map(deep).toSet,
+        Multimodal.audioFrames(m).collect().map(deep).toSet,
+        m.mapPartitions(_.map(r =>
+          (r.doc_id, Multimodal.aHash64(r.payload)))).collect()
+          .map(deep).toSet)
+    val baseline = run(media)
+    val ks = Gen.listOfN(4, Gen.chooseNum(1, 40)).sample.get.distinct
+    for (k <- ks) {
+      val got = run(media.repartition(k))
+      assert(got == baseline,
+        s"codec output depends on partition layout at repartition($k)")
+    }
+  }
+
   test("aHash is invariant under uniform brightness shift, not under restructure") {
     val base = Multimodal.aHash64(blockPayload(7))
     // +20 on every byte moves every block mean AND the global mean

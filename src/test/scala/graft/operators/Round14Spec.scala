@@ -31,30 +31,43 @@ class Round14Spec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.01"
 
-  /** Count Spark jobs started while `body` runs. */
+  /** Count Spark jobs started while `body` runs. Job IDS are
+    * recorded (not a bare counter) and fenced by a marker job's id:
+    * the listener bus is async and registered per call, so
+    * late-draining job-start events from a PRIOR action could leak
+    * into the window and flake the exact-zero assertion (round-14
+    * ADVICE). Job ids are monotone, so only ids above the marker's
+    * belong to `body`. */
   private def jobsDuring(body: => Unit): Int = {
-    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.jdk.CollectionConverters._
+    val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        n.incrementAndGet()
+        ids.add(Integer.valueOf(j.jobId))
     }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      body
-      // the listener bus is async (and its drain hook is
-      // private[spark]); wait until the count is quiescent
+    // the listener bus is async (and its drain hook is
+    // private[spark]); wait until the seen-id set is quiescent
+    def settle(): Unit = {
       var prev = -1
       var stable = 0
       var spins = 0
       while (stable < 5 && spins < 100) {
-        val cur = n.get()
+        val cur = ids.size()
         if (cur == prev) stable += 1 else stable = 0
         prev = cur
         Thread.sleep(50)
         spins += 1
       }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.range(1).count() // the fence job
+      settle()
+      val fence = ids.asScala.map(_.intValue).max
+      body
+      settle()
+      ids.asScala.map(_.intValue).count(_ > fence)
     } finally spark.sparkContext.removeSparkListener(l)
-    n.get()
   }
 
   test("memo probe keys by checkpoint RDD id and re-probes after " +
@@ -64,11 +77,11 @@ class Round14Spec extends AnyFunSuite {
     val g = Seq(1L, 2L, 3L).toDF("x").localCheckpoint()
     // the key IS the checkpoint scan's RDD id — not an object hash
     val key = Memos.probeKey(g)
-    val rddId = g.queryExecution.logical.collectFirst {
+    val rddIds = g.queryExecution.logical.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id.toLong
-    }
-    assert(key.isDefined && key.map(_.longValue) == rddId,
-      s"probe key $key != checkpoint RDD id $rddId")
+    }.sorted
+    assert(key.contains(rddIds),
+      s"probe key $key != checkpoint RDD ids $rddIds")
 
     // first access probes (one job); a fresh access inside the rate
     // window trusts the freshness and runs NO job
@@ -93,16 +106,26 @@ class Round14Spec extends AnyFunSuite {
       "rebuilt frame must not reuse the old probe key")
     assert(jobsDuring(assert(Memos.alive(g2))) >= 1,
       "rebuilt frame must pay its own probe")
+    // a frame COMPOSED over two checkpointed frames keys on ALL its
+    // checkpoint leaves (round-14 ADVICE: a collectFirst key let
+    // probing one frame vouch for the composition even if the second
+    // frame's blocks were lost), so its freshness is distinct from
+    // both components'
+    val both = Memos.probeKey(g.union(g2))
+    assert(both.exists(_.size == 2) && both != key && both != Memos.probeKey(g2),
+      s"composed frame must key on all checkpoint leaves, got $both")
     Memos.invalidate()
   }
 
   test("i14 carries the per-term df rank guard in-plan") {
-    // the pruning rank's window partition IS a term's posting list —
-    // corpus-linear for a stop term. The documented contract is a
-    // named in-plan refusal past PruneMaxRankedDf (the d05/d21 guard
-    // discipline), not a silently unbounded single-task sort; pin
-    // that the guard survives optimization (column pruning must not
-    // eliminate it) and names its constant.
+    // round 15 replaced the per-term rank window with a distributed
+    // top-fraction selection, so the guard no longer caps a posting
+    // list's df — it caps the TIE SET at the threshold contribution
+    // value, the one per-term window the exact cut still needs. The
+    // documented contract is unchanged in kind: a named in-plan
+    // refusal past PruneMaxRankedDf (the d05/d21 guard discipline);
+    // pin that the guard survives optimization (column pruning must
+    // not eliminate it) and names its constant.
     val p = TextAnalysis.indexPruning(spark, dir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("assert_true") || p.contains("raise_error"),

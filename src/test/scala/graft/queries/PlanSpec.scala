@@ -603,6 +603,28 @@ class PlanSpec extends AnyFunSuite {
       s"t29 bucket census $pids outside (0, 64·${ta.ZipfRankSubBuckets}]")
   }
 
+  test("i14 prunes the index without any per-term contribution rank") {
+    // the round-14 verdict's one contract gap: i14's per-term top-P
+    // cut was a row_number window partitioned by term and ORDERED BY
+    // THE CONTRIBUTION — the partition is a whole posting list, so a
+    // stop term's Θ(corpus) df meant one task sorting one 100-TB
+    // posting list (survivable only by the refusal guard). The
+    // round-15 rework finds the exact threshold value by a 7-level
+    // radix walk over per-term histograms; the only windows left
+    // order by the radix bucket (≤512 rows per term) or by doc_id
+    // over the guard-capped threshold tie set. Pin it structurally:
+    // no Window in the plan may SORT on the contribution.
+    val df = graft.operators.TextAnalysis.indexPruning(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the radix prefix-sum windows")
+    wins.foreach(w => assert(
+      !w.orderSpec.exists(_.child.references.exists(
+        _.name == "contrib_e6")),
+      s"i14 regressed to a per-term contribution rank window:\n$w"))
+  }
+
   test("t34 rewrites stay narrow: no shuffle carries symbol arrays") {
     // the BPE apply pass is a per-row fold over the vocabulary; only
     // (word, count) aggregations and the final doc_id re-aggregate may

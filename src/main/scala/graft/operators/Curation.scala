@@ -213,12 +213,17 @@ object Curation {
     * the oracle.
     *
     * Scale shape: the data-derived quota travels as a 1-row broadcast
-    * scalar (the x-family convention); selection is a per-source
-    * window rank. At 100 TB the rank-within-source becomes the
-    * per-source q-th-smallest-hash threshold (one approx-quantile
-    * pass, then a narrow filter) — same selection, no full sort; the
-    * window form is the small-corpus shortcut with identical
-    * semantics. */
+    * scalar (the x-family convention); selection is the per-source
+    * hash rank via [[BucketedWindow.rank]] (round 15 — through
+    * round 14 this was a plain per-source window, i.e. ONE task
+    * sorting a whole source's Θ(corpus) rows, the t29/i14
+    * single-reducer class; the doc called the threshold form "the
+    * 100 TB path" without mechanizing it). The bucket is the hash's
+    * top 12 bits (h2 < P2 < 2^30 → ≤ 4096 buckets, static), so the
+    * largest single task is one source's one hash-octile —
+    * ~n_source/4096 rows — and the rank is exactly the old window's.
+    * The report's rk column stays INT (the oracle's width); the
+    * mechanism computes it as a long. */
   def mixtureSample(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
@@ -227,11 +232,11 @@ object Curation {
     val quota = d.agg(count(lit(1)).as("n_total"),
         countDistinct(col("source")).as("n_src"))
       .select(expr("(n_total div 2L) div n_src").as("quota"))
-    val w = Window.partitionBy("source").orderBy(col("h2"), col("doc_id"))
-    d.withColumn("rk", row_number().over(w))
+    BucketedWindow.rank(d, Seq("source"), shiftright(col("h2"), 18),
+        Seq(col("h2"), col("doc_id")), "rk")
       .crossJoin(broadcast(quota))
       .filter(col("rk") <= col("quota"))
-      .select(col("doc_id"), col("source"), col("rk"))
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
       .orderBy("source", "rk")
   }
 
@@ -348,15 +353,25 @@ object Curation {
     * source shard, documents are concatenated in doc_id order and cut
     * every `budget` tokens; a document owns the token span
     * [start_tok, start_tok + n_toks) and so lands in context bins
-    * [bin_first, bin_last]. Partitioned by shard so the running sum
-    * never serializes on a global order. */
+    * [bin_first, bin_last].
+    *
+    * Scale shape (round 15): the per-source running sum is
+    * [[BucketedWindow.runningSum]] — through round 14 it was a plain
+    * per-source window, which "never serializes on a GLOBAL order"
+    * but still serializes each Θ(corpus)-row source into one task
+    * (the t29/i14 single-reducer class). Buckets are ≤4096 doc_id
+    * ranges under a data-derived width (the 1-row scalar crossJoin
+    * idiom), so the largest task is one source's one range and the
+    * spans are bit-identical to the old window's. */
   def packing(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, dir)
+    val base = docs(s, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
-      .withColumn("end_tok", sum(col("n_toks")).over(w))
+    val wTab = base.agg(
+      expr("(coalesce(max(doc_id), 0L) + 4096L) div 4096L").as("__wd"))
+    BucketedWindow.runningSum(base.crossJoin(broadcast(wTab)),
+        Seq("source"), expr("doc_id div __wd"), Seq(col("doc_id")),
+        col("n_toks"), "end_tok")
       .withColumn("start_tok", col("end_tok") - col("n_toks"))
       .select(col("doc_id"), col("source"), col("n_toks"), col("start_tok"),
         expr(s"start_tok div ${budget}L").as("bin_first"),
@@ -602,16 +617,20 @@ object Curation {
     * in context bins [bin_first, bin_last].
     *
     * Scale shape: t34's chain (vocabulary-scale merge table, per-doc
-    * counts via a word-keyed join) plus ONE per-source windowed
-    * prefix sum — x04's discipline: partitioned by shard so the
-    * running sum never serializes on a global order. */
+    * counts via a word-keyed join) plus ONE per-source prefix sum —
+    * x04's round-15 discipline verbatim: [[BucketedWindow.runningSum]]
+    * over ≤4096 data-derived doc_id ranges, so no task ever holds a
+    * whole source (the old per-source window serialized Θ(corpus)
+    * rows into one task — the t29/i14 single-reducer class). */
   def bpePacking(s: SparkSession, dir: String): DataFrame = {
     val counts = bpeTokenize(s, dir).select(col("doc_id"), col("n_bpe"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, dir).select(col("doc_id"), col("source"))
+    val base = docs(s, dir).select(col("doc_id"), col("source"))
       .join(counts, "doc_id")
-      .withColumn("end_tok", sum(col("n_bpe")).over(w))
+    val wTab = base.agg(
+      expr("(coalesce(max(doc_id), 0L) + 4096L) div 4096L").as("__wd"))
+    BucketedWindow.runningSum(base.crossJoin(broadcast(wTab)),
+        Seq("source"), expr("doc_id div __wd"), Seq(col("doc_id")),
+        col("n_bpe"), "end_tok")
       .withColumn("start_tok", col("end_tok") - col("n_bpe"))
       .select(col("doc_id"), col("source"), col("n_bpe"), col("start_tok"),
         expr(s"start_tok div ${BpePackBudget}L").as("bin_first"),

@@ -189,6 +189,30 @@ object DupCluster {
   def ahashClusters(s: SparkSession, dir: String): DataFrame =
     clustersOf(computeAhashLabels(s, dir), "doc_id")
 
+
+  /** arg-max per cluster — the member maximizing (score desc, id asc)
+    * — as ONE partial-aggregable hash aggregate (round 15). The old
+    * form was a per-cluster row_number window filtered to rn = 1;
+    * its partition IS a duplicate cluster, and a boilerplate
+    * template's near-dup cluster is Θ(corpus) at 100 TB — the
+    * t29/i14 single-reducer class in its data-dependent flavor (no
+    * construction bound caps a cluster). min(struct(-score, id)) is
+    * the identical deterministic selection, combined map-side, so no
+    * task ever holds a cluster. Scores here are nonnegative (token
+    * counts, e6-floored norms, byte lengths) so the negation cannot
+    * overflow; the struct field keeps the score column's own type,
+    * preserving each report's gated schema. */
+  private[graft] def bestPerCluster(members: DataFrame, idCol: String,
+      scoreCol: String): DataFrame =
+    members.groupBy("cluster_id")
+      .agg(max("cluster_sz").as("cluster_sz"),
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+          .as("__best"))
+      .select(col("cluster_id"), col("__best.id").as(idCol),
+        col("cluster_sz"), (-col("__best.ns")).as(scoreCol))
+
+
+
   /** m08: keep-best per perceptual cluster — the LAION-class curation
     * rule: among perceptual duplicates keep the LARGEST payload (the
     * highest-resolution/least-recompressed variant; byte_len is the
@@ -207,11 +231,7 @@ object DupCluster {
     val cl = clustersOf(labels, "doc_id")
     val bl = graft.operators.Multimodal.mediaTable(s, dir).toDF()
       .select(col("doc_id"), col("byte_len"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("byte_len").desc, col("doc_id"))
-    cl.join(bl, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    bestPerCluster(cl.join(bl, "doc_id"), "doc_id", "byte_len")
       .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
         col("cluster_sz"), col("byte_len").as("rep_byte_len"))
       .orderBy("cluster_id")
@@ -264,11 +284,7 @@ object DupCluster {
     val nr = Similarity.vecNorms(s, dir)
       .select(col("vec_id"),
         floor(col("nrm") * 1000000).cast("long").as("norm_e6"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("norm_e6").desc, col("vec_id"))
-    cl.join(nr, "vec_id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    bestPerCluster(cl.join(nr, "vec_id"), "vec_id", "norm_e6")
       .select(col("cluster_id"), col("vec_id").as("rep_vec_id"),
         col("cluster_sz"), col("norm_e6").as("rep_norm_e6"))
       .orderBy("cluster_id")
@@ -290,11 +306,7 @@ object DupCluster {
     val nr = Similarity.vecNorms(s, dir)
       .select(col("vec_id"),
         floor(col("nrm") * 1000000).cast("long").as("norm_e6"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("norm_e6").desc, col("vec_id"))
-    cl.join(nr, "vec_id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    bestPerCluster(cl.join(nr, "vec_id"), "vec_id", "norm_e6")
       .select(col("cluster_id"), col("vec_id").as("rep_vec_id"),
         col("cluster_sz"), col("norm_e6").as("rep_norm_e6"))
       .orderBy("cluster_id")
@@ -321,11 +333,7 @@ object DupCluster {
       .fanOut(graft.engine.Tables.t(s, dir, "documents"))
       .select(col("doc_id"),
         size(graft.operators.TextHash.tokens(col("text"))).as("n_toks"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("n_toks").desc, col("doc_id"))
-    cl.join(ntoks, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    bestPerCluster(cl.join(ntoks, "doc_id"), "doc_id", "n_toks")
       .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
         col("cluster_sz"), col("n_toks").cast("int").as("rep_n_toks"))
       .orderBy("cluster_id")

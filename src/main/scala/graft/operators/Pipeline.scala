@@ -118,8 +118,13 @@ object Pipeline {
     * plan (the expensive ones — d17's pair matrix, t32's sketch —
     * reduce to |sources|-scale outputs before this query touches
     * them); the card itself is |sources| rows of left joins plus two
-    * doc-level aggregations (quality keep counts, novelty median)
-    * that shuffle (doc_id → source)-keyed longs once each. */
+    * doc-level aggregations (quality keep counts, the novelty value
+    * census) that shuffle (doc_id → source)-keyed longs once each.
+    * The median is selected from the per-(source, value) census —
+    * ≤ 1,000,001 rows per source regardless of corpus size, t29's
+    * value-domain collapse — never by ranking documents (round 15;
+    * the old per-source row_number window sorted a whole Θ(corpus)
+    * source in one task). */
   def pretrainCard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
@@ -162,11 +167,23 @@ object Pipeline {
       .agg(sum(when(col("keep") === 1, 1L).otherwise(0L)).as("n_keep"))
     val nvDoc = TextAnalysis.noveltyFrom(sh)
       .select(col("doc_id"), col("novelty_e6")).join(d, "doc_id")
-    val nv = nvDoc
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("source").orderBy("novelty_e6")))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
-      .filter(col("rn") === expr("(cnt + 1) div 2"))
+    // exact per-source lower median WITHOUT ranking any document
+    // (round 15 — the old per-source row_number window ranked a whole
+    // Θ(corpus)-row source in one task, the t29/i14 single-reducer
+    // class): collapse to the per-(source, value) census — novelty_e6
+    // lives in [0, 1e6], so the census is ≤ 1,000,001 rows per source
+    // REGARDLESS of corpus size (t29's value-domain collapse) — then
+    // take the value whose cumulative count first reaches ⌈n/2⌉.
+    // Ties make the rank-⌈n/2⌉ VALUE well-defined either way, so this
+    // is exactly the old window's answer.
+    val nvCen = nvDoc.groupBy("source", "novelty_e6")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy("novelty_e6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nv = nvCen
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("tot", sum("c").over(Window.partitionBy("source")))
+      .filter(expr("cum - c < (tot + 1) div 2 AND cum >= (tot + 1) div 2"))
       .select(col("source"), col("novelty_e6").as("med_novelty_e6"))
     ep.join(dr, Seq("source"), "left")
       .join(ed, Seq("source"), "left")

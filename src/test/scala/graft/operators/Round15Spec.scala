@@ -106,6 +106,147 @@ class Round15Spec extends AnyFunSuite {
       s"radix selection diverges at magnitude extremes: $got")
   }
 
+  test("BucketedWindow.rank == plain window rank, under skew and ties") {
+    import spark.implicits._
+    // a deliberately nasty frame: one hot part (1000 rows), one tiny
+    // part, heavy order-key ties (both inside buckets and straddling
+    // rows of equal leading key), empty buckets in between, and a
+    // secondary tiebreak column — the two forms must agree ROW BY ROW
+    val rows = (0 until 1000).map(i =>
+        ("hot", (i % 7).toLong * 100L, (1000 - i).toLong)) ++
+      Seq(("cold", 5L, 1L), ("cold", 5L, 0L), ("cold", 9999L, 7L))
+    val df = rows.toDF("src", "k", "tie").repartition(7)
+    val plain = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("k"), col("tie"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = BucketedWindow.rank(df, Seq("src"),
+        shiftright(col("k"), 8), Seq(col("k"), col("tie")), "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == plain, s"bucketed rank diverges: " +
+      s"extra=${(got -- plain).take(3)} missing=${(plain -- got).take(3)}")
+  }
+
+  test("BucketedWindow.runningSum == plain window prefix sum") {
+    import spark.implicits._
+    val rows = (0 until 800).map(i =>
+      (if (i % 5 == 0) "a" else "b", i.toLong, (i % 13).toLong + 1L))
+    val df = rows.toDF("src", "id", "v").repartition(5)
+    val plain = df.withColumn("s", sum("v").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy("id").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    val got = BucketedWindow.runningSum(df, Seq("src"),
+        shiftright(col("id"), 6), Seq(col("id")), col("v"), "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    assert(got == plain, s"bucketed prefix sum diverges")
+  }
+
+  test("x11/x04/x26 bucketed forms equal their plain-window replicas") {
+    // the gated row-hash oracle already pins these (the DuckDB SQL is
+    // the plain window form); this law pins them IN-ENGINE at a
+    // second fixture so a Spark-side divergence cannot hide behind an
+    // oracle quirk. sf0.001 keeps the replica windows cheap.
+    val d = "/root/testdata/sf0.001"
+    val mix = Curation.mixtureSample(spark, d).collect()
+      .map(_.toString).toSet
+    val h2 = graft.operators.TextHash.rollingHashExpr("t", TextHash.P2)
+    val mixBase = graft.engine.Tables.t(spark, d, "documents")
+      .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), expr(h2).as("h2"))
+    val mixRep = mixBase
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("h2"), col("doc_id"))))
+      .crossJoin(broadcast(mixBase.agg(count(lit(1)).as("nt"),
+        countDistinct(col("source")).as("ns"))
+        .select(expr("(nt div 2L) div ns").as("quota"))))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
+      .orderBy("source", "rk").collect().map(_.toString).toSet
+    assert(mix == mixRep, "x11 diverges from the plain-window replica")
+    val pack = Curation.packing(spark, d).collect().map(_.toString).toSet
+    val packRep = graft.engine.Tables.t(spark, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.operators.TextHash.tokens(col("text"))).cast("long")
+          .as("n_toks"))
+      .withColumn("end_tok", sum("n_toks").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("doc_id").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("start_tok", col("end_tok") - col("n_toks"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("start_tok"),
+        expr("start_tok div 256L").as("bin_first"),
+        expr("(end_tok - 1) div 256L").as("bin_last"))
+      .collect().map(_.toString).toSet
+    assert(pack == packRep, "x04 diverges from the plain-window replica")
+    // x26's median: the census selection equals a rank-based median
+    // over every per-source novelty list, replayed in plain Scala
+    val nvRows = graft.operators.TextAnalysis
+      .noveltyFrom(graft.operators.TextHash.shingleHashesMemo(spark, d))
+      .join(graft.engine.Tables.t(spark, d, "documents")
+        .select("doc_id", "source"), "doc_id")
+      .select("source", "novelty_e6").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val medRep = nvRows.groupBy(_._1).map { case (src, xs) =>
+      val v = xs.map(_._2).sorted
+      src -> v((v.length + 1) / 2 - 1)
+    }
+    val med = Pipeline.pretrainCard(spark, d)
+      .select("source", "med_novelty_e6").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(medRep.forall { case (s, m) => med.get(s).contains(m) },
+      s"x26 median diverges: got $med expected $medRep")
+  }
+
+  test("keep-best arg-max aggregate == per-cluster rank window") {
+    import spark.implicits._
+    // the 100-TB failure shape: one boilerplate mega-cluster with
+    // thousands of members and heavy score ties (i % 17 collides
+    // ~300 deep), plus a two-member tie cluster and a singleton; the
+    // aggregate must pick exactly the old window's rank-1 row
+    val rows = (0L until 5000L).map(i => (0L, i, i % 17)) ++
+      Seq((1L, 10L, 5L), (1L, 11L, 5L), (2L, 42L, 0L))
+    val members = rows.toDF("cluster_id", "id", "score")
+      .withColumn("cluster_sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .repartition(6)
+    val plain = members.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") === 1)
+      .select("cluster_id", "id", "cluster_sz", "score")
+      .collect().map(_.toString).toSet
+    val got = DupCluster.bestPerCluster(members, "id", "score")
+      .select("cluster_id", "id", "cluster_sz", "score")
+      .collect().map(_.toString).toSet
+    assert(got == plain, s"bestPerCluster diverges: $got")
+  }
+
+  test("keep-best plans carry no window at all") {
+    // the rework's point, pinned structurally: d07/d10/m08/s12 select
+    // their representative with a partial-aggregable hash aggregate —
+    // a Window node anywhere in the plan means the per-cluster
+    // single-task sort is back (a dup cluster has NO construction
+    // bound; one template's near-dups are Θ(corpus))
+    val qs = Seq("d07_keep_best", "d10_keep_best_embedding",
+      "m08_keep_best_media", "s12_semantic_reps")
+    for (q <- qs) {
+      val wins = graft.SparkEntry.queries(q)(spark, dir).queryExecution
+        .optimizedPlan.collectWithSubqueries {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      assert(wins.isEmpty, s"$q plans a window again:\n${wins.headOption}")
+    }
+  }
+
   test("i14 plan has no per-term rank window over the postings") {
     // the point of the round-15 rework: the only windows left in the
     // pruned branch run over ≤512-row radix histograms (ordered by

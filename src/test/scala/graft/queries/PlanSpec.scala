@@ -338,6 +338,9 @@ class PlanSpec extends AnyFunSuite {
                           // (deterministic octave×sub buckets), never
                           // corpus-proportional; the dedicated t29 pin
                           // asserts the census bound executably
+      "x04_packing", // 1-row data-derived bucket-width scalar (the
+                     // round-15 BucketedWindow prefix sum) — x28's
+                     // sibling
       "x08_upsert", "x09_scd2", // 1-row watermark-cutoff scalar
       "z01_zorder", // 1-row min-hour scalar
       "q20_scalar_subquery", "q43_cte", // 1-row aggregate scalar compare
@@ -404,6 +407,11 @@ class PlanSpec extends AnyFunSuite {
       "x10_serving_card", "x11_mixture_sample", "x14_temperature_sample",
       "x23_embargo_split", "x25_epoch_allocation", "x30_shard_manifest",
       "z01_zorder",
+      "x04_packing", // 1-row bucket-width scalar + the ≤4096-row-per-
+                     // source BucketedWindow offset histogram (both
+                     // construction-bounded; round 15). x11/x26/x28
+                     // gained the same offset-histogram hint and were
+                     // already enrolled for their other bounded sides.
       "z02_pruning_report", "z03_bloom_report", "i02_phrase_search",
       "i04_proximity_search", "i09_diversified_search", "t33_source_drift",
       "x26_pretrain_card", // composes x25's 1-row + t33's top-V hints
@@ -623,6 +631,32 @@ class PlanSpec extends AnyFunSuite {
       !w.orderSpec.exists(_.child.references.exists(
         _.name == "contrib_e6")),
       s"i14 regressed to a per-term contribution rank window:\n$w"))
+  }
+
+  test("x04/x11/x26/x28 never window a whole source in one task") {
+    // round 15's generalization of the t29/i14 single-reducer kill: a
+    // Window partitioned ONLY by source holds a Θ(corpus)-row
+    // partition (sources are few). After the BucketedWindow rework,
+    // the only legal per-source-ONLY windows run over AGGREGATED
+    // frames (the ≤4096-row bucket histograms, the value-domain
+    // novelty census, the |sources|²-row overlap table) — pin that
+    // structurally: every single-column `source` window partition
+    // must sit above an Aggregate, never directly on document rows.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    for (q <- Seq("x04_packing", "x11_mixture_sample",
+        "x26_pretrain_card", "x28_bpe_packing")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val wins = df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case w: LW => w
+      }
+      wins.foreach { w =>
+        val srcOnly = w.partitionSpec.size == 1 &&
+          w.partitionSpec.head.references.exists(_.name == "source")
+        if (srcOnly)
+          assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+            s"$q windows a whole source over raw rows:\n$w")
+      }
+    }
   }
 
   test("t34 rewrites stay narrow: no shuffle carries symbol arrays") {

@@ -267,6 +267,17 @@ object Bench {
         // from it — a round-14 finding (t36/t37/x33 flipped on a
         // TextAnalysis edit nowhere near their code)
         .replaceAll("at [A-Za-z0-9_$.]+\\.scala:\\d+", "at <src>")
+        // a checkpoint scan's outputPartitioning prints the RDD's
+        // PARTITION COUNT (UnknownPartitioning(N)) — a runtime
+        // artifact: AQE coalescing and input timing pick how many
+        // partitions the checkpointed frame materialized with, so the
+        // same code can print 0, 1, or 4 across sessions (round-15
+        // finding: i14's radix checkpoints split the sf1 bench
+        // repeats' fingerprints and bench_merge refused the merge).
+        // Shuffle widths stay significant — hashpartitioning(col, 32)
+        // is untouched; only the Unknown form is runtime-derived.
+        .replaceAll("UnknownPartitioning\\(\\d+\\)",
+          "UnknownPartitioning(_)")
         // JVM-assigned lambda identities in MapPartitions/object nodes
         // (the multimodal codec boundary): Foo$$Lambda$1397/0x7f...
         .replaceAll("\\$\\$Lambda[$/0-9a-fx@.]*", "\\$\\$Lambda")

@@ -163,37 +163,64 @@ object Bench {
       }
       -1
     }
-    // rebuild, sorting each group's top-level comma elements
-    def canonElem(e: String): String = {
-      val sb = new StringBuilder
+    // rebuild, sorting each group's top-level comma elements. Every
+    // walk runs over PAIRED strings of equal length: `m` (masked) is
+    // what bracket pairing and the sort ORDER trust; `o` (original,
+    // gid-blanked) supplies the EMITTED characters — so literal
+    // content survives canonicalization intact. Round 15 emitted the
+    // masked text itself, which collapsed two genuinely different
+    // plans whose literals differ only in structural characters
+    // (rlike '[ab]' vs '(ab)' both emitted as '_ab_') — the exact
+    // false identity the round-13 bail-out existed to prevent
+    // (round-15 ADVICE). Returns (canonMasked, canonOriginal); ties
+    // on the masked sort key break by the original text, so the
+    // output is still deterministic.
+    def canonElem(m: String, o: String): (String, String) = {
+      val sbM = new StringBuilder
+      val sbO = new StringBuilder
       var i = 0
-      while (i < e.length) {
-        val ch = e.charAt(i)
+      while (i < m.length) {
+        val ch = m.charAt(i)
         if (ch == '[' || ch == '(') {
-          val close = matching(e, i)
-          if (close < 0) { sb.append(e.substring(i)); i = e.length }
-          else {
-            sb.append(ch).append(canonSeg(e.substring(i + 1, close)))
-              .append(if (ch == '[') ']' else ')')
+          val close = matching(m, i)
+          if (close < 0) {
+            sbM.append(m.substring(i)); sbO.append(o.substring(i))
+            i = m.length
+          } else {
+            val (cm, co) =
+              canonSeg(m.substring(i + 1, close), o.substring(i + 1, close))
+            val cl = if (ch == '[') ']' else ')'
+            sbM.append(ch).append(cm).append(cl)
+            sbO.append(o.charAt(i)).append(co).append(cl)
             i = close + 1
           }
-        } else { sb.append(ch); i += 1 }
+        } else { sbM.append(ch); sbO.append(o.charAt(i)); i += 1 }
       }
-      sb.result()
+      (sbM.result(), sbO.result())
     }
-    def canonSeg(s: String): String = {
-      val parts = scala.collection.mutable.ArrayBuffer[String]()
-      val cur = new StringBuilder
+    def canonSeg(m: String, o: String): (String, String) = {
+      val cuts = scala.collection.mutable.ArrayBuffer[Int]()
       var depth = 0
-      s.foreach { ch =>
+      var i = 0
+      while (i < m.length) {
+        val ch = m.charAt(i)
         if (ch == '[' || ch == '(') depth += 1
         else if (ch == ']' || ch == ')') depth -= 1
-        if (ch == ',' && depth == 0) { parts += cur.result(); cur.clear() }
-        else cur.append(ch)
+        else if (ch == ',' && depth == 0) cuts += i
+        i += 1
       }
-      parts += cur.result()
-      val canoned = parts.map(p => canonElem(p.trim))
-      (if (canoned.size > 1) canoned.sorted else canoned).mkString(", ")
+      val bounds = (Seq(-1) ++ cuts ++ Seq(m.length)).sliding(2).toSeq
+      val parts = bounds.map { b =>
+        // trim by m's whitespace — masking never touches whitespace,
+        // so m and o share every whitespace position
+        var s = b.head + 1
+        var e = b.last
+        while (s < e && m.charAt(s).isWhitespace) s += 1
+        while (e > s && m.charAt(e - 1).isWhitespace) e -= 1
+        canonElem(m.substring(s, e), o.substring(s, e))
+      }
+      val sorted = if (parts.size > 1) parts.sorted else parts
+      (sorted.map(_._1).mkString(", "), sorted.map(_._2).mkString(", "))
     }
     // sorting trusts bracket pairing, and bracket chars may hide
     // inside string literals (e.g. a regexp pattern in a FILTER).
@@ -211,7 +238,8 @@ object Bench {
       masked.count(_ == '[') != masked.count(_ == ']') ||
       masked.count(_ == '(') != masked.count(_ == ')')
     if (unsortable) blanked
-    else try canonElem(masked) catch { case _: Throwable => blanked }
+    else try canonElem(masked, blanked)._2
+    catch { case _: Throwable => blanked }
   }
 
   /** Replace brackets/parens/commas INSIDE quoted spans with '_',

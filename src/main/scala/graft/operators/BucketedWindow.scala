@@ -54,7 +54,7 @@ object BucketedWindow {
     val hist = b.groupBy(partB.map(col): _*).agg(count(lit(1)).as("__c"))
     val off = withExclusivePrefix(hist, part, sumCol = "__c")
       .select(partB.map(col) :+ col("__off"): _*)
-    b.join(broadcast(off), partB)
+    joinOffsets(b, off, partB)
       .withColumn(out,
         row_number().over(Window.partitionBy(partB.map(col): _*)
           .orderBy(ord: _*)).cast("long") + col("__off"))
@@ -71,7 +71,7 @@ object BucketedWindow {
     val hist = b.groupBy(partB.map(col): _*).agg(sum("__v").as("__c"))
     val off = withExclusivePrefix(hist, part, sumCol = "__c")
       .select(partB.map(col) :+ col("__off"): _*)
-    b.join(broadcast(off), partB)
+    joinOffsets(b, off, partB)
       .withColumn(out,
         sum("__v").over(Window.partitionBy(partB.map(col): _*)
           .orderBy(ord: _*)
@@ -79,6 +79,37 @@ object BucketedWindow {
           + col("__off"))
       .drop("__bkt", "__off", "__v")
   }
+
+  /** Rejoin data rows to their broadcast per-(part, bucket) offsets
+    * with NULL-SAFE key equality. `Window.partitionBy` keeps a NULL
+    * partition key as its own group (and groupBy aggregates it as
+    * one), but a plain equi-join's `=` never matches NULL = NULL —
+    * through round 15 a null `source` (nullable parquet column) would
+    * have been silently DROPPED here instead of ranked/packed, the
+    * one row-loss path in an otherwise window-identical mechanism
+    * (round-15 ADVICE). `<=>` keeps the join a broadcast HASH join
+    * (null-safe equality is a hashable key) and restores exact
+    * window-partition semantics for null keys. */
+  private def joinOffsets(b: DataFrame, off: DataFrame,
+      partB: Seq[String]): DataFrame = {
+    val offR = partB.foldLeft(off)((d, c) =>
+      d.withColumnRenamed(c, s"__o_$c"))
+    b.join(broadcast(offR),
+        partB.map(c => col(c) <=> col(s"__o_$c")).reduce(_ && _))
+      .drop(partB.map(c => s"__o_$c"): _*)
+  }
+
+  /** Telemetry frame for a call site: the (part..., __bkt, n) group
+    * sizes of exactly the frame the in-bucket window runs over. The
+    * construction's scale law — "the largest single task is ONE
+    * bucket" — is max(n) here; ScaleStress records it at
+    * sf0.1/×10/×30 for every call site so the bound is measured,
+    * not asserted (round-15 verdict item 4). */
+  def groupSizes(df: DataFrame, part: Seq[String],
+      bucket: Column): DataFrame =
+    df.withColumn("__bkt", bucket)
+      .groupBy((part :+ "__bkt").map(col): _*)
+      .agg(count(lit(1)).as("n"))
 
   /** Exclusive per-part prefix of `sumCol` over the bucket histogram,
     * ordered by bucket — a window over the construction-bounded

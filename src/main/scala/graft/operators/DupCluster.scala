@@ -200,16 +200,32 @@ object DupCluster {
     * the identical deterministic selection, combined map-side, so no
     * task ever holds a cluster. Scores here are nonnegative (token
     * counts, e6-floored norms, byte lengths) so the negation cannot
-    * overflow; the struct field keeps the score column's own type,
-    * preserving each report's gated schema. */
+    * overflow; the struct fields keep the score column's own type,
+    * preserving each report's gated schema.
+    *
+    * NULL parity (round-15 ADVICE): the replaced window's `desc`
+    * default is NULLS LAST — a null-scored member loses to every
+    * non-null one — but a bare min(struct(-score, id)) sorts a NULL
+    * struct field FIRST ascending, silently flipping the
+    * representative on nullable parquet score columns. The struct
+    * leads with an explicit null flag (0 non-null < 1 null) and
+    * coalesces the negated key, reproducing desc-NULLS-LAST exactly;
+    * the trailing `sc` field carries the untouched original score
+    * (never compared — `id` is unique) so an all-null cluster still
+    * reports its representative's own NULL score, as the window
+    * did. */
   private[graft] def bestPerCluster(members: DataFrame, idCol: String,
       scoreCol: String): DataFrame =
     members.groupBy("cluster_id")
       .agg(max("cluster_sz").as("cluster_sz"),
-        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+        min(struct(
+          when(col(scoreCol).isNull, lit(1)).otherwise(lit(0)).as("nf"),
+          (-coalesce(col(scoreCol), lit(0))).as("ns"),
+          col(idCol).as("id"),
+          col(scoreCol).as("sc")))
           .as("__best"))
       .select(col("cluster_id"), col("__best.id").as(idCol),
-        col("cluster_sz"), (-col("__best.ns")).as(scoreCol))
+        col("cluster_sz"), col("__best.sc").as(scoreCol))
 
 
 

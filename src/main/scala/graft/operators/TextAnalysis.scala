@@ -584,75 +584,97 @@ object TextAnalysis {
     * per-term rank window produced (Round15Spec proves the identity
     * law) — WITHOUT ever sorting a posting list:
     *
-    *  1. k_t per term from df (one row per roster term).
+    *  1. k_t per term from df (one row per roster term, collected).
     *  2. Seven radix levels: histogram the current candidate range
     *     into ≤512 per-term buckets (partial-agg groupBy — the only
-    *     corpus-scale work, embarrassingly parallel), exclusive
-    *     prefix-sum the ≤512-row-per-term bucket table from the top
-    *     (a window over the HISTOGRAM, never over postings), pick
-    *     the bucket where the cumulative count crosses the residual
-    *     need, and descend. After level 7 the bucket IS the exact
-    *     threshold value v_t and the residual need is the tie
-    *     budget.
+    *     corpus-scale work, embarrassingly parallel), collect the
+    *     ≤ terms×512-row histogram to the DRIVER, walk it highest
+    *     bucket first to the bucket where the cumulative count
+    *     crosses the residual need, and descend by re-filtering the
+    *     persisted postings against the ≤ terms-row local bucket
+    *     table (the level-k bucket determines all earlier ones, so
+    *     one filter suffices — the plan stays one join deep). After
+    *     level 7 the bucket IS the exact threshold value v_t and the
+    *     residual need is the tie budget.
     *  3. Postings with contrib > v_t are kept by a broadcast-join
-    *     filter; postings AT v_t keep the tie_need smallest doc_ids
-    *     (exact bounded tie-resolution — the per-term window runs
-    *     over the tie set alone, whose size [[PruneMaxRankedDf]]
-    *     pins in-plan).
+    *     filter against the local threshold table; postings AT v_t
+    *     keep the tie_need smallest doc_ids (exact bounded
+    *     tie-resolution — the per-term window runs over the tie set
+    *     alone, whose size [[PruneMaxRankedDf]] caps).
+    *
+    * The per-level selection state lives on the DRIVER (round-15
+    * ADVICE): through round 15 each level localCheckpoint-ed a
+    * ≤ terms-row frame, which (a) baked runtime RDD partition counts
+    * into the plan — the UnknownPartitioning leak that split the sf1
+    * bench fingerprints — and (b) pinned checkpoint blocks for the
+    * session. Collecting the same ≤ terms×512 rows instead keeps the
+    * returned plan free of runtime artifacts (the thresholds enter
+    * as a LocalRelation) at the same job count. The walk still runs
+    * at frame CONSTRUCTION either way — the join sides are
+    * data-derived — which is also where the tie-set refusal now
+    * fires: a driver-side require (the d05/d15 guard class — refuse
+    * at build, before the tie window is even constructed) with the
+    * [[PruneMaxRankedDf]] constant in the message.
     *
     * At 100 TB each level is one rescan of the persisted roster
-    * postings plus a ≤ terms×512-row shuffle; no task ever holds
-    * more than one histogram bucket or the (capped) tie set. The
-    * returned frame carries the tie-set guard in-plan, so every
-    * caller inherits the named refusal. */
+    * postings plus a ≤ terms×512-row driver collect; no task ever
+    * holds more than one histogram bucket or the (capped) tie set. */
   private[graft] def prunedPostings(postings: DataFrame): DataFrame = {
-    var bound = postings.groupBy("term").agg(max("df").as("df"))
-      .select(col("term"),
-        expr(s"(df * $PruneKeepPermille + 999) div 1000").as("need"))
+    val s = postings.sparkSession
+    import s.implicits._
+    // residual need per term; level 1 starts at k_t = ceil(df·p/1000)
+    var need: Map[String, Long] = postings.groupBy("term")
+      .agg(max("df").as("df")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1) * PruneKeepPermille + 999) / 1000)).toMap
     var cur = postings.select(col("term"), col("contrib_e6"))
-    var sel: DataFrame = null
+    // term -> (bucket, residual need, bucket count) after each level
+    var sel: Map[String, (Long, Long, Long)] = Map.empty
     for (shift <- PruneRadixShifts) {
       val hist = cur
         .select(col("term"), shiftright(col("contrib_e6"), shift).as("bk"))
         .groupBy("term", "bk").agg(count(lit(1)).as("cnt"))
-        .join(broadcast(bound), "term")
-      // exclusive prefix over the ≤512-row per-term bucket table,
+        .collect() // ≤512 rows per roster term
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
       // highest bucket first: `above` = postings strictly above this
-      // bucket within the current candidate range.
-      val pref = hist.withColumn("above",
-        coalesce(sum("cnt").over(Window.partitionBy("term")
-          .orderBy(col("bk").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // exactly one row per term: cumulative count crosses the need.
-      // eager localCheckpoint (the DupCluster fixpoint discipline):
-      // sel is ≤ 1 row per roster term, but it is BOTH the next
-      // level's filter join side and its histogram bound — without
-      // truncation each level's plan embeds two copies of the
-      // previous level's, and the broadcast subplans re-execute
-      // exponentially (2^7 by level 7). Truncating the ≤4-row frame
-      // keeps every level's plan linear over the persisted postings.
-      sel = pref
-        .filter(col("above") < col("need") &&
-          col("above") + col("cnt") >= col("need"))
-        .select(col("term"), col("bk"),
-          (col("need") - col("above")).as("need"), col("cnt"))
-        .localCheckpoint(true)
-      cur = cur.join(broadcast(sel.select(col("term"), col("bk"))), Seq("term"))
+      // bucket within the current candidate range; exactly one bucket
+      // per term crosses the residual need (counts are positive and
+      // need ≤ the range's total by construction).
+      sel = hist.flatMap { case (term, rows) =>
+        val n = need(term)
+        var above = 0L
+        var hit: Option[(Long, Long, Long)] = None
+        for ((_, bk, cnt) <- rows.sortBy(-_._2) if hit.isEmpty) {
+          if (above < n && above + cnt >= n)
+            hit = Some((bk, n - above, cnt))
+          above += cnt
+        }
+        hit.map(term -> _)
+      }
+      // descend: the level-k bucket refines level k−1's (bk_{k-1} =
+      // bk_k >> 9), so filtering the PERSISTED postings on this
+      // level's bucket alone reproduces the whole chain — the plan
+      // never deepens past one local-table join.
+      val selDf = sel.toSeq.sortBy(_._1)
+        .map { case (t, (bk, _, _)) => (t, bk) }.toDF("term", "bk")
+      cur = postings.select(col("term"), col("contrib_e6"))
+        .join(broadcast(selDf), Seq("term"))
         .filter(shiftright(col("contrib_e6"), shift) === col("bk"))
         .select(col("term"), col("contrib_e6"))
-      bound = sel.select(col("term"), col("need"))
+      need = sel.map { case (t, (_, n, _)) => t -> n }
     }
-    val thr = sel.select(col("term"), col("bk").as("vt"),
-      col("need").as("tie_need"), col("cnt").as("tie_cnt"))
     // tie-resolution bound: the only remaining per-term window runs
-    // over the tie set; refuse loudly past the documented ceiling.
-    // coalesce: an empty corpus must return empty, not a NULL error.
-    val guard = thr.agg(max(col("tie_cnt")).as("mx"))
-      .select(assert_true(coalesce(col("mx"), lit(0L)) <= PruneMaxRankedDf,
-        concat(lit(s"indexPruning threshold tie set over the " +
-          s"$PruneMaxRankedDf bounded tie-resolution ceiling " +
-          "(postings sharing one exact contribution value): "),
-          col("mx"))).as("tie_ok"))
+    // over the threshold tie set; refuse loudly — at frame build, the
+    // moment the walk knows the tie counts — past the ceiling.
+    val maxTie = sel.values.map(_._3).maxOption.getOrElse(0L)
+    require(maxTie <= PruneMaxRankedDf,
+      s"indexPruning threshold tie set over the $PruneMaxRankedDf " +
+        "bounded tie-resolution ceiling (postings sharing one exact " +
+        s"contribution value): $maxTie")
+    val thr = sel.toSeq.sortBy(_._1)
+      .map { case (t, (vt, tn, _)) => (t, vt, tn) }
+      .toDF("term", "vt", "tie_need")
     val withThr = postings.join(broadcast(thr), "term")
     val keptHigh = withThr.filter(col("contrib_e6") > col("vt"))
     val keptTies = withThr.filter(col("contrib_e6") === col("vt"))
@@ -660,8 +682,6 @@ object TextAnalysis {
         Window.partitionBy("term").orderBy("doc_id")))
       .filter(col("trn") <= col("tie_need")).drop("trn")
     keptHigh.unionByName(keptTies)
-      .crossJoin(broadcast(guard)) // 1-row guard rides the plan
-      .filter(col("tie_ok").isNull) // always true; forces evaluation
       .select(col("term"), col("doc_id"), col("df"), col("contrib_e6"))
   }
 
@@ -1842,6 +1862,32 @@ object TextAnalysis {
       .select("doc_id", "source", "y", "bucket", "tf")
   }
 
+  @volatile private var lastLabeledFeatures
+      : Option[(SparkSession, String, DataFrame)] = None
+
+  /** Build-once labeled feature stream per (session, dir) — the
+    * substringSpansMemo convention, EAGER ON CONSTRUCTION. Round-15
+    * verdict item 5: cls_weights (t36/x33's full-corpus training) and
+    * cls_eval (t37's split training + scoring) each rebuilt this
+    * corpus-scale tokenize+hash+label pass inside their own builds —
+    * together ~35 s of the sf0.1 cold start, visible in
+    * memo_build_sec. One localCheckpoint-materialized frame now
+    * serves both trainings (and the label guard fires here, at the
+    * shared build, exactly once). Production analog: featurize once,
+    * train N model variants from the artifact. */
+  private[operators] def labeledFeaturesMemo(
+      s: SparkSession, dir: String): DataFrame =
+    lastLabeledFeatures match {
+      // Memos.alive: auto-invalidate on lost checkpoint blocks
+      case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
+          Memos.alive(g) => g
+      case _ => Memos.timedBuild("labeled_features", dir) {
+        val g = labeledFeatures(s, dir).localCheckpoint()
+        lastLabeledFeatures = Some((s, dir, g))
+        g
+      }
+    }
+
   /** The hard-example batch-perceptron loop over a labeled feature
     * stream — the t36 scaladoc's recurrence, factored out so t36
     * (full corpus) and t37 (train fold) run LITERALLY the same loop.
@@ -1896,17 +1942,20 @@ object TextAnalysis {
       // Memos.alive: auto-invalidate on lost checkpoint blocks
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
           Memos.alive(g) => g
-      case _ => Memos.timedBuild("cls_weights", dir) {
-        val ft = labeledFeatures(s, dir)
-          .persist() // every round joins the labeled feature stream twice
-        val g = trainWeights(s, ft)
-        ft.unpersist() // rounds are checkpoint-materialized; safe to drop
-        lastClsWeights = Some((s, dir, g))
-        g
-      }
+      case _ =>
+        // built OUTSIDE timedBuild so memo_build_sec attributes the
+        // shared feature pass to its own labeled_features row, not to
+        // whichever training happens to touch it first
+        val ft = labeledFeaturesMemo(s, dir)
+        Memos.timedBuild("cls_weights", dir) {
+          val g = trainWeights(s, ft)
+          lastClsWeights = Some((s, dir, g))
+          g
+        }
     }
 
   private[operators] def invalidateMemos(): Unit = {
+    lastLabeledFeatures = None
     lastClsWeights = None
     lastClsEval = None
   }
@@ -1987,19 +2036,26 @@ object TextAnalysis {
       // Memos.alive: auto-invalidate on lost checkpoint blocks
       case Some((ms, mdir, g)) if (ms eq s) && mdir == dir &&
           Memos.alive(g) => g
-      case _ => Memos.timedBuild("cls_eval", dir) {
-        val g = buildClassifierEval(s, dir)
-        lastClsEval = Some((s, dir, g))
-        g
-      }
+      case _ =>
+        // shared feature memo built outside the timer (cls_weights'
+        // convention) — this is where the round-15 ~35 s double
+        // featurization drops out of the cold start
+        val ft = labeledFeaturesMemo(s, dir)
+        Memos.timedBuild("cls_eval", dir) {
+          val g = buildClassifierEval(s, ft)
+          lastClsEval = Some((s, dir, g))
+          g
+        }
     }
 
-  private def buildClassifierEval(s: SparkSession, dir: String): DataFrame = {
-    val ft = labeledFeatures(s, dir)
+  private def buildClassifierEval(s: SparkSession, ftMemo: DataFrame)
+      : DataFrame = {
+    // the memoized stream is already checkpoint-materialized — the
+    // training rounds and the scoring pass read its blocks directly
+    val ft = ftMemo
       .withColumn("holdout",
         (expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L") % EvalFolds === 0L)
           .cast("int"))
-      .persist() // training rounds + the final scoring pass share it
     val w = trainWeights(s, ft.filter(col("holdout") === 0))
     val out = ft.join(broadcast(w), "bucket")
       .groupBy("doc_id", "source", "y", "holdout")
@@ -2017,7 +2073,6 @@ object TextAnalysis {
         sum(when(col("y") === -1L && col("pred") === -1L, 1L).otherwise(0L))
           .as("tn"))
       .localCheckpoint() // eager ~40-row card; the memo hands it out
-    ft.unpersist() // rounds + the scoring pass are materialized; drop
     out
   }
 }

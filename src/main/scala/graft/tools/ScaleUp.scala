@@ -78,7 +78,16 @@ object ScaleUp {
     val keepRoster = args.lift(3).contains("keep-roster")
     // token-start-anchored salt pattern; in keep-roster mode a
     // negative lookahead exempts exact (case-insensitive) roster
-    // terms — "scans" still salts when the roster holds "scan"
+    // terms — "scans" still salts when the roster holds "scan".
+    // The exemption boundary `(?!\S)` is DELIBERATELY the same
+    // delimiter as [[graft.operators.TextHash.tokens]] (whitespace
+    // split): a punctuation-adjacent occurrence like "hash," is the
+    // single token "hash," under that tokenizer — never a roster df
+    // hit — both before salting and after ("hash,x1"), so the
+    // ×factor roster-df story is exact, not approximate (round-15
+    // ADVICE adjudication). If the tokenizer ever moves to non-word
+    // splitting, this boundary must move with it or punctuation-
+    // adjacent roster text would start leaking salted df.
     val saltPat =
       if (!keepRoster) "(\\S+)"
       else {

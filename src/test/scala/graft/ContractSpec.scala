@@ -71,6 +71,15 @@ class ContractSpec extends AnyFunSuite {
     // characters inside the quotes are preserved, not blanked)
     assert(Bench.canonGidLine(litA) !=
       Bench.canonGidLine(litA.replace("x[0-9]+", "y[0-9]+")))
+    // round-15 ADVICE: literals differing ONLY in STRUCTURAL
+    // characters must also separate — the canonical output must emit
+    // the ORIGINAL characters (the mask may drive pairing and sort
+    // order only), else rlike '[ab]' and rlike '(ab)' collapse to
+    // one fingerprint
+    assert(Bench.canonGidLine(litA) !=
+      Bench.canonGidLine(litA.replace("x[0-9]+", "x(0-9)+")))
+    assert(Bench.canonGidLine(litA).contains("x[0-9]+"),
+      "canonical text lost the literal's own brackets")
     // an unterminated quote keeps the bail-out: returns the line
     // blanked but unsorted, never a wrong pairing walk
     val broken = "Keys [2]: [gid# = 1, rlike(s#, \"x[(])]"

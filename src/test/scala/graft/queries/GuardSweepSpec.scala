@@ -22,11 +22,13 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   * constant in the message, on a synthetic over-cap input.
   *
   * The full refusal inventory and where each lives:
-  *  - i14 `PruneMaxRankedDf` — in-plan assert_true (×2 in the gated
-  *    plan: the pruned branch is referenced twice by the final
-  *    side-by-side join). Round 15 re-scoped it from posting-list df
-  *    to the threshold tie set.
   *  - d21 `SemDedupMaxChunk` — in-plan assert_true (×1).
+  *  - i14 `PruneMaxRankedDf` — driver-side require() the moment the
+  *    radix walk knows the tie counts (round 16: the walk's selection
+  *    state moved to the driver, so the refusal fires at frame BUILD
+  *    — before the tie window is even constructed — the d05/d15
+  *    class; through round 15 it was an in-plan assert_true that
+  *    could only fire after an action paid the whole walk).
   *  - t36/t37 label guard — assert_true INSIDE the clsWeightsMemo /
   *    labeledFeatures build, so gated census plans show only the
   *    checkpoint scan; it fires at memo-build time. Pinned here by
@@ -70,8 +72,7 @@ class GuardSweepSpec extends AnyFunSuite {
 
   test("census inventory: every in-plan guard survives optimization") {
     val expected = Map(
-      "d21_semantic_dedup" -> (1, Similarity.SemDedupMaxChunk.toString),
-      "i14_index_pruning" -> (2, TextAnalysis.PruneMaxRankedDf.toString))
+      "d21_semantic_dedup" -> (1, Similarity.SemDedupMaxChunk.toString))
     val found = (for ((name, q) <- graft.SparkEntry.queries.toSeq) yield {
       val df = q(spark, dir)
       val n = guardCount(df)
@@ -93,8 +94,8 @@ class GuardSweepSpec extends AnyFunSuite {
   test("i14 tie guard fires past PruneMaxRankedDf with its constant") {
     // one term, every posting at ONE contribution value, one past the
     // cap: the radix walk reaches the value exactly and the threshold
-    // tie set is the whole list — the guard must refuse before any
-    // tie window serves.
+    // tie set is the whole list — the guard must refuse at frame
+    // build (the driver-side require), before any tie window serves.
     val n = TextAnalysis.PruneMaxRankedDf + 1
     val postings = spark.range(n).selectExpr("'t' as term", "id as doc_id",
       s"${n}L as df", "42L as contrib_e6")

@@ -618,15 +618,16 @@ class PlanSpec extends AnyFunSuite {
     // stop term's Θ(corpus) df meant one task sorting one 100-TB
     // posting list (survivable only by the refusal guard). The
     // round-15 rework finds the exact threshold value by a 7-level
-    // radix walk over per-term histograms; the only windows left
-    // order by the radix bucket (≤512 rows per term) or by doc_id
-    // over the guard-capped threshold tie set. Pin it structurally:
-    // no Window in the plan may SORT on the contribution.
+    // radix walk over per-term histograms (driver-side since round
+    // 16); the only windows left order by doc_id over the
+    // guard-capped threshold tie set or rank the ≤k-row report. Pin
+    // it structurally: no Window in the plan may SORT on the
+    // contribution.
     val df = graft.operators.TextAnalysis.indexPruning(spark, dir)
     val wins = df.queryExecution.optimizedPlan.collectWithSubqueries {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(wins.nonEmpty, "expected the radix prefix-sum windows")
+    assert(wins.nonEmpty, "expected the tie-set and report-rank windows")
     wins.foreach(w => assert(
       !w.orderSpec.exists(_.child.references.exists(
         _.name == "contrib_e6")),
@@ -657,6 +658,66 @@ class PlanSpec extends AnyFunSuite {
             s"$q windows a whole source over raw rows:\n$w")
       }
     }
+  }
+
+  test("per-query ANN rank cuts keep their partial WindowGroupLimit") {
+    // the round-15 verdict's one unpinned scale dependency: the
+    // per-query rank family (s01 and every consumer that windows
+    // corpus-scored rows by query_id) is scale-safe ONLY because
+    // Spark's InferWindowGroupLimit inserts a PARTIAL WindowGroupLimit
+    // below the exchange — each map task keeps its own top-k before
+    // anything shuffles, so no task ever sorts corpus-scale scored
+    // rows even though |query_id| groups is ≤10. Nothing pinned that:
+    // a filter moved off the rank column, a rank k above
+    // spark.sql.optimizer.windowGroupLimitThreshold, or a rule change
+    // would silently revert the family to ≤10 tasks each sorting a
+    // corpus shard. This census sweep makes the reversion a test
+    // failure: EVERY rank window partitioned by query_id, in every
+    // gated plan, must carry a Partial-mode WindowGroupLimitExec
+    // below it.
+    import org.apache.spark.sql.execution.window.{Partial, WindowExec, WindowGroupLimitExec}
+    def familyWindows(df: DataFrame): Seq[(Boolean, String)] =
+      df.queryExecution.sparkPlan.collect {
+        case w: WindowExec
+            if w.partitionSpec.exists(_.references.exists(_.name == "query_id")) &&
+              w.windowExpression.exists(_.toString.contains("row_number")) =>
+          (w.collectFirst {
+            case g: WindowGroupLimitExec if g.mode == Partial => g
+          }.isDefined, w.simpleString(200))
+      }
+    def offendingWindows(df: DataFrame): Seq[String] =
+      familyWindows(df).collect { case (false, w) => w }
+    val family = (for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1))
+      yield familyWindows(q(spark, dir)).map(name -> _)).flatten
+    val offenders = family.collect { case (n, (false, w)) => (n, w) }
+    assert(offenders.isEmpty,
+      s"per-query rank windows without a partial group limit:\n" +
+        offenders.map { case (n, w) => s"  $n: $w" }.mkString("\n"))
+    // the sweep must actually SEE the family (s01 + its consumers) —
+    // an empty census would mean the detector's shape test rotted,
+    // not that the engine got safer
+    assert(family.map(_._1).distinct.size >= 8,
+      s"query_id rank-window census shrank to ${family.map(_._1).distinct}")
+    // the k constants the family filters on must stay under the
+    // engine threshold the optimization gates on — a bump past it
+    // silently disables the rule for every consumer of the constant
+    val thr = spark.sessionState.conf.windowGroupLimitThreshold
+    assert(graft.operators.Similarity.MmrShortlist < thr,
+      "MmrShortlist crossed windowGroupLimitThreshold — the s28 " +
+        "shortlist window loses its map-side group limit")
+    // ...and the detector itself must catch a deliberately broken
+    // shape: the same window with the filter moved OFF the rank
+    // column gets no group limit and must be reported
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val e = spark.range(100).selectExpr("id as neighbor_id",
+      "cast(id % 7 as double) as cs", "id % 5 as query_id")
+    val broken = e.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cs").desc, col("neighbor_id"))))
+      .filter(col("cs") > 0.5) // not a rank bound — rule can't fire
+    assert(offendingWindows(broken).nonEmpty,
+      "detector no longer catches a rank window without a group limit")
   }
 
   test("t34 rewrites stay narrow: no shuffle carries symbol arrays") {

@@ -218,6 +218,57 @@ object ScaleStress {
       .agg(coalesce(max("n"), lit(0L))).head.getLong(0)
     t29Fg.unpersist(true)
 
+    // x11/x04/x28: the BucketedWindow construction bound, MEASURED
+    // (round-15 verdict item 4). The mechanism's scale law is
+    // "the largest single task is ONE (part, bucket) group"; the
+    // frames come from the operators' own factored accessors
+    // (Curation.*Bucketed) so the telemetry cannot drift from the
+    // plans. max_task must stay ~corpus/buckets as sources grow;
+    // groups is the histogram cardinality (≤ sources × 4096).
+    import graft.operators.{BucketedWindow, Curation}
+    def bwStats(fb: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column)): (Long, Long) = {
+      val g = BucketedWindow.groupSizes(fb._1, Seq("source"), fb._2)
+        .agg(coalesce(max("n"), lit(0L)), count(lit(1))).head
+      (g.getLong(0), g.getLong(1))
+    }
+    val (x11MaxTask, x11Groups) = bwStats(Curation.mixtureBucketed(spark, dir))
+    val (x04MaxTask, x04Groups) = bwStats(Curation.packingBucketed(spark, dir))
+    val (x28MaxTask, x28Groups) =
+      bwStats(Curation.bpePackingBucketed(spark, dir))
+
+    // i02/i04/s08: the retrieval frames whose growth the keep-roster
+    // fixture exists to exercise (round-15 verdict item 3 — through
+    // round 15 these had ×30 evidence only under salted, df-frozen
+    // data). i02/i04 probe the corpus's top bigram: record the pick,
+    // its count, each side's posting rows (the join inputs), and the
+    // per-doc occ_a·occ_b join size (i04's window-pair frame — the
+    // df-sensitive intermediate; it is equi-keyed on doc_id, so its
+    // per-TASK size is bounded by doc length² however large the df).
+    // s08's text side: candidate docs holding ≥1 roster term — the
+    // TakeOrdered input that must stay a distributed top-N cut.
+    val bigr = docs.select(TextHash.tokens(col("text")).as("tk"))
+      .select(explode(expr(TextHash.bigramsExpr("tk"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(1).head()
+    val (phW1, phW2, phC12) =
+      (bigr.getString(0), bigr.getString(1), bigr.getLong(2))
+    val occ = docs
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(phW1, phW2))
+      .groupBy("doc_id").agg(
+        sum(when(col("term") === phW1, 1L).otherwise(0L)).as("na"),
+        sum(when(col("term") === phW2, 1L).otherwise(0L)).as("nb"))
+      .agg(coalesce(sum("na"), lit(0L)), coalesce(sum("nb"), lit(0L)),
+        coalesce(sum(expr("na * nb")), lit(0L))).head()
+    val (phPa, phPb, phJoinRows) =
+      (occ.getLong(0), occ.getLong(1), occ.getLong(2))
+    val rosterIn = graft.operators.Similarity.HybridQueryTerms
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+    val s08Cand = docs.select(TextHash.tokens(col("text")).as("tk"))
+      .filter(expr(s"exists(tk, x -> x IN $rosterIn)")).count()
+
     // i14: the df skew of stop-word query terms. Through round 14 max
     // df bounded a per-term SORT (the pruning rank window's partition
     // was the posting list — the round-13 watch item); the round-15
@@ -318,6 +369,12 @@ object ScaleStress {
         s""""max_rank_bucket":$t29MaxBucket},""" +
         s""""i14":{"max_df":$i14Max,"postings_rows":$i14Rows,""" +
         s""""max_tie":$i14MaxTie},""" +
+        s""""bw":{"x11":{"max_task":$x11MaxTask,"groups":$x11Groups},""" +
+        s""""x04":{"max_task":$x04MaxTask,"groups":$x04Groups},""" +
+        s""""x28":{"max_task":$x28MaxTask,"groups":$x28Groups}},""" +
+        s""""retrieval":{"phrase":"$phW1 $phW2","c12":$phC12,""" +
+        s""""pa_rows":$phPa,"pb_rows":$phPb,"pair_rows":$phJoinRows,""" +
+        s""""s08_cand_docs":$s08Cand},""" +
         s""""cc_rounds":{"d06":$d06Rounds,"d09":$d09Rounds,"s11":$s11Rounds},""" +
         s""""out_rows":{"d02":$d02Rows,"d03":$d03Rows,"d06":$d06Rows,""" +
         s""""d08":$d08Rows,"d09":$d09Rows,"s11":$s11Rows,""" +

@@ -52,6 +52,35 @@ class LineageExtraSpec extends AnyFunSuite {
     assert(lines.map(_.toTable).toSet == Set("a.d1", "b.d2"))
   }
 
+  test("LATERAL VIEW generator-alias lineage renders exactly (golden)") {
+    // round-15 verdict item 6: the fuzzer pins LATERAL VIEW ColLines
+    // only by COUNT laws; the rendered strings were free to drift.
+    // The walker's deliberate behavior — pinned here verbatim so a
+    // refactor can't silently change the qualification: a generated
+    // column's provenance keeps the GENERATOR ALIAS as its qualifier
+    // (`default.t.w`, the generic fold's lexical resolution — the
+    // generator is the column's defining relation; the underlying
+    // source column sits inside the explode argument, which the
+    // reference's own walker also leaves un-chased for UDTFs), while
+    // the table-level lineage still records the real source table.
+    val p = parser.parse(
+      "insert into table dst select t.w, count(1) from src " +
+        "lateral view explode(split(x, ' ')) t as w group by t.w")
+    assert(p.getInputTables == Set("default.src"))
+    assert(p.getOutputTables == Set("default.dst"))
+    val lines = p.getColLines
+    assert(lines.map(_.toNameParse) == List("w", ""))
+    val w = lines.head
+    assert(w.toTable == "default.dst")
+    assert(w.fromName == "default.t.w",
+      s"generator-alias qualification drifted: ${w.fromName}")
+    assert(w.conditionSet.isEmpty)
+    val agg = lines(1)
+    assert(agg.fromName == "" &&
+      agg.conditionSet == Set("COLFUN:count(1)"),
+      s"aggregate ColLine drifted: ${agg.fromName} ${agg.conditionSet}")
+  }
+
   test("ORDER BY / LIMIT / DISTINCT pass through (§2.5)") {
     val p = parser.parse(
       "insert into table dst select distinct x from src order by x limit 10")

@@ -117,21 +117,28 @@ class Round14Spec extends AnyFunSuite {
     Memos.invalidate()
   }
 
-  test("i14 carries the per-term df rank guard in-plan") {
+  test("i14 guards the tie set at frame build, with a clean plan") {
     // round 15 replaced the per-term rank window with a distributed
-    // top-fraction selection, so the guard no longer caps a posting
-    // list's df — it caps the TIE SET at the threshold contribution
-    // value, the one per-term window the exact cut still needs. The
-    // documented contract is unchanged in kind: a named in-plan
-    // refusal past PruneMaxRankedDf (the d05/d21 guard discipline);
-    // pin that the guard survives optimization (column pruning must
-    // not eliminate it) and names its constant.
+    // top-fraction selection whose guard capped the threshold TIE SET
+    // in-plan; round 16 moved the radix walk's selection state to the
+    // driver, so the refusal is now a driver-side require at frame
+    // BUILD (the d05/d15 guard class — it fires before the tie window
+    // is even constructed; GuardSweepSpec fires it past the cap with
+    // its constant). What THIS pin protects: the plan i14 serves is
+    // clean — the thresholds enter as a LocalRelation, with no
+    // checkpoint scans (whose runtime partition counts split the sf1
+    // bench fingerprints — the round-15 refusal) and no leftover
+    // in-plan raise (the guard inventory lives in GuardSweepSpec).
     val p = TextAnalysis.indexPruning(spark, dir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(p.contains("assert_true") || p.contains("raise_error"),
-      s"i14 lost its df guard:\n$p")
-    assert(p.contains(TextAnalysis.PruneMaxRankedDf.toString),
-      "guard no longer wired to PruneMaxRankedDf")
+    assert(!p.contains("assert_true") && !p.contains("raise_error"),
+      s"i14's guard moved driver-side; an in-plan raise here is a " +
+        s"stray second mechanism:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"i14's plan embeds a checkpoint scan again — the runtime " +
+        s"partition-count fingerprint leak is back:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"radix thresholds must enter the plan as a local relation:\n$p")
   }
 
   test("t29 interval octaves == rank-every-term replica") {

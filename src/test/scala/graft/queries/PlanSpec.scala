@@ -675,6 +675,19 @@ class PlanSpec extends AnyFunSuite {
     // failure: EVERY rank window partitioned by query_id, in every
     // gated plan, must carry a Partial-mode WindowGroupLimitExec
     // below it.
+    //
+    // Scope note (round-16 full-census probe): the per-ENTITY rank
+    // windows (s25 per-vec_id argmax, d16 per-doc_id, i01 per-term,
+    // i05/i07/i10/t12/t27/q45) also get the group limit today, but
+    // their groups are many and small — losing it there is a perf
+    // nick, not the ≤10-task corpus-sort cliff this pin guards. The
+    // rank windows WITHOUT a group limit are all construction-
+    // bounded: i14's tie window (rank ≤ a COLUMN bound — the rule
+    // can't fire; the tie set is guard-capped instead), the ≤k-row
+    // post-shortlist rank assignments (s08/i03/i11/i12/t15,
+    // unpartitioned over ≤100 rows), and BucketedWindow's in-bucket
+    // windows (rank ≤ quota column; one bucket per task by
+    // construction).
     import org.apache.spark.sql.execution.window.{Partial, WindowExec, WindowGroupLimitExec}
     def familyWindows(df: DataFrame): Seq[(Boolean, String)] =
       df.queryExecution.sparkPlan.collect {

@@ -81,6 +81,39 @@ class LineageExtraSpec extends AnyFunSuite {
       s"aggregate ColLine drifted: ${agg.fromName} ${agg.conditionSet}")
   }
 
+  test("LATERAL VIEW composes with CTEs and stacks (goldens)") {
+    // the same generator-alias contract under composition (round 16):
+    // a lateral view INSIDE a CTE body chases through the CTE
+    // reference; a lateral view OVER a CTE carries the CTE body's
+    // WHERE condition; stacked generators resolve to the INNERMOST
+    // alias. All three pinned verbatim.
+    val p1 = parser.parse(
+      "WITH c AS (SELECT t.w AS w FROM src LATERAL VIEW " +
+        "explode(split(x, ' ')) t AS w) " +
+        "INSERT INTO TABLE dst SELECT w FROM c")
+    assert(p1.getInputTables == Set("default.src") &&
+      p1.getOutputTables == Set("default.dst"))
+    assert(p1.getColLines.map(c => (c.toNameParse, c.fromName)) ==
+      List(("w", "default.t.w")))
+
+    val p2 = parser.parse(
+      "WITH c AS (SELECT x FROM src WHERE k > 0) " +
+        "INSERT INTO TABLE dst SELECT t.w FROM c " +
+        "LATERAL VIEW explode(split(x, ' ')) t AS w")
+    val l2 = p2.getColLines.head
+    assert(l2.fromName == "default.t.w" &&
+      l2.conditionSet == Set("WHERE:default.src.k > 0"),
+      s"CTE-carried condition drifted: ${l2.fromName} ${l2.conditionSet}")
+
+    val p3 = parser.parse(
+      "INSERT INTO TABLE dst SELECT t2.v FROM src " +
+        "LATERAL VIEW explode(split(x, ' ')) t1 AS w " +
+        "LATERAL VIEW explode(split(t1.w, '-')) t2 AS v")
+    assert(p3.getColLines.map(c => (c.toNameParse, c.fromName)) ==
+      List(("v", "default.t2.v")),
+      "stacked generators must resolve to the innermost alias")
+  }
+
   test("ORDER BY / LIMIT / DISTINCT pass through (§2.5)") {
     val p = parser.parse(
       "insert into table dst select distinct x from src order by x limit 10")

@@ -139,6 +139,24 @@ class LineageFuzzSpec extends AnyFunSuite {
       s"SELECT x, y FROM ${nameOf(a)} WHERE k > $d",
     Set(a), Set(o), 2, bad = false, use = None)
 
+  // round-16 widening: LATERAL VIEW composed with a CTE (the
+  // goldens in LineageExtraSpec pin the rendered strings; here the
+  // composition rides the script-level degradation laws). Both
+  // orientations: the generator inside the CTE body, and over the
+  // CTE reference.
+  private val lateralCteInsert: Gen[Frag] = for {
+    o <- outGen; a <- srcGen; inside <- Gen.oneOf(true, false)
+  } yield Frag(
+    if (inside)
+      s"WITH c AS (SELECT t.w AS w FROM ${nameOf(a)} LATERAL VIEW " +
+        s"explode(split(x, ' ')) t AS w) " +
+        s"INSERT INTO TABLE ${nameOf(o)} SELECT w FROM c"
+    else
+      s"WITH c AS (SELECT x FROM ${nameOf(a)} WHERE k > 0) " +
+        s"INSERT INTO TABLE ${nameOf(o)} SELECT t.w FROM c " +
+        "LATERAL VIEW explode(split(x, ' ')) t AS w",
+    Set(a), Set(o), 1, bad = false, use = None)
+
   private val useDb: Gen[Frag] = Gen.oneOf(dbs).map(d =>
     Frag(s"USE $d", Set.empty, Set.empty, 0, bad = false, use = Some(d)))
 
@@ -150,7 +168,7 @@ class LineageFuzzSpec extends AnyFunSuite {
     3 -> insertJoin, 2 -> thetaJoin, 2 -> unionAll, 2 -> cteInsert,
     2 -> multiInsert, 2 -> bareSelect, 1 -> useDb, 2 -> broken,
     2 -> havingInsert, 2 -> windowInsert, 2 -> nestedCte,
-    2 -> lateralViewInsert, 2 -> partitionInsert)
+    2 -> lateralViewInsert, 2 -> partitionInsert, 2 -> lateralCteInsert)
 
   private val scriptGen: Gen[List[Frag]] =
     Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, fragGen))

@@ -48,26 +48,41 @@ object Sketches {
     * interpolate in floating point with different formulas — their
     * last ulp differs, so neither can gate the other).
     *
-    * Shape: one shuffle on the group key, one in-partition sort
-    * (row_number), conditional-min aggregation. At 100 TB the same
-    * answer would come from a two-pass fixed-width histogram or
-    * t-digest to avoid the per-group sort; the nearest-rank contract
-    * here is the ground truth such a sketch would be validated
-    * against. */
+    * Shape (round 16): the value-domain census — the t29/x26
+    * collapse applied to exact percentiles. Through round 16 this
+    * ranked every row with `row_number` partitioned by the THREE
+    * return flags: a few-huge-groups window, i.e. three tasks each
+    * sorting a third of the corpus — the exact single-reducer class
+    * the engine killed everywhere else (the round-16 rank-window
+    * census probe found it as the last instance). The rework groups
+    * to the (flag, cents) CENSUS first — one partial-agg'd shuffle;
+    * the per-flag prefix sum then runs over distinct PRICE VALUES,
+    * whose count is bounded by the price DOMAIN (TPC-H retail prices
+    * × the 1–50 quantity grid — corpus-independent), never by the
+    * corpus. The value at rank k = min cents with cum ≥ k, row-
+    * identical to the rank form including the ceil(n·p) edge
+    * (`min(cents WHERE rn ≥ k)` over sorted rows IS
+    * `min(cents WHERE cum(cents) ≥ k)`). t14's fixed-width histogram
+    * remains the sketch tier; this is its exact ground truth at the
+    * same plan shape, bucket width 1. */
   def percentileRanks(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.t(s, dir, "lineitem")
       .select(col("l_returnflag"),
         // + 0.5 then floor = round-half-up in both engines (a bare
         // double→long cast truncates in Spark but rounds in DuckDB)
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val census = li.groupBy("l_returnflag", "cents")
+      .agg(count(lit(1)).as("cnt"))
     val byFlag = Window.partitionBy("l_returnflag")
-    val ranked = li
-      .withColumn("rn", row_number().over(byFlag.orderBy("cents")))
-      .withColumn("n", count(lit(1)).over(byFlag))
+    val cum = census
+      .withColumn("cum", sum(col("cnt"))
+        .over(byFlag.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
     def atRank(p: Double, name: String) =
-      min(when(col("rn") >= ceil(col("n") * p), col("cents"))).as(name)
-    ranked.groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
+      min(when(col("cum") >= ceil(col("n") * p), col("cents"))).as(name)
+    cum.groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
         atRank(0.50, "p50_cents"), atRank(0.90, "p90_cents"),
         atRank(0.99, "p99_cents"), max(col("cents")).as("max_cents"))
       .orderBy("l_returnflag")

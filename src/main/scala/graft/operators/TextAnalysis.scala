@@ -511,15 +511,16 @@ object TextAnalysis {
     * pruned index puts at that rank, its (possibly degraded) score,
     * and whether the full doc survived anywhere in the pruned top-10.
     *
-    * Scale shape (round 15): the per-term top-P cut is the
+    * Scale shape (rounds 15–16): the per-term top-P cut is the
     * distributed top-fraction selection in [[prunedPostings]] — a
     * 7-level radix walk over per-term contribution histograms (each
-    * level one partial-agg pass over the persisted postings plus a
-    * ≤512-row-per-term prefix window) that finds the exact threshold
-    * value, then a broadcast-join filter; no task ever sorts a
-    * posting list, so a stop term's Θ(corpus) df meets no
-    * single-task work (the old refusal guard now pins only the
-    * threshold TIE set). Both rankings are partial-agg'd sums over
+    * level one partial-agg pass over the persisted postings; the
+    * ≤ terms×512-row histogram walks on the DRIVER since round 16)
+    * that finds the exact threshold value, then a broadcast-join
+    * filter; no task ever sorts a posting list, so a stop term's
+    * Θ(corpus) df meets no single-task work (the old refusal guard
+    * now pins only the threshold TIE set, at frame build). Both
+    * rankings are partial-agg'd sums over
     * matches-bound frames; the side-by-side join is k rows against k
     * rows. Corpus-scale work is i03's token fan-out, paid once and
     * shared by both branches through one persisted postings frame. */
@@ -556,17 +557,17 @@ object TextAnalysis {
     * per-TERM window, so a stop term's Θ(corpus-docs) df meant one
     * task sorting one 100-TB posting list — the query REFUSED past
     * 10M). Round 15 replaced that window with the distributed
-    * top-fraction selection in [[prunedPostings]]: the threshold
-    * contribution value is found by a 7-level radix walk over
-    * per-term histograms (every window ≤ 512 rows per term), so df
+    * top-fraction selection in [[prunedPostings]] (whose ≤ terms×512
+    * histogram walk runs on the driver since round 16), so df
     * growth no longer meets any single-task sort. The cap now pins
     * only the TIE SET at the threshold value — the one place an
     * exact cut still needs a per-term row_number (contribution ties
-    * broken by doc_id asc). It fires only when more than 10M
-    * postings of ONE term share the EXACT threshold contribution —
-    * a fixed-point hash collision, not a function of corpus size —
-    * and under the cap that tie sort is the same ~300 MB spillable
-    * single task the old guard budgeted. */
+    * broken by doc_id asc) — and fires at frame BUILD, the moment
+    * the walk knows the tie counts. It trips only when more than
+    * 10M postings of ONE term share the EXACT threshold
+    * contribution — a fixed-point hash collision, not a function of
+    * corpus size — and under the cap that tie sort is the same
+    * ~300 MB spillable single task the old guard budgeted. */
   val PruneMaxRankedDf = 10000000L
 
   /** The 9-bit radix levels that walk a nonnegative long's value

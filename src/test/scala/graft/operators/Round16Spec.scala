@@ -88,6 +88,16 @@ class Round16Spec extends AnyFunSuite {
       "rebuilt feature frame must carry its own checkpoint identity")
     assert(rows(rebuilt) == rows(direct))
     Memos.invalidate()
+    // drop THIS test's checkpoint blocks synchronously: invalidate()
+    // only unreferences them, and the async ContextCleaner reclaim
+    // races later suites' storage accounting (CacheSpec's ≤8 MB
+    // residue law measures deltas on the shared session)
+    val mine = Seq(memo, rebuilt).flatMap(_.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }).toSet
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (mine(id)) rdd.unpersist(blocking = true)
+    }
   }
 
   test("keep-best arg-max puts NULL scores last, like the old window") {

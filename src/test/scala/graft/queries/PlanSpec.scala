@@ -171,9 +171,27 @@ class PlanSpec extends AnyFunSuite {
       s"band table must broadcast (fact side must not shuffle to join):\n$p")
   }
 
-  test("percentiles cost one shuffle (window + agg share the group key)") {
-    val p = plan(graft.operators.Sketches.percentileRanks(spark, dir))
-    assert(hashExchanges(p) == 1, s"expected a single group-key shuffle:\n$p")
+  test("percentiles rank the value-domain census, never raw rows") {
+    // round 16: q41's rank window partitioned by the THREE return
+    // flags — the last few-huge-groups corpus sort in the census
+    // (three tasks each sorting a third of the corpus at 100 TB).
+    // The census form shuffles (flag, cents) COUNTS — bounded by the
+    // price domain, not the corpus — then windows over distinct
+    // values only. Pin both halves: every Window sits above an
+    // Aggregate (the x26 pin shape), and the shuffles are the census
+    // groupBy + the flag-keyed window exchange, nothing more.
+    val df = graft.operators.Sketches.percentileRanks(spark, dir)
+    val p = plan(df)
+    assert(hashExchanges(p) <= 2,
+      s"expected census groupBy + flag window shuffles only:\n$p")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    val wins = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: LW => w
+    }
+    assert(wins.nonEmpty, "expected the census prefix-sum windows")
+    wins.foreach(w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"q41 windows raw corpus rows again (the 3-task sort):\n$w"))
   }
 
   test("lateral top-k decorrelates to a window, not a per-row rescan") {

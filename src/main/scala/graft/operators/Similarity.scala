@@ -1647,25 +1647,13 @@ object Similarity {
       .withColumn("rk", row_number().over(wSh))
       .filter(col("rk") <= MmrShortlist)
       .select("query_id", "neighbor_id", "nv", "nnrm", "rel")
+      .withColumn("maxsim", lit(MmrEmptySim))
       .persist() // the MmrK greedy rounds re-scan this bounded frame
     var selected: DataFrame = null
     for (pick <- 1 to MmrK) {
-      val withMax =
-        if (selected == null) cand.withColumn("maxsim", lit(MmrEmptySim))
-        else {
-          val selE = selected.select(col("query_id"),
-            col("nv").as("sv"), col("nnrm").as("snrm"))
-          val ms = cand.join(selE, "query_id")
-            .select(col("query_id"), col("neighbor_id"),
-              (expr(dotExpr("nv", "sv")) /
-                (col("nnrm") * col("snrm"))).as("sim"))
-            .groupBy("query_id", "neighbor_id")
-            .agg(max(col("sim")).as("maxsim"))
-          cand.join(ms, Seq("query_id", "neighbor_id"))
-        }
       val wPick = Window.partitionBy(col("query_id"))
         .orderBy((col("rel") - col("maxsim")).desc, col("neighbor_id"))
-      val picked = withMax.withColumn("rn", row_number().over(wPick))
+      val picked = cand.withColumn("rn", row_number().over(wPick))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("nv"),
           col("nnrm"), col("rel"), col("maxsim"),
@@ -1677,8 +1665,22 @@ object Similarity {
         // at sf0.1 for identical results)
       selected =
         if (selected == null) picked else selected.unionByName(picked)
+      // max-sim-to-selected as a RUNNING max (round 16): max over the
+      // whole selected set re-joined and re-aggregated |cand|·|selected|
+      // sim rows every round; max{sims to s1..sp} ≡ greatest(max{s1..
+      // sp−1}, sim to sp) — doubles compare totally (NaN greatest in
+      // both forms), so the running column is the identical number.
+      // Each round is now one anti-join + one broadcast probe of the
+      // 1-row-per-query newest pick — the per-round groupBy exchange
+      // and the (query, neighbor)-keyed re-join are gone from the plan.
+      val newPick = picked.select(col("query_id"),
+        col("nv").as("sv"), col("nnrm").as("snrm"))
       cand = cand.join(picked.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_anti")
+        .join(broadcast(newPick), Seq("query_id"))
+        .withColumn("maxsim", greatest(col("maxsim"),
+          expr(dotExpr("nv", "sv")) / (col("nnrm") * col("snrm"))))
+        .drop("sv", "snrm")
     }
     selected
       .select(col("query_id"), col("pick"), col("neighbor_id"),

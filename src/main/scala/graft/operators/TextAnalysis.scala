@@ -1617,9 +1617,18 @@ object TextAnalysis {
         sum("contrib_e6").as("orig_e6"))
     val topR = sc1.orderBy(col("orig_e6").desc, col("doc_id"))
       .limit(RocchioTopR)
-    // candidate expansion vocabulary: the R docs' non-query terms
-    val rtf = base.join(broadcast(topR.select("doc_id")), "doc_id")
-      .select(explode(col("tk")).as("term"))
+    // candidate expansion vocabulary: the R docs' non-query terms.
+    // Join BEFORE tokenizing (round 16): `base` carries the tokens()
+    // projection, so probing it with the R-doc roster evaluated the
+    // corpus-wide tokenize only to keep R documents — Catalyst cannot
+    // hoist a join above a projection the join output needs. Joining
+    // the raw table first tokenizes exactly R rows (identical rows
+    // out: the same explode over the same R documents' tokens), and
+    // the branch needs no fan-out — R = 3 rows of work.
+    val rtf = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(topR.select("doc_id")), "doc_id")
+      .select(explode(tokens(col("text"))).as("term"))
       .filter(!col("term").isin(Similarity.HybridQueryTerms: _*))
       .groupBy("term").agg(count(lit(1)).as("rtf"))
     // corpus df for the candidates: narrow distinct-explode probing

@@ -101,10 +101,22 @@ object TextHash {
     s"simhash32($hv)"
 
   /** Spread the CPU-heavy per-row hashing across all cores: the test
-    * parquet is a single file (= one input partition); a 100 TB layout
-    * would already be many splits. Round-robin, no key needed. */
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * parquet is a single file (= one input partition), so without this
+    * every tokenize/hash pass runs on one core. Round-robin, no key
+    * needed. SCALE-CONDITIONAL (round 16, guide §2.4): a 100 TB layout
+    * is already thousands of splits, and an unconditional
+    * `repartition(n)` there is a full shuffle of raw document text
+    * bought for parallelism the scan already has — so the fan-out is
+    * skipped when the input plan already carries at least
+    * defaultParallelism partitions. Callers pass scan-level frames
+    * (no Exchange beneath), so reading the partition count off the
+    * RDD plans no shuffle and runs no job; at the driver's SFs the
+    * single-file scan keeps the repartition, leaving local plans (and
+    * their fingerprints) unchanged. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
 
   /** doc_id + shingle-hash array for the documents table. */
   def shingleHashes(documents: DataFrame): DataFrame =

@@ -596,7 +596,12 @@ object TextAnalysis {
     *     table (the level-k bucket determines all earlier ones, so
     *     one filter suffices — the plan stays one join deep). After
     *     level 7 the bucket IS the exact threshold value v_t and the
-    *     residual need is the tie budget.
+    *     residual need is the tie budget. EARLY EXIT (round 16): a
+    *     term whose crossing bucket already holds ≤512 postings skips
+    *     the remaining levels — one driver collect of that bucket's
+    *     contribution values replaces up to four more corpus rescans,
+    *     and the local walk over ≤512 longs is the identical
+    *     value-granularity selection the remaining levels compute.
     *  3. Postings with contrib > v_t are kept by a broadcast-join
     *     filter against the local threshold table; postings AT v_t
     *     keep the tie_need smallest doc_ids (exact bounded
@@ -620,6 +625,15 @@ object TextAnalysis {
     * At 100 TB each level is one rescan of the persisted roster
     * postings plus a ≤ terms×512-row driver collect; no task ever
     * holds more than one histogram bucket or the (capped) tie set. */
+  /** Early-exit bound for the radix walk (round 16): once a term's
+    * crossing bucket holds at most this many postings, the remaining
+    * levels are replaced by ONE driver collect of that bucket's
+    * contribution values — the exact threshold falls out of a local
+    * walk over ≤512 longs instead of up-to-four more corpus-scale
+    * rescans + histogram collects. 512 = one radix fan-out, the same
+    * per-term bound the round-15 rework budgeted per level. */
+  private val PruneTieCollectCap = 512L
+
   private[graft] def prunedPostings(postings: DataFrame): DataFrame = {
     val s = postings.sparkSession
     import s.implicits._
@@ -629,52 +643,100 @@ object TextAnalysis {
       .map(r => r.getString(0) ->
         ((r.getLong(1) * PruneKeepPermille + 999) / 1000)).toMap
     var cur = postings.select(col("term"), col("contrib_e6"))
-    // term -> (bucket, residual need, bucket count) after each level
-    var sel: Map[String, (Long, Long, Long)] = Map.empty
-    for (shift <- PruneRadixShifts) {
+    // exact per-term answer as it resolves: term -> (v_t, tie_need)
+    var resolved: Map[String, (Long, Long)] = Map.empty
+    // terms reaching level 7 un-exited: their tie set is the final
+    // bucket count — the quantity the refusal guard bounds
+    var finalSel: Map[String, (Long, Long, Long)] = Map.empty
+    // local exact selection over one term's collected contribution
+    // values — literally the remaining levels' walk at value
+    // granularity: highest value first, the crossing value is v_t and
+    // the residual need there is the tie budget.
+    def localCut(vals: Seq[Long], n: Long): (Long, Long) = {
+      var above = 0L
+      var hit: (Long, Long) = null
+      for ((v, c) <- vals.groupBy(identity).view.mapValues(_.size.toLong)
+             .toSeq.sortBy(-_._1) if hit == null) {
+        if (above < n && above + c >= n) hit = (v, n - above)
+        above += c
+      }
+      hit
+    }
+    val shifts = PruneRadixShifts.iterator
+    while (need.nonEmpty && shifts.hasNext) {
+      val shift = shifts.next()
       val hist = cur
         .select(col("term"), shiftright(col("contrib_e6"), shift).as("bk"))
         .groupBy("term", "bk").agg(count(lit(1)).as("cnt"))
-        .collect() // ≤512 rows per roster term
+        .collect() // ≤512 rows per unresolved roster term
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1)
       // highest bucket first: `above` = postings strictly above this
       // bucket within the current candidate range; exactly one bucket
       // per term crosses the residual need (counts are positive and
       // need ≤ the range's total by construction).
-      sel = hist.flatMap { case (term, rows) =>
-        val n = need(term)
-        var above = 0L
-        var hit: Option[(Long, Long, Long)] = None
-        for ((_, bk, cnt) <- rows.sortBy(-_._2) if hit.isEmpty) {
-          if (above < n && above + cnt >= n)
-            hit = Some((bk, n - above, cnt))
-          above += cnt
+      val sel: Map[String, (Long, Long, Long)] =
+        hist.flatMap { case (term, rows) =>
+          val n = need(term)
+          var above = 0L
+          var hit: Option[(Long, Long, Long)] = None
+          for ((_, bk, cnt) <- rows.sortBy(-_._2) if hit.isEmpty) {
+            if (above < n && above + cnt >= n)
+              hit = Some((bk, n - above, cnt))
+            above += cnt
+          }
+          hit.map(term -> _)
         }
-        hit.map(term -> _)
+      if (shift == 0) {
+        // the bucket IS the exact contribution value
+        resolved ++= sel.map { case (t, (bk, n, _)) => t -> (bk, n) }
+        finalSel = sel
+        need = Map.empty
+      } else {
+        // early exit (round 16): a crossing bucket small enough to
+        // collect resolves its term NOW — one ≤cap-row driver read in
+        // place of every remaining level's corpus rescan + collect
+        val (small, large) =
+          sel.partition { case (_, (_, _, cnt)) => cnt <= PruneTieCollectCap }
+        if (small.nonEmpty) {
+          val smallDf = small.toSeq.sortBy(_._1)
+            .map { case (t, (bk, _, _)) => (t, bk) }.toDF("term", "bk")
+          val bucketVals = postings.select(col("term"), col("contrib_e6"))
+            .join(broadcast(smallDf), Seq("term"))
+            .filter(shiftright(col("contrib_e6"), shift) === col("bk"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+            .groupBy(_._1)
+          resolved ++= small.map { case (t, (_, n, _)) =>
+            t -> localCut(bucketVals(t).map(_._2).toSeq, n)
+          }
+        }
+        need = large.map { case (t, (_, n, _)) => t -> n }
+        if (large.nonEmpty) {
+          // descend: the level-k bucket refines level k−1's (bk_{k-1}
+          // = bk_k >> 9), so filtering the PERSISTED postings on this
+          // level's bucket alone reproduces the whole chain — the
+          // plan never deepens past one local-table join.
+          val selDf = large.toSeq.sortBy(_._1)
+            .map { case (t, (bk, _, _)) => (t, bk) }.toDF("term", "bk")
+          cur = postings.select(col("term"), col("contrib_e6"))
+            .join(broadcast(selDf), Seq("term"))
+            .filter(shiftright(col("contrib_e6"), shift) === col("bk"))
+            .select(col("term"), col("contrib_e6"))
+        }
       }
-      // descend: the level-k bucket refines level k−1's (bk_{k-1} =
-      // bk_k >> 9), so filtering the PERSISTED postings on this
-      // level's bucket alone reproduces the whole chain — the plan
-      // never deepens past one local-table join.
-      val selDf = sel.toSeq.sortBy(_._1)
-        .map { case (t, (bk, _, _)) => (t, bk) }.toDF("term", "bk")
-      cur = postings.select(col("term"), col("contrib_e6"))
-        .join(broadcast(selDf), Seq("term"))
-        .filter(shiftright(col("contrib_e6"), shift) === col("bk"))
-        .select(col("term"), col("contrib_e6"))
-      need = sel.map { case (t, (_, n, _)) => t -> n }
     }
     // tie-resolution bound: the only remaining per-term window runs
     // over the threshold tie set; refuse loudly — at frame build, the
-    // moment the walk knows the tie counts — past the ceiling.
-    val maxTie = sel.values.map(_._3).maxOption.getOrElse(0L)
+    // moment the walk knows the tie counts — past the ceiling. Only a
+    // term that reached level 7 can carry an over-cap tie set (an
+    // early-exited term's whole BUCKET was ≤ the 512 collect cap).
+    val maxTie = finalSel.values.map(_._3).maxOption.getOrElse(0L)
     require(maxTie <= PruneMaxRankedDf,
       s"indexPruning threshold tie set over the $PruneMaxRankedDf " +
         "bounded tie-resolution ceiling (postings sharing one exact " +
         s"contribution value): $maxTie")
-    val thr = sel.toSeq.sortBy(_._1)
-      .map { case (t, (vt, tn, _)) => (t, vt, tn) }
+    val thr = resolved.toSeq.sortBy(_._1)
+      .map { case (t, (vt, tn)) => (t, vt, tn) }
       .toDF("term", "vt", "tie_need")
     val withThr = postings.join(broadcast(thr), "term")
     val keptHigh = withThr.filter(col("contrib_e6") > col("vt"))

@@ -31,6 +31,14 @@ object Similarity {
     Tables.t(s, dir, "embeddings")
   }
 
+  /** Raw embeddings table (native expressions registered), WITHOUT
+    * the fan-out or the norm projection — for consumers that keep
+    * only a broadcast-joined handful of rows (round 16): computing
+    * norms corpus-wide and then dropping all but the joined rows paid
+    * a full per-vector pass for nothing at any scale. */
+  private[operators] def vecs(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+
   /** Sequential double dot-product of two array<float> columns —
     * the native [[FloatVecDot]] expression (bit-identical to the
     * `aggregate(zip_with(...))` HOF form it replaced, ~100x faster). */

@@ -1427,12 +1427,21 @@ object TextAnalysis {
     * construction. */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     val short = bm25(s, dir).select("doc_id", "n_matched", "score_e6")
-    val e = Similarity.vecsWithNorm(s, dir)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    // norm AFTER the shortlist join (round 16): vecsWithNorm fanned
+    // out and normed the whole corpus only for the ≤shortlist rows
+    // (and the 1 query row) to survive — the i12 join-before-project
+    // class. The per-row norm expression is unchanged (same float_dot
+    // fold, same sqrt), so every surviving value is bit-identical.
+    val q = Similarity.vecs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"),
+        expr(s"sqrt(${Similarity.dotSql("embedding", "embedding")})")
+          .as("qnrm"))
     val w = Window.orderBy(col("cs_e6").asc, col("doc_id"))
-    e.join(broadcast(short), col("vec_id") === col("doc_id"))
+    Similarity.vecs(s, dir)
+      .join(broadcast(short), col("vec_id") === col("doc_id"))
       .filter(col("vec_id") =!= 0) // the query doc is never its own negative
+      .withColumn("nrm",
+        expr(s"sqrt(${Similarity.dotSql("embedding", "embedding")})"))
       .crossJoin(broadcast(q)) // 1-row standing query vector
       .select(col("doc_id"), col("n_matched"), col("score_e6"),
         floor(expr(Similarity.dotSql("qv", "embedding")) /
@@ -1471,7 +1480,11 @@ object TextAnalysis {
     * i03's. */
   def diversifiedSearch(s: SparkSession, dir: String): DataFrame = {
     val short = bm25(s, dir).select("doc_id", "n_matched", "score_e6")
-    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    // no fan-out (round 16): this side only probes the ≤100-row
+    // broadcast shortlist — no per-row CPU to spread, so the
+    // round-robin repartition was a full-table shuffle for nothing
+    val src = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
     val wSrc = Window.partitionBy(col("source"))
       .orderBy(col("score_e6").desc, col("doc_id"))
     val wAll = Window.orderBy(col("score_e6").desc, col("doc_id"))

@@ -57,6 +57,32 @@ class Round15Spec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < rows.size)
   }
 
+  test("i14 early-exit and deep-descent paths agree with the window cut") {
+    import spark.implicits._
+    // Round-16 coverage law: the radix walk now EARLY-EXITS a term
+    // whose crossing bucket holds ≤512 postings (one driver collect
+    // replaces the remaining levels). Small fixtures all exit at
+    // level 1, so without this law the multi-level DESCENT (crossing
+    // bucket >512) and the level-7 resolution would only ever run
+    // inside the refusal-guard test, where the output is never
+    // served. One walk exercising every path at once, output-checked:
+    //  - "wide": 10,000 dense values → bucket 0 at shifts 54..18
+    //    (cnt 10,000 > 512, descends five levels), crossing bucket at
+    //    shift 9 holds exactly 512 → early-exits at the LAST moment;
+    //  - "deep": 600 values inside [0, 512) → descends to shift 0 and
+    //    resolves at value granularity (the finalSel path);
+    //  - "quick": 10 postings → early-exits at level 1;
+    //  and per-term bookkeeping must keep the three independent.
+    val rows =
+      (0L until 10000L).map(i => ("wide", i, 10000L, i)) ++
+      (0L until 600L).map(i => ("deep", i, 600L, i % 512L)) ++
+      (0L until 10L).map(i => ("quick", i, 10L, i * 1000L))
+    val postings = rows.toDF("term", "doc_id", "df", "contrib_e6")
+      .repartition(4)
+    assert(runCut(postings) == windowCut(rows),
+      "early-exit/descent walk diverges from the window cut")
+  }
+
   test("i14 threshold ties resolve by doc_id asc, exactly") {
     import spark.implicits._
     // term "a": df=20, k=ceil(20·250/1000)=5. Contributions 100×2

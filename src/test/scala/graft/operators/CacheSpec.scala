@@ -35,6 +35,29 @@ class CacheSpec extends AnyFunSuite {
   private def storageBytes(): Long =
     spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
 
+  /** Storage after pending ContextCleaner work has drained: blocks of
+    * frames earlier suites dropped are reclaimed ASYNCHRONOUSLY on
+    * GC, so a baseline taken while that queue is non-empty can SHRINK
+    * mid-measurement and fail the delta laws spuriously (observed
+    * once in a full-suite run on a stalled host: −5 MB "shrink"
+    * during the knnGraph build — CacheSpec alone was green). GC, then
+    * poll until two consecutive samples agree; live (referenced)
+    * blocks are never reclaimed, so the settled value is the real
+    * floor. */
+  private def settledStorageBytes(): Long = {
+    System.gc()
+    var prev = storageBytes()
+    var tries = 0
+    while (tries < 25) {
+      Thread.sleep(200)
+      val cur = storageBytes()
+      if (cur == prev) return cur
+      prev = cur
+      tries += 1
+    }
+    prev
+  }
+
   /** Per-query peak-cache budget at the sf0.01 gate scale. The
     * round-8 sf1 telemetry puts the heaviest lifetime (d14) at
     * 160.6 MB on a 100×-the-gate corpus — ≈ 1.6 MB at sf0.01 —  and
@@ -53,7 +76,7 @@ class CacheSpec extends AnyFunSuite {
 
   test("knnGraph build drops its intermediates — only the n·k checkpoint stays") {
     spark.catalog.clearCache()
-    val before = storageBytes()
+    val before = settledStorageBytes()
     Similarity.knnGraph(spark, gateDir) // eager: checkpoints the graph
     val delta = storageBytes() - before
     // the checkpointed sf0.01 graph is 1500 rows — single-digit MB
@@ -100,7 +123,7 @@ class CacheSpec extends AnyFunSuite {
                               // checkpoint (4097 rows, allowed residue)
     heavies.foreach { name =>
       spark.catalog.clearCache()
-      val floor = storageBytes()
+      val floor = settledStorageBytes()
       graft.SparkEntry.queries(name)(spark, gateDir)
         .write.format("noop").mode("overwrite").save()
       val peakMb = (storageBytes() - floor) / 1024 / 1024

@@ -93,15 +93,20 @@ object DupCluster {
   private[operators] def fixpointLabels(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.select(col("ida"), col("idb"))
       .filter(col("ida") =!= col("idb"))
+    // LAZY checkpoint + count (round 16): the eager form ran one job
+    // to materialize the checkpoint and a second to count it; marking
+    // the checkpoint lazy lets the convergence count's own job store
+    // the blocks as it scans — identical frames, one job per round
+    // instead of two, across every fixpoint consumer (d06/d09/m07/s11).
     var edges = pairs
       .union(pairs.select(col("idb"), col("ida")))
-      .toDF("src", "dst").distinct().localCheckpoint()
-    var edgeCount = edges.count()
+      .toDF("src", "dst").distinct().localCheckpoint(false)
+    var edgeCount = edges.count() // materializes the checkpoint
     var changed = true
     var rounds = 0
     while (changed) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nextCount = next.count()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextCount = next.count() // materializes the checkpoint
       // set equality: both frames are distinct, so equal counts plus
       // an empty one-way anti-join ⇒ identical edge sets. The count
       // is free (frames are checkpoint-materialized); the anti-join

@@ -23,10 +23,14 @@ object TimeSeries {
   /** One row per (user, hour): event count and the hour's last
     * observed value as floor(v·1e6) (latest timestamp, ties to
     * highest event_id — a unique pair, so deterministic in both
-    * engines). max_by on the (us, event_id) struct picks it in one
-    * partial-aggregated pass — no per-group sort, unlike a row_number
-    * window. Shared by x06's resample and x09's SCD-2 builder so the
-    * hourly-latest rule cannot drift between them. */
+    * engines). argmax_long ([[graft.functions.ArgMaxLong]]) picks it
+    * in one partial-aggregated HASH pass: it is max_by(v_e6,
+    * struct(us, event_id)) with the ordering pair flattened into
+    * primitive buffer columns — the struct-buffered max_by has no
+    * HashAggregate fast path, so the partial pass SORTED every scan
+    * partition by the group key (round-16 finding, fixed round 17;
+    * guide §2.3/§4). Shared by x06's resample and x09's SCD-2 builder
+    * so the hourly-latest rule cannot drift between them. */
   def hourlyLatest(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
@@ -34,7 +38,7 @@ object TimeSeries {
       .withColumn("hr", expr(s"us div ${HourUs}L"))
       .groupBy("user_id", "hr")
       .agg(count(lit(1)).as("n_events"),
-        expr("max_by(v_e6, struct(us, event_id))").as("last_v"))
+        expr("argmax_long(v_e6, us, cast(event_id as long))").as("last_v"))
 
   /** x06: hourly resample + forward fill. Each user's timeline is
     * filled from their first to last active hour: per grid cell the

@@ -1212,9 +1212,18 @@ object TextAnalysis {
   private[graft] def moreLikeThisSelection(
       s: SparkSession, dir: String): DataFrame = {
     val postings = mltPostings(s, dir)
-    // corpus-level (term, df): distinct (doc, term) then count per
-    // term — i01's aggregate, vocabulary-sized output
-    val dfreq = postings.distinct()
+    // corpus-level (term, df): count DOCS per term via a per-doc
+    // array_distinct BEFORE the explode, so the aggregate partial-
+    // combines map-side and only (term, partial count) rows cross the
+    // exchange. The old form (`postings.distinct()` then count)
+    // shuffled every distinct (doc_id, term) PAIR — a corpus-scale
+    // exchange of term strings — just to throw the doc_id away one
+    // node later (round 17; guide §2.3 "aggregate before you
+    // shuffle"). Same df values: distinct-pair count per term ≡ doc
+    // count per term over per-doc distinct tokens.
+    val dfreq = docs(s, dir)
+      .select(explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("df"))
     // probe-side per-(probe, term) tf (tf kept for the scoring join)
     val probeTf = postings.filter(col("doc_id") % MoreLikeThisProbeMod === 0)
@@ -1706,29 +1715,34 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("term"))
       .filter(!col("term").isin(Similarity.HybridQueryTerms: _*))
       .groupBy("term").agg(count(lit(1)).as("rtf"))
-    // corpus df for the candidates: narrow distinct-explode probing
-    // the broadcast candidate set
-    val dfCand = base
-      .select(col("doc_id"), explode(array_distinct(col("tk"))).as("term"))
+    // candidate-term postings: per-(doc, candidate term) tf in ONE
+    // corpus tokenize pass (round 17). This frame serves BOTH feedback
+    // needs — candidate df (distinct docs per term = its own row
+    // count per term, since rows are already (doc, term)-grained) and
+    // the round-2 tf of whichever [[RocchioExpTerms]] terms win — so
+    // the old separate df pass (distinct-explode) and round-2 pass
+    // (filter-before-explode against the winners) collapse into one:
+    // 3 corpus tokenizes → 2 (guide §1.2 / §6 read-once). The persist
+    // is a skinny post-aggregation (doc_id, dl, term, tf) frame
+    // restricted to the R docs' vocabulary — the capped-postings
+    // class, never raw text.
+    val candTf = base
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
       .join(broadcast(rtf.select("term")), "term")
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfCand = candTf.groupBy("term").agg(count(lit(1)).as("df"))
     val expTerms = rtf.join(dfCand, "term").crossJoin(broadcast(stats))
       .select(col("term"), col("df"),
         (col("rtf") * expr(Bm25IdfExpr)).as("w"))
       .orderBy(col("w").desc, col("term")).limit(RocchioExpTerms)
-    // round 2: same scorer over the expansion term set — the E terms
-    // collapse to a 1-row sorted array (x30's scalar idiom) and each
-    // doc filters its tokens BEFORE the explode (i03's own
-    // filter-before-explode law; round 12 exploded the full corpus
-    // token stream and discarded ~all of it in the broadcast join)
-    val expArr = expTerms.agg(expr(
-      "array_sort(collect_list(term))").as("et"))
-    val tf2 = base.crossJoin(broadcast(expArr))
-      .select(col("doc_id"), col("dl"),
-        expr("filter(tk, t2 -> array_contains(et, t2))").as("etk"))
-      .filter(size(col("etk")) > 0)
-      .select(col("doc_id"), col("dl"), explode(col("etk")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // round 2: same scorer over the expansion term set — the E
+    // winners select their rows straight out of the shared candidate
+    // postings (identical rows to re-tokenizing and filtering: tf
+    // grouping commutes with the term-subset restriction)
+    val tf2 = candTf
+      .join(broadcast(expTerms.select("term")), "term")
+      .select("doc_id", "dl", "term", "tf")
     val sc2 = bm25ContribOf(tf2, dfCand, stats).groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_exp"),
         sum("contrib_e6").as("exp_e6"))

@@ -1997,31 +1997,78 @@ object TextAnalysis {
     * selected docs; the margin frame persists only within its round
     * so the two class cuts and the selection read one materialization. */
   private def trainWeights(s: SparkSession, ft: DataFrame): DataFrame = {
-    var w = s.range(ClsBuckets + 1)
-      .select(col("id").as("bucket"), lit(0L).as("w"))
+    import s.implicits._
+    // Weight state lives on the DRIVER as ClsBuckets+1 longs — bounded
+    // BY CONSTRUCTION (model state, corpus-independent), the i14
+    // driver-walk precedent, and the round-17 rework of this loop
+    // (guide §1.2): the DataFrame-resident state cost every round a
+    // broadcast-collect of the checkpointed w, a 4097-row update join,
+    // and an eager state checkpoint job — pure bookkeeping around the
+    // two passes over `ft` that are the round's real work. Now each
+    // round is exactly those two jobs: (1) margins + the per-class
+    // hard-example TakeOrdered cut (collected: ≤2·ClsHardK ids),
+    // (2) the delta aggregate over the selected docs (collected:
+    // ≤ClsBuckets+1 rows). The weight table broadcast each round is a
+    // LocalRelation — no job to build. Arithmetic is the identical
+    // exact-integer recurrence: same margins, same cut order
+    // (ym asc, doc_id asc), same long additions, so the trained table
+    // is bit-identical (t36/t37 gates re-prove it).
+    val w = new Array[Long]((ClsBuckets + 1).toInt)
+    def wDf = w.indices.map(i => (i.toLong, w(i))).toDF("bucket", "w")
+    // One doc_id exchange, paid ONCE: the checkpointed feature memo
+    // carries UnknownPartitioning (a checkpoint scan forgets its
+    // layout — the round-15 fingerprint finding), so every round's
+    // margin groupBy(doc_id, y) re-shuffled the stream. Repartition by
+    // doc_id and cache for the loop's lifetime: HashPartitioning
+    // (doc_id) satisfies the margin aggregate's (doc_id, y) clustering
+    // (and the broadcast weight join preserves it), so all
+    // [[PerceptronRounds]] margin passes run exchange-free over the
+    // cached blocks (guide §2.4: operations keyed the same way share
+    // one exchange). Skinny (doc_id, y, bucket, tf) longs — the same
+    // cached footprint class the old per-round persist had.
+    // Partition count is DATA-derived (≈2M skinny rows ≈ 64 MB per
+    // partition), not core-count-derived: AQE's coalescing cannot
+    // reach inside a cached plan (it would change the partitioning
+    // the cache exists to preserve), and 2·PerceptronRounds scans of
+    // a tiny stream split cpu-count ways pay a full task-wave latency
+    // per job for nothing. At 100 TB the same formula gives
+    // thousands of partitions (guide §2.2 "fewer, larger partitions",
+    // round rules: derive from input size, never the local core
+    // count).
+    val ftRows = ft.count()
+    val ftParts = math.max(1L, (ftRows + 1999999L) / 2000000L).toInt
+    val ftp = ft.select("doc_id", "y", "bucket", "tf")
+      .repartition(ftParts, col("doc_id")).persist()
     for (_ <- 1 to PerceptronRounds) {
-      val marg = ft.join(broadcast(w), "bucket")
+      // the per-class hard-example cut as ONE rank-window subtree
+      // (row_number ≤ K over partitionBy(y) — identical rows to the
+      // old two orderBy.limit(K) cuts: same total order (ym, doc_id),
+      // disjoint classes, doc_id unique so no ties). The rank filter
+      // gets the Partial WindowGroupLimit below its exchange (the
+      // PlanSpec-pinned map-side top-k), so no task ever holds more
+      // than K misclassified rows per class — and the round needs no
+      // union, no intermediate persist, one driver roundtrip.
+      val wCut = Window.partitionBy(col("y"))
+        .orderBy(col("ym").asc, col("doc_id").asc)
+      val selIds = ftp.join(broadcast(wDf), "bucket")
         .groupBy("doc_id", "y")
         .agg(sum(col("tf") * col("w")).as("m"))
         .withColumn("ym", col("y") * col("m"))
         .filter(col("ym") <= 0L) // misclassified only
-        .persist()
-      val sel = marg.filter(col("y") === 1L)
-        .orderBy(col("ym").asc, col("doc_id").asc)
-        .limit(ClsHardK.toInt).select("doc_id")
-        .unionByName(marg.filter(col("y") === -1L)
-          .orderBy(col("ym").asc, col("doc_id").asc)
-          .limit(ClsHardK.toInt).select("doc_id"))
-        .localCheckpoint() // ≤2·ClsHardK rows, materialized once
-      marg.unpersist()
-      val delta = ft.join(broadcast(sel), "doc_id")
-        .groupBy("bucket").agg(sum(col("y") * col("tf")).as("dw"))
-      w = w.join(delta, Seq("bucket"), "left")
-        .select(col("bucket"),
-          (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
-        .localCheckpoint() // 4097-row state; keeps the round chain linear
+        .withColumn("rk", row_number().over(wCut))
+        .filter(col("rk") <= ClsHardK)
+        .select("doc_id")
+        .collect().map(_.getLong(0)).toSeq // ≤2·ClsHardK ids, one job
+      // empty cut (every doc classified correctly) ⇒ the delta is
+      // empty by construction — skip the pass instead of running it
+      if (selIds.nonEmpty)
+        ftp.filter(col("doc_id").isin(selIds: _*))
+          .groupBy("bucket").agg(sum(col("y") * col("tf")).as("dw"))
+          .collect() // ≤ClsBuckets+1 rows, one job
+          .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
     }
-    w
+    ftp.unpersist()
+    wDf
   }
 
   @volatile private var lastClsWeights
@@ -2047,7 +2094,9 @@ object TextAnalysis {
         // whichever training happens to touch it first
         val ft = labeledFeaturesMemo(s, dir)
         Memos.timedBuild("cls_weights", dir) {
-          val g = trainWeights(s, ft)
+          // localCheckpoint the (driver-built) table so the memo keeps
+          // its LogicalRDD probe key and alive() rate-limiting
+          val g = trainWeights(s, ft).localCheckpoint()
           lastClsWeights = Some((s, dir, g))
           g
         }

@@ -152,16 +152,9 @@ object Pipeline {
       .filter(col("rn") === 1)
       .select(col("source"), col("partner").as("top_overlap_src"),
         col("est_jac_e6").as("top_overlap_e6"))
-    val dm = Dedup.dupSourceMatrix(s, dir)
-      .select("source_a", "source_b", "n_pairs").persist()
-    val intra = dm.filter(col("source_a") === col("source_b"))
-      .select(col("source_a").as("source"),
-        col("n_pairs").as("intra_dup_pairs"))
-    val offDiag = dm.filter(col("source_a") =!= col("source_b"))
-    val cross = offDiag.select(col("source_a").as("source"), col("n_pairs"))
-      .unionAll(offDiag.select(col("source_b").as("source"), col("n_pairs")))
-      .groupBy("source").agg(sum("n_pairs").as("cross_dup_pairs"))
-    val q = TextAnalysis.quality(s, dir).select(col("doc_id"), col("keep"))
+    val dm0 = Dedup.dupSourceMatrix(s, dir)
+      .select("source_a", "source_b", "n_pairs")
+    val q0 = TextAnalysis.quality(s, dir).select(col("doc_id"), col("keep"))
       .join(d, "doc_id")
       .groupBy("source")
       .agg(sum(when(col("keep") === 1, 1L).otherwise(0L)).as("n_keep"))
@@ -180,18 +173,55 @@ object Pipeline {
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy("source").orderBy("novelty_e6")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nv = nvCen
+    val nv0 = nvCen
       .withColumn("cum", sum("c").over(wCum))
       .withColumn("tot", sum("c").over(Window.partitionBy("source")))
       .filter(expr("cum - c < (tot + 1) div 2 AND cum >= (tot + 1) div 2"))
       .select(col("source"), col("novelty_e6").as("med_novelty_e6"))
-    ep.join(dr, Seq("source"), "left")
-      .join(ed, Seq("source"), "left")
-      .join(ov, Seq("source"), "left")
+    // Materialize the seven independent branch reports CONCURRENTLY
+    // (round 17, guide §2.6 "overlap independent jobs"): each branch
+    // is a multi-stage dependency chain, and chains materialize one
+    // stage-depth wave at a time — submitting the branches' own
+    // actions from a small pool lets one branch's tail stragglers
+    // back-fill with another branch's next stage instead of idling
+    // the executors. Every branch reduces to |sources|-scale rows, so
+    // the checkpoints are trivial storage; the frames are constructed
+    // above ON THIS THREAD (memo accessors assume a single-threaded
+    // driver) and only the actions run in the pool. Results are the
+    // same branch frames, materialized — the card's joins below are
+    // unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+    val (ckEp, ckDr, ckEd, ckOv, ckDm, ckQ, ckNv) = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      def mat(tag: String, df: DataFrame) = scala.concurrent.Future {
+        s.sparkContext.setJobDescription(s"x26 branch: $tag")
+        val out = df.localCheckpoint()
+        s.sparkContext.setJobDescription(null)
+        out
+      }
+      val fs = Seq(mat("epoch_alloc", ep), mat("drift", dr),
+        mat("emb_drift", ed), mat("overlap", ov), mat("dup_matrix", dm0),
+        mat("quality_keep", q0), mat("novelty_median", nv0))
+      val r = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6))
+    } finally pool.shutdown()
+    val intra = ckDm.filter(col("source_a") === col("source_b"))
+      .select(col("source_a").as("source"),
+        col("n_pairs").as("intra_dup_pairs"))
+    val offDiag = ckDm.filter(col("source_a") =!= col("source_b"))
+    val cross = offDiag.select(col("source_a").as("source"), col("n_pairs"))
+      .unionAll(offDiag.select(col("source_b").as("source"), col("n_pairs")))
+      .groupBy("source").agg(sum("n_pairs").as("cross_dup_pairs"))
+    ckEp.join(ckDr, Seq("source"), "left")
+      .join(ckEd, Seq("source"), "left")
+      .join(ckOv, Seq("source"), "left")
       .join(intra, Seq("source"), "left")
       .join(cross, Seq("source"), "left")
-      .join(q, Seq("source"), "left")
-      .join(nv, Seq("source"), "left")
+      .join(ckQ, Seq("source"), "left")
+      .join(ckNv, Seq("source"), "left")
       .na.fill(0L, Seq("intra_dup_pairs", "cross_dup_pairs", "n_keep"))
       .withColumn("keep_rate_e6", expr("(n_keep * 1000000L) div n_docs"))
       .withColumn("med_novelty_e6",

@@ -90,7 +90,7 @@ object DupCluster {
       .distinct()
   }
 
-  private[operators] def fixpointLabels(pairs0: DataFrame): DataFrame = {
+  private[graft] def fixpointLabels(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.select(col("ida"), col("idb"))
       .filter(col("ida") =!= col("idb"))
     // LAZY checkpoint + count (round 16): the eager form ran one job

@@ -660,6 +660,13 @@ object TextAnalysis {
         if (above < n && above + c >= n) hit = (v, n - above)
         above += c
       }
+      // refuse loudly here (the round-16 ADVICE): the invariant
+      // 1 <= n <= vals.size makes a miss unreachable, but if it were
+      // ever violated the null would otherwise surface later as a
+      // MatchError in the resolved-map destructuring, far from the
+      // cause
+      require(hit != null,
+        s"localCut: residual need $n exceeds bucket size ${vals.size}")
       hit
     }
     val shifts = PruneRadixShifts.iterator

@@ -115,8 +115,23 @@ object TextHash {
     * their fingerprints) unchanged. */
   def fanOut(df: DataFrame): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    // Partition-count probe contract, now IN CODE (round-16 ADVICE):
+    // touching df.rdd finalizes the plan, and on a frame with an
+    // exchange beneath AQE would eagerly execute the upstream shuffle
+    // stages just to read a count — running that work twice. Every
+    // current caller passes a scan-level frame; any future caller
+    // whose analyzed plan carries more than narrow scan-level nodes
+    // skips the probe and keeps the unconditional repartition (the
+    // pre-round-16 behavior — correct, never double-executing).
+    val scanLevel = df.queryExecution.analyzed.collect { case p => p.nodeName }
+      .forall(FanOutNarrowNodes)
+    if (scanLevel && df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
+
+  /** Logical node kinds that cannot hide an exchange beneath
+    * [[fanOut]]'s partition-count probe. */
+  private val FanOutNarrowNodes = Set("Project", "Filter",
+    "SubqueryAlias", "View", "Relation", "LogicalRelation", "LogicalRDD")
 
   /** doc_id + shingle-hash array for the documents table. */
   def shingleHashes(documents: DataFrame): DataFrame =

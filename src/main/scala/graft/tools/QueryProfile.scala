@@ -57,8 +57,13 @@ object QueryProfile {
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
-      // listener bus is async; give it a beat to drain
-      Thread.sleep(300)
+      // listener bus is async; give it a beat to drain. 1 s (was
+      // 300 ms — round-16 ADVICE: a loaded host could under-count
+      // jobs). The bus's waitUntilEmpty is private[spark]; for a
+      // dev-only attribution tool the lengthened drain is enough —
+      // a remaining under-count would only ever LOWER a reported job
+      // count, never invent one.
+      Thread.sleep(1000)
       println(f"== $tag $name wall=$wall%.3f s, ${jobs.size} jobs, " +
         s"${stageTasks.size} stages, ${stageTasks.values.map(_._1).sum} tasks")
       val jseq = jobs.values.toSeq.sortBy(_.t0)
